@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops.{Aggregates, Joins, Ordering, Relational, Reshape}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator inventory of SURVEY.md §2, one named
+  * query per op, each over `/root/testdata/sf*` parquet; `oracleSql`
+  * holds the equivalent DuckDB SQL the driver hash-compares against.
+  * Non-SQL-expressible ops (spark.ml layer, LSH internals, streaming)
+  * appear in `queries` only (rows-only check) and are ScalaTest'd.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * G1, the TPC-H-Q1-shaped groupBy-sum (SURVEY §7 phase 1). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Aggregates.g1AggSum(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ Aggregates.queries ++ Joins.queries ++
+      Reshape.queries ++ Ordering.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    Relational.oracle ++ Aggregates.oracle ++ Joins.oracle ++
+      Reshape.oracle ++ Ordering.oracle
 }

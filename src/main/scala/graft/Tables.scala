@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog of the testdata star schema (TESTDATA.md / FIXTURES.md §B).
+  *
+  * Mirrors the reference's catalog-by-filename-stem pattern
+  * (reference R:78–97: glob `*.csv` → keyed list) as a name→DataFrame
+  * loader over parquet. Parquet is the native format (reference
+  * `saveRDS`/`readRDS` at R:1018–1027 ≈ columnar binary round-trip).
+  *
+  * Scale note: every loader is a plain `spark.read.parquet` scan —
+  * column pruning and predicate pushdown reach the scan via Catalyst,
+  * so callers should express filters/projections on the returned
+  * DataFrame rather than materializing intermediates.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
+    // type for; sessions set spark.sql.legacy.parquet.nanosAsLong=true
+    // so it arrives as LongType nanos. Convert to micros TimestampType
+    // with integer division (a double division would lose precision:
+    // epoch-nanos ≈ 1.7e18 > 2^53).
+    if (name == "events")
+      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  /** Register every table as a temp view (catalog semantics, R:81). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}

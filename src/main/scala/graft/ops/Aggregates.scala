@@ -1,0 +1,262 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+import graft.Tables
+
+/** Aggregation operators (SURVEY.md §2.4, plus the S6 console-profiling
+  * sink of §2.1 which is statistically the same surface).
+  *
+  * Every aggregate here is a single hash aggregate: Spark plans
+  * partial (map-side) + final aggregation automatically, so the
+  * shuffle moves only one row per (partition × group), not raw data —
+  * the property that makes these viable at 100 TB. None of them need a
+  * custom UDAF (SURVEY §2.4: every reference aggregate is a
+  * composition of built-ins).
+  */
+object Aggregates {
+
+  /** G1 — group-by + sum, the flagship query (R:264–269, R:297–298).
+    * TPC-H Q1 shape: 4 groups out of 60k rows → partial agg collapses
+    * virtually all data map-side. */
+  def g1AggSum(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        Det.r2(sum("l_quantity")).as("sum_qty"),
+        Det.r2(sum("l_extendedprice")).as("sum_base_price"),
+        Det.r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("sum_disc_price"),
+        Det.r4(avg("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** G2 — group-by + count (R:350–351, R:165–166). */
+  def g2GroupCount(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).groupBy("o_orderpriority").count()
+
+  /** G3 — frequency-of-frequencies (R:164–167: `count(단지코드) %>%
+    * count(n)` — histogram of per-key row counts). Two chained hash
+    * aggs; the second input is already tiny. */
+  def g3CountOfCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n_lines"))
+      .groupBy("n_lines").agg(count(lit(1)).as("n_orders"))
+
+  /** G4 — per-group distinct-non-NA count over ALL columns, then the
+    * per-column total (R:174–187 — the "which columns are complex-level"
+    * discovery). Column list is driver-side schema metadata; the result
+    * is ONE row. countDistinct ignores NULLs, matching R's
+    * `na.omit(unique(.))`. */
+  def g4DistinctCounts(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.orders(s, dir)
+    val cols = df.columns.filter(_ != "o_custkey").sorted
+    val perGroup = df.groupBy("o_custkey")
+      .agg(countDistinct(col(cols.head)).as(cols.head),
+        cols.tail.map(c => countDistinct(col(c)).as(c)): _*)
+    perGroup.agg(sum(col(cols.head)).as(cols.head),
+      cols.tail.map(c => sum(col(c)).as(c)): _*)
+  }
+
+  /** G5 — multi-column distinct / dedup (R:165, R:196: `distinct()`). */
+  def g5Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select("l_returnflag", "l_linestatus").distinct()
+
+  /** G6 — contingency table over category columns (R:232–238:
+    * `table()` → Freq>0 → arrange ≡ plain groupBy-count: the dense cube
+    * with empty combos filtered is exactly the observed-combo groupBy). */
+  def g6Contingency(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > 0)
+
+  /** G7 — per-column value counts, long format (R:228–230:
+    * `map(table)` over char cols). Driver-side loop over the column
+    * list, one groupBy each, unioned. */
+  def g7ValueCounts(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.orders(s, dir)
+    Seq("o_orderstatus", "o_orderpriority").map { c =>
+      df.groupBy(col(c).as("value")).agg(count(lit(1)).as("freq"))
+        .select(lit(c).as("column_name"), col("value"), col("freq"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** G8/S6 — descriptive statistics per numeric column, long format
+    * (R:106–111 `summary`, R:398–414 `skim`/`diagnose`). One wide agg
+    * computing 6 stats × k columns in a single pass, reshaped
+    * driver-side into (column, stat) rows — NOT one job per column. */
+  def g8Describe(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.lineitem(s, dir)
+    val cols = df.schema.fields
+      .filter(_.dataType.isInstanceOf[NumericType]).map(_.name).sorted
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).cast("double").as(s"${c}__cnt"),
+        Det.r4(avg(col(c))).as(s"${c}__mean"),
+        Det.r4(stddev_samp(col(c))).as(s"${c}__std"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("double")
+          .as(s"${c}__nulls"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail.toSeq: _*)
+    val stats = Seq("cnt", "mean", "std", "min", "max", "nulls")
+    val longRows = cols.flatMap(c => stats.map(st =>
+      struct(lit(c).as("column_name"), lit(st).as("stat"),
+        col(s"${c}__$st").as("value"))))
+    wide.select(explode(array(longRows.toSeq: _*)).as("r"))
+      .select("r.column_name", "r.stat", "r.value")
+  }
+
+  /** G9 — grouped weighted mean with all-NULL-group fallback
+    * (R:922–940: per-complex rent weighted by households; a group with
+    * no valid rent yields NULL, later median-imputed by C6). The R
+    * `group_split` + `map_df` interpreted loop collapses to ONE hash
+    * aggregate — the biggest algorithmic win of the rewrite (SURVEY §3.2). */
+  def g9WeightedMean(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .withColumn("price_or_null",
+        when(col("l_quantity") >= 48.0, lit(null).cast("double"))
+          .otherwise(col("l_extendedprice")))
+    li.groupBy("l_suppkey")
+      .agg(
+        Det.r2(sum(when(col("price_or_null").isNotNull,
+            col("price_or_null") * col("l_quantity")))
+          / sum(when(col("price_or_null").isNotNull, col("l_quantity"))))
+          .as("weighted_price"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** G10 — pairwise Pearson correlation (R:386–392: `cor(use=
+    * 'pairwise.complete.obs')`). Long format (var_a, var_b, corr); all
+    * pairs computed in ONE aggregate pass (corr is an algebraic
+    * aggregate), not a job per pair. */
+  def g10Corr(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.lineitem(s, dir)
+    val vars = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val pairs = for {
+      i <- vars.indices; j <- vars.indices if i < j
+    } yield (vars(i), vars(j))
+    val aggs = pairs.map { case (a, b) =>
+      Det.r6(corr(col(a), col(b))).as(s"${a}__$b")
+    }
+    val wide = df.agg(aggs.head, aggs.tail.toSeq: _*)
+    val longRows = pairs.map { case (a, b) =>
+      struct(lit(a).as("var_a"), lit(b).as("var_b"),
+        col(s"${a}__$b").as("pearson_r"))
+    }
+    wide.select(explode(array(longRows: _*)).as("r"))
+      .select("r.var_a", "r.var_b", "r.pearson_r")
+  }
+
+  /** G11 — global exact quantiles (R:942–943 `median`). Exact
+    * interpolating `percentile` for oracle parity; `approx_percentile`
+    * is the constant-memory 100 TB variant. */
+  def g11Median(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).agg(
+      Det.r2(expr("percentile(o_totalprice, 0.25)")).as("p25"),
+      Det.r2(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+      Det.r2(expr("percentile(o_totalprice, 0.75)")).as("p75"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g1_agg_sum" -> g1AggSum,
+    "g2_group_count" -> g2GroupCount,
+    "g3_count_of_counts" -> g3CountOfCounts,
+    "g4_distinct_counts" -> g4DistinctCounts,
+    "g5_distinct" -> g5Distinct,
+    "g6_contingency" -> g6Contingency,
+    "g7_value_counts" -> g7ValueCounts,
+    "g8_describe" -> g8Describe,
+    "g9_weighted_mean" -> g9WeightedMean,
+    "g10_corr" -> g10Corr,
+    "g11_median" -> g11Median)
+
+  private val ordersCols =
+    Seq("o_orderdate", "o_orderkey", "o_orderpriority", "o_orderstatus",
+      "o_totalprice")
+
+  val oracle: Map[String, String] = Map(
+    "g1_agg_sum" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         ${Det.sql("sum(l_quantity)", 2)} AS sum_qty,
+         ${Det.sql("sum(l_extendedprice)", 2)} AS sum_base_price,
+         ${Det.sql("sum(l_extendedprice * (1 - l_discount))", 2)}
+           AS sum_disc_price,
+         ${Det.sql("avg(l_quantity)", 4)} AS avg_qty,
+         count(*) AS count_order
+         FROM lineitem GROUP BY 1, 2""",
+    "g2_group_count" ->
+      """SELECT o_orderpriority, count(*) AS count FROM orders
+         GROUP BY 1""",
+    "g3_count_of_counts" ->
+      """SELECT n_lines, count(*) AS n_orders FROM
+         (SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY 1)
+         GROUP BY 1""",
+    "g4_distinct_counts" -> {
+      val inner = ordersCols
+        .map(c => s"count(DISTINCT $c) AS $c").mkString(", ")
+      val outer = ordersCols
+        .map(c => s"cast(sum($c) AS bigint) AS $c").mkString(", ")
+      s"""SELECT $outer FROM
+          (SELECT o_custkey, $inner FROM orders GROUP BY o_custkey)"""
+    },
+    "g5_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "g6_contingency" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS freq
+         FROM orders GROUP BY 1, 2 HAVING count(*) > 0""",
+    "g7_value_counts" ->
+      """SELECT 'o_orderstatus' AS column_name, o_orderstatus AS value,
+           count(*) AS freq FROM orders GROUP BY 2
+         UNION ALL
+         SELECT 'o_orderpriority', o_orderpriority, count(*)
+           FROM orders GROUP BY 2""",
+    "g8_describe" -> {
+      val cols = Seq("l_discount", "l_extendedprice", "l_linenumber",
+        "l_orderkey", "l_partkey", "l_quantity", "l_suppkey", "l_tax")
+      cols.map { c =>
+        s"""SELECT '$c' AS column_name, s.stat AS stat,
+            CASE s.stat
+              WHEN 'cnt' THEN cast(count($c) AS double)
+              WHEN 'mean' THEN ${Det.sql(s"avg($c)", 4)}
+              WHEN 'std' THEN ${Det.sql(s"stddev_samp($c)", 4)}
+              WHEN 'min' THEN cast(min($c) AS double)
+              WHEN 'max' THEN cast(max($c) AS double)
+              ELSE cast(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)
+                        AS double) END AS value
+            FROM lineitem CROSS JOIN
+              (SELECT unnest(['cnt','mean','std','min','max','nulls'])
+                 AS stat) s
+            GROUP BY s.stat"""
+      }.mkString(" UNION ALL ")
+    },
+    "g9_weighted_mean" ->
+      s"""WITH x AS (SELECT l_suppkey,
+           CASE WHEN l_quantity >= 48.0 THEN NULL
+                ELSE l_extendedprice END AS price_or_null,
+           l_quantity FROM lineitem)
+         SELECT l_suppkey,
+           ${Det.sql(
+        """sum(CASE WHEN price_or_null IS NOT NULL
+                          THEN price_or_null * l_quantity END)
+                 / sum(CASE WHEN price_or_null IS NOT NULL
+                            THEN l_quantity END)""", 2)} AS weighted_price,
+           count(*) AS n_lines
+         FROM x GROUP BY 1""",
+    "g10_corr" ->
+      s"""SELECT 'l_quantity' AS var_a, 'l_extendedprice' AS var_b,
+           ${Det.sql("corr(l_quantity, l_extendedprice)", 6)} AS pearson_r
+           FROM lineitem
+         UNION ALL
+         SELECT 'l_quantity', 'l_discount',
+           ${Det.sql("corr(l_quantity, l_discount)", 6)} FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', 'l_discount',
+           ${Det.sql("corr(l_extendedprice, l_discount)", 6)} FROM lineitem""",
+    "g11_median" ->
+      s"""SELECT ${Det.sql("quantile_cont(o_totalprice, 0.25)", 2)} AS p25,
+         ${Det.sql("quantile_cont(o_totalprice, 0.5)", 2)} AS p50,
+         ${Det.sql("quantile_cont(o_totalprice, 0.75)", 2)} AS p75
+         FROM orders""")
+}
