@@ -1,7 +1,11 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.dedup.Dedup
 import graft.ops.{Aggregates, Joins, Ordering, Relational, Reshape}
+import graft.sim.Similarity
+import graft.streaming.EventStreams
+import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,11 +24,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Aggregates.queries ++ Joins.queries ++
-      Reshape.queries ++ Ordering.queries
+      Reshape.queries ++ Ordering.queries ++ TextAnalysis.queries ++
+      Dedup.queries ++ Similarity.queries ++ EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Aggregates.oracle ++ Joins.oracle ++
-      Reshape.oracle ++ Ordering.oracle
+      Reshape.oracle ++ Ordering.oracle ++ TextAnalysis.oracle ++
+      Dedup.oracle ++ Similarity.oracle ++ EventStreams.oracle
 }

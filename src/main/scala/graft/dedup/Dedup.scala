@@ -1,0 +1,219 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Det
+
+/** Deduplication operators over `documents` / `embeddings` — the
+  * training-data-pipeline extension layer.
+  *
+  * Scale design (100 TB): exact/fingerprint dedup is a single hash
+  * aggregate on a 16-byte key — the cheapest possible shuffle.
+  * Near-dup detection NEVER compares all pairs: candidates come from
+  * an equi-join on a blocking key (shared shingle for d2, LSH band for
+  * d3/d4) so the shuffle is keyed and the pair set stays near-linear;
+  * only candidates pay the exact-similarity verification. The
+  * brute-force d5 exists as the small-side/oracle baseline.
+  */
+object Dedup {
+
+  private val tokens = split(col("text"), " ")
+
+  /** Distinct 3-token shingles of a document, as a codegen'd
+    * higher-order expression (no explode until the blocking join).
+    * NOTE: Spark `sequence(1, 0)` DESCENDS ([1,0]) rather than being
+    * empty, so short docs need the explicit CASE guard. */
+  private val shingles = array_distinct(expr(
+    """CASE WHEN size(split(text, ' ')) < 3 THEN array()
+       ELSE transform(sequence(1, size(split(text, ' ')) - 2),
+         i -> concat_ws(' ', slice(split(text, ' '), i, 3))) END"""))
+
+  /** D1 — exact + canonical-fingerprint dedup (hash-groupBy). Groups
+    * by the order/duplication-insensitive token-set fingerprint; also
+    * counts distinct raw md5s inside each group (exact-dup subgroups).
+    * Keep-rule: min doc_id — deterministic. */
+  def d1DedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(col("text").cast("binary")).as("exact_md5"),
+        md5(array_join(array_sort(array_distinct(tokens)), " ")
+          .cast("binary")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("exact_md5")).as("n_exact_variants"))
+
+  /** D2 — exact n-gram Jaccard near-dup pairs. Blocking key = shared
+    * shingle (equi-join, shuffle on shingle), then exact
+    * |A∩B| / |A∪B| >= 0.4 on the candidate pairs only. */
+  def d2DedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), shingles.as("sh"))
+    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val pairs = exploded.as("a").join(exploded.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("shared") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= 0.4)
+      .select(col("doc_a"), col("doc_b"), Det.r4(col("jaccard")).as("jaccard"))
+  }
+
+  private val NumHashes = 16
+  private val BandSize = 4 // 4 bands × 4 rows
+
+  /** D3 — MinHash + LSH banding near-dup candidates, verified with
+    * exact Jaccard (>= 0.4). The scale path for d2: shuffle is on
+    * (band index, band hash) — candidate pairs only, never all pairs.
+    * Signature: minhash_j = min over shingles of xxhash64(j, shingle);
+    * band hash = xxhash64 of its 4 signature rows. No oracle (murmur/
+    * xxhash not reproducible in ANSI SQL); parity with d2 is asserted
+    * in ScalaTest (LSH candidates recover all d2 pairs at j >= 0.4
+    * w.h.p., and every emitted pair passes the same exact filter). */
+  def d3DedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sig = array((0 until NumHashes).map(j =>
+      array_min(transform(col("sh"), sh => xxhash64(lit(j), sh)))): _*)
+    val bandCols = (0 until NumHashes / BandSize).map { b =>
+      xxhash64(lit(b) +: (1 to BandSize).map(i =>
+        element_at(col("sig"), b * BandSize + i)): _*)
+    }
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), shingles.as("sh"))
+      .withColumn("sig", sig)
+      .withColumn("bands", array(bandCols: _*))
+    val banded = docs.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = candidates
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")),
+        "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")),
+        "doc_b")
+    withSets
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.4)
+      .select(col("doc_a"), col("doc_b"), Det.r4(col("jaccard")).as("jaccard"))
+  }
+
+  /** D4 — SimHash near-dup pairs. 64-bit signature: bit i gets +1/-1
+    * per token according to bit i of xxhash64(token); sign of the sum
+    * is the bit. Candidates block on 16-bit chunks (any equal chunk →
+    * candidate; Hamming distance <= 3 guarantees one of 4 chunks
+    * matches), verified by exact Hamming distance. No oracle
+    * (bit-level hashing) — ScalaTest'd on planted near-dups. */
+  def d4DedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val sigExpr = expr(
+      """aggregate(split(text, ' '), array_repeat(0L, 64),
+           (acc, t) -> zip_with(acc,
+             transform(sequence(0, 63),
+               i -> CASE WHEN (shiftright(xxhash64(t), i) & 1) = 1
+                         THEN 1L ELSE -1L END),
+             (a, b) -> a + b))""")
+    val simhash = expr(
+      """aggregate(sequence(0, 63), 0L,
+           (acc, i) -> acc + CASE WHEN element_at(sig, i + 1) > 0
+                                  THEN shiftleft(1L, i) ELSE 0L END)""")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), sigExpr.as("sig"))
+      .select(col("doc_id"), simhash.as("simhash"))
+    val chunked = docs.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        """transform(sequence(0, 3),
+           b -> shiftright(simhash, b * 16) & 65535L)"""))
+        .as(Seq("chunk_idx", "chunk")))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
+
+  /** D5 — embedding-cosine near-dup pairs, brute force (the oracle
+    * baseline; n2SimLshTopk in graft.sim is the bucketed scale path).
+    * Cosine in explicit sequential double arithmetic so DuckDB
+    * reproduces it bit-for-bit. */
+  def d5DedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val dot = expr(
+      """aggregate(zip_with(a.embedding, b.embedding,
+           (x, y) -> cast(x AS double) * cast(y AS double)),
+           cast(0 AS double), (acc, v) -> acc + v)""")
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("norm", sqrt(expr(
+        """aggregate(transform(embedding,
+             x -> cast(x AS double) * cast(x AS double)),
+             cast(0 AS double), (acc, v) -> acc + v)""")))
+    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cosine", dot / (col("a.norm") * col("b.norm")))
+      .filter(col("cosine") >= 0.45)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Det.r6(col("cosine")).as("cosine"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact" -> d1DedupExact,
+    "d2_dedup_ngram_jaccard" -> d2DedupNgramJaccard,
+    "d3_dedup_minhash_lsh" -> d3DedupMinhashLsh,
+    "d4_dedup_simhash" -> d4DedupSimhash,
+    "d5_dedup_embedding" -> d5DedupEmbedding)
+
+  /** DuckDB mirrors. d3/d4 are hash-scheme-specific → rows-only. */
+  val oracle: Map[String, String] = Map(
+    "d1_dedup_exact" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+           string_split(text, ' '))), ' ')) AS fp,
+         min(doc_id) AS keep_id, count(*) AS n_docs,
+         count(DISTINCT md5(text)) AS n_exact_variants
+         FROM documents GROUP BY 1""",
+    "d2_dedup_ngram_jaccard" ->
+      s"""WITH w AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])) AS sh
+           FROM documents),
+         e AS (SELECT doc_id, unnest(sh) AS s FROM w),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS shared
+               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         n AS (SELECT doc_id, len(sh) AS n FROM w)
+         SELECT doc_a, doc_b,
+           ${Det.sql("shared / (na.n + nb.n - shared)", 4)} AS jaccard
+         FROM p JOIN n na ON na.doc_id = doc_a
+                JOIN n nb ON nb.doc_id = doc_b
+         WHERE shared / (na.n + nb.n - shared) >= 0.4""",
+    "d5_dedup_embedding" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> x::double * x::double))) AS norm
+           FROM embeddings)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ${Det.sql(
+        """list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               p -> p[1]::double * p[2]::double)) / (a.norm * b.norm)""",
+        6)} AS cosine
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                 p -> p[1]::double * p[2]::double))
+               / (a.norm * b.norm) >= 0.45""")
+}

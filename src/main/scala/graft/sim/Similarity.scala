@@ -1,0 +1,113 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Det
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  * n1 is the exact brute-force baseline (cross join, the oracle);
+  * n2 is the sign-random-projection LSH-bucketed variant — the 100 TB
+  * path: queries only join vectors in their own bucket, so the
+  * shuffle is an equi-join on bucket id instead of a cross join.
+  * All cosine math is explicit sequential double arithmetic (see
+  * Dedup.d5) so DuckDB reproduces it bit-for-bit.
+  */
+object Similarity {
+
+  private val normCol = sqrt(expr(
+    """aggregate(transform(embedding,
+         x -> cast(x AS double) * cast(x AS double)),
+         cast(0 AS double), (acc, v) -> acc + v)"""))
+
+  private val dotAB = expr(
+    """aggregate(zip_with(q.embedding, v.embedding,
+         (x, y) -> cast(x AS double) * cast(y AS double)),
+         cast(0 AS double), (acc, v) -> acc + v)""")
+
+  /** N1 — brute-force cosine top-k: every 50th vector is a query;
+    * rank all other vectors by cosine, keep top 5. Deterministic
+    * tiebreak on neighbor id. */
+  def n1SimTopkBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).withColumn("norm", normCol)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"), col("norm"))
+    val scored = queries.as("q").join(emb.as("v"),
+        col("q.q_id") =!= col("v.vec_id"))
+      .select(col("q.q_id"), col("v.vec_id").as("neighbor_id"),
+        (dotAB / (col("q.norm") * col("v.norm"))).as("cosine"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("neighbor_id"), col("rank"),
+        Det.r6(col("cosine")).as("cosine"))
+  }
+
+  private val NumPlanes = 8
+
+  /** Deterministic pseudo-random hyperplane component for (plane j,
+    * dim i): small signed value from integer arithmetic (public LCG
+    * constants), reproducible with no RNG. */
+  private def planeComponent(j: Int, i: Int): Double =
+    (((j * 73856093 + i * 19349663) % 97 + 97) % 97 - 48) / 48.0
+
+  /** N2 — LSH-bucketed cosine top-k (scale path of n1). Bucket id =
+    * sign bits of the vector against 8 fixed hyperplanes; queries
+    * compare only against same-bucket vectors. Recall vs n1 is
+    * asserted in ScalaTest; no SQL oracle (scheme-specific). */
+  def n2SimLshTopk(s: SparkSession, dir: String): DataFrame = {
+    val bucketBits = (0 until NumPlanes).map { j =>
+      val dot = (0 until 64).map(i =>
+        element_at(col("embedding"), i + 1).cast("double")
+          * lit(planeComponent(j, i))).reduce(_ + _)
+      when(dot >= 0, 1L << j).otherwise(0L)
+    }
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("norm", normCol)
+      .withColumn("bucket", bucketBits.reduce(_ + _))
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding"),
+        col("norm"), col("bucket"))
+    val scored = queries.as("q").join(emb.as("v"),
+        col("q.bucket") === col("v.bucket") &&
+          col("q.q_id") =!= col("v.vec_id"))
+      .select(col("q.q_id"), col("v.vec_id").as("neighbor_id"),
+        (dotAB / (col("q.norm") * col("v.norm"))).as("cosine"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("neighbor_id"), col("rank"),
+        Det.r6(col("cosine")).as("cosine"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n1_sim_topk_bruteforce" -> n1SimTopkBruteforce,
+    "n2_sim_lsh_topk" -> n2SimLshTopk)
+
+  val oracle: Map[String, String] = Map(
+    "n1_sim_topk_bruteforce" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> x::double * x::double))) AS norm
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q.embedding, v.embedding),
+               p -> p[1]::double * p[2]::double)) / (q.norm * v.norm)
+               AS cosine
+           FROM e q JOIN e v ON q.vec_id % 50 = 0
+             AND q.vec_id <> v.vec_id),
+         ranked AS (
+           SELECT q_id, neighbor_id, cosine,
+             cast(row_number() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, neighbor_id) AS int) AS rank
+           FROM scored)
+         SELECT q_id, neighbor_id, rank, ${Det.sql("cosine", 6)} AS cosine
+         FROM ranked WHERE rank <= 5""")
+}

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Det
+
+/** Event-time windowing over the `events` table.
+  *
+  * The reference has no streaming surface (SURVEY §2.10); this is the
+  * north-star extension. Each window shape exists twice with ONE
+  * shared aggregation body:
+  *   - batch mode (`e1`–`e3`): `Tables.events` → `window()`/session
+  *     logic → aggregate; DuckDB-oracled below.
+  *   - streaming mode (`tumblingStream`/`slidingStream`): readStream
+  *     + watermark over the same parquet, ScalaTest-verified to
+  *     produce the same rows as batch (batch-parity).
+  * Window starts are emitted as epoch MICROS (bigint) — timestamps
+  * round-trip differently across engines, epoch integers don't.
+  */
+object EventStreams {
+
+  private def tumblingAgg(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Det.r2(sum("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  private def slidingAgg(df: DataFrame): DataFrame =
+    df.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Det.r2(sum("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** E1 — tumbling 1-hour window per event type. */
+  def e1StreamTumbling(s: SparkSession, dir: String): DataFrame =
+    tumblingAgg(Tables.events(s, dir))
+
+  /** E2 — sliding 1-hour window, 30-minute slide: each event lands in
+    * 2 windows whose starts are slide-aligned. */
+  def e2StreamSliding(s: SparkSession, dir: String): DataFrame =
+    slidingAgg(Tables.events(s, dir))
+
+  /** E3 — session windows: per user, a 30-minute inactivity gap closes
+    * the session. Classic lag+cumulative-sum sessionization — one
+    * shuffle on user_id; all arithmetic in epoch micros. */
+  def e3StreamSession(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy("ts_us", "event_id")
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .withColumn("new_session",
+        when(col("ts_us") - lag("ts_us", 1).over(byUser) > gapUs
+          || lag("ts_us", 1).over(byUser).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max("ts_us") - min("ts_us")).as("duration_us"),
+        Det.r2(sum("value")).as("sum_value"))
+  }
+
+  /** Structured Streaming twins — same aggregation bodies over a
+    * file stream with a 1-hour watermark. Driven by ScalaTest with a
+    * memory sink (complete/append) and asserted equal to e1/e2. */
+  def tumblingStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.events(s, dir).schema
+    val stream = s.readStream.schema(schema)
+      .parquet(s"$dir/events.parquet")
+    tumblingAgg(stream.withWatermark("ts", "1 hour"))
+  }
+
+  def slidingStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.events(s, dir).schema
+    val stream = s.readStream.schema(schema)
+      .parquet(s"$dir/events.parquet")
+    slidingAgg(stream.withWatermark("ts", "1 hour"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_stream_tumbling" -> e1StreamTumbling,
+    "e2_stream_sliding" -> e2StreamSliding,
+    "e3_stream_session" -> e3StreamSession)
+
+  val oracle: Map[String, String] = Map(
+    "e1_stream_tumbling" ->
+      s"""SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts))
+           AS window_start_us,
+         event_type, count(*) AS n_events,
+         ${Det.sql("sum(value)", 2)} AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "e2_stream_sliding" ->
+      s"""SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts)
+             - k.k * INTERVAL '30 minutes') AS window_start_us,
+         event_type, count(*) AS n_events,
+         ${Det.sql("sum(value)", 2)} AS sum_value
+         FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+         GROUP BY 1, 2""",
+    "e3_stream_session" ->
+      s"""WITH t AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+           FROM events),
+         flagged AS (
+           SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000
+                            OR lag(ts_us) OVER w IS NULL
+                          THEN 1 ELSE 0 END AS new_session
+           FROM t
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         sessions AS (
+           SELECT *, sum(new_session) OVER
+             (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+           FROM flagged)
+         SELECT user_id, cast(session_id AS bigint) AS session_id,
+           count(*) AS n_events,
+           cast(max(ts_us) - min(ts_us) AS bigint) AS duration_us,
+           ${Det.sql("sum(value)", 2)} AS sum_value
+         FROM sessions GROUP BY 1, 2""")
+}

@@ -1,0 +1,139 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Det
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline extension layer (north-star §7 phase 4; the
+  * reference itself has no text ops beyond `str_pad`/glue, R:306).
+  *
+  * All ops are pure per-row expressions (split / higher-order array
+  * functions / regexp) — fully codegen'd, no shuffle, no UDF: at
+  * 100 TB these run at parquet-scan speed. Token arrays are computed
+  * once per expression tree; Spark CSE collapses repeated `split`s.
+  */
+object TextAnalysis {
+
+  private val tokens = split(col("text"), " ")
+
+  /** English-ish stopword list (subset present in the synthetic vocab). */
+  private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "on")
+  private val stopDe = Seq("der", "die", "das", "und", "nicht", "ein")
+  private val stopEs = Seq("el", "la", "los", "que", "y", "un")
+  private val stopFr = Seq("le", "la", "les", "et", "un", "une")
+
+  private def inList(vs: Seq[String]): String =
+    vs.map(v => s"'$v'").mkString("(", ", ", ")")
+
+  /** Count of tokens belonging to a fixed set, as a codegen'd
+    * higher-order filter (no explode, no shuffle). */
+  private def stopCount(vs: Seq[String]): org.apache.spark.sql.Column =
+    expr(s"size(filter(split(text, ' '), t -> t IN ${inList(vs)}))")
+
+  /** X1 — token counting: whitespace tokens + regex (BPE-ish
+    * word/number/symbol) tokens. */
+  def x1TextTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(tokens).as("n_ws_tokens"),
+      size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
+        .as("n_word_tokens"))
+
+  /** X2 — quality scoring: length, token stats, stopword ratio, and a
+    * composite quality score. Single-space-joined text means total
+    * token chars = length - (n-1). */
+  def x2TextQuality(s: SparkSession, dir: String): DataFrame = {
+    val n = size(tokens).cast("double")
+    val stopRatio = stopCount(stopEn).cast("double") / n
+    val avgTokLen = (length(col("text")).cast("double") - n + 1.0) / n
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("bigint").as("n_chars_calc"),
+      n.cast("bigint").as("n_tokens"),
+      Det.r4(avgTokLen).as("avg_token_len"),
+      Det.r4(stopRatio).as("stopword_ratio"),
+      Det.r4(least(n / 200.0, lit(1.0)) * 0.5
+        + least(stopRatio * 4.0, lit(1.0)) * 0.5).as("quality_score"))
+  }
+
+  /** X3 — language ID via stopword-profile scoring (n-gram-free
+    * heuristic; the labeled `lang` column is synthetic so the point is
+    * the operator, not accuracy). Deterministic argmax with fixed
+    * tiebreak order en > de > es > fr. */
+  def x3TextLangid(s: SparkSession, dir: String): DataFrame = {
+    val (en, de, es, fr) =
+      (stopCount(stopEn), stopCount(stopDe), stopCount(stopEs),
+        stopCount(stopFr))
+    val predicted =
+      when(en >= de && en >= es && en >= fr, "en")
+        .when(de >= es && de >= fr, "de")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      predicted.as("predicted_lang"),
+      (predicted === col("lang")).as("is_match"))
+  }
+
+  /** X4 — document fingerprinting: canonical content fingerprint =
+    * md5 of the sorted distinct token set (order/duplication
+    *-insensitive, the canonicalization used by d1 fingerprint dedup). */
+  def x4TextFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      md5(array_join(array_sort(array_distinct(tokens)), " ")
+        .cast("binary")).as("fingerprint"),
+      size(array_distinct(tokens)).as("n_distinct_tokens"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x1_text_tokens" -> x1TextTokens,
+    "x2_text_quality" -> x2TextQuality,
+    "x3_text_langid" -> x3TextLangid,
+    "x4_text_fingerprint" -> x4TextFingerprint)
+
+  val oracle: Map[String, String] = Map(
+    "x1_text_tokens" ->
+      """SELECT doc_id,
+         len(string_split(text, ' ')) AS n_ws_tokens,
+         len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS n_word_tokens
+         FROM documents""",
+    "x2_text_quality" -> {
+      val n = "cast(len(string_split(text, ' ')) AS double)"
+      val stopRatio = s"(cast(len(list_filter(string_split(text, ' '), " +
+        s"t -> t IN ${inList(stopEn)})) AS double) / $n)"
+      s"""SELECT doc_id,
+         cast(length(text) AS bigint) AS n_chars_calc,
+         cast($n AS bigint) AS n_tokens,
+         ${Det.sql(s"(cast(length(text) AS double) - $n + 1.0) / $n", 4)}
+           AS avg_token_len,
+         ${Det.sql(stopRatio, 4)} AS stopword_ratio,
+         ${Det.sql(s"least($n / 200.0, 1.0) * 0.5 " +
+          s"+ least($stopRatio * 4.0, 1.0) * 0.5", 4)} AS quality_score
+         FROM documents"""
+    },
+    "x3_text_langid" -> {
+      def cnt(vs: Seq[String]) =
+        s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(vs)}))"
+      val (en, de, es, fr) = (cnt(stopEn), cnt(stopDe), cnt(stopEs),
+        cnt(stopFr))
+      s"""WITH scored AS (
+           SELECT doc_id, lang, $en AS en, $de AS de, $es AS es, $fr AS fr
+           FROM documents)
+         SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+                WHEN de >= es AND de >= fr THEN 'de'
+                WHEN es >= fr THEN 'es' ELSE 'fr' END AS predicted_lang,
+           (CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+                 WHEN de >= es AND de >= fr THEN 'de'
+                 WHEN es >= fr THEN 'es' ELSE 'fr' END) = lang AS is_match
+         FROM scored"""
+    },
+    "x4_text_fingerprint" ->
+      """SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+           string_split(text, ' '))), ' ')) AS fingerprint,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+         FROM documents""")
+}
