@@ -36,6 +36,20 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 
+  /** Streaming twin of `events`: a file-stream source needs a
+    * DIRECTORY, so stream the sf dir with a glob filter for the one
+    * file, declare the RAW schema (ts arrives as nanos LongType under
+    * nanosAsLong), then apply the same micros conversion as `load`. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream
+      .schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

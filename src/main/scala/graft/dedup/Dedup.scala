@@ -79,18 +79,28 @@ object Dedup {
     * in ScalaTest (LSH candidates recover all d2 pairs at j >= 0.4
     * w.h.p., and every emitted pair passes the same exact filter). */
   def d3DedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sig = array((0 until NumHashes).map(j =>
-      array_min(transform(col("sh"), sh => xxhash64(lit(j), sh)))): _*)
-    val bandCols = (0 until NumHashes / BandSize).map { b =>
-      xxhash64(lit(b) +: (1 to BandSize).map(i =>
-        element_at(col("sig"), b * BandSize + i)): _*)
-    }
+    // Explode shingles FIRST, hash each once per seed, then min() in a
+    // codegen'd hash aggregate — higher-order array lambdas
+    // (transform/aggregate) run on Catalyst's interpreted path and are
+    // ~100× slower, and Catalyst may inline them repeatedly across a
+    // self-join. The explode+groupBy shape is also the scalable one:
+    // one keyed shuffle on doc_id, partial min map-side.
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), shingles.as("sh"))
-      .withColumn("sig", sig)
-      .withColumn("bands", array(bandCols: _*))
-    val banded = docs.select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val hashed = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(shingles).as("s"))
+      .select(col("doc_id") +: (0 until NumHashes).map(j =>
+        xxhash64(lit(j), col("s")).as(s"h$j")): _*)
+    val sigs = hashed.groupBy("doc_id")
+      .agg(min("h0").as("m0"),
+        (1 until NumHashes).map(j => min(s"h$j").as(s"m$j")): _*)
+    val bandCols = (0 until NumHashes / BandSize).map { b =>
+      xxhash64(lit(b) +: (0 until BandSize).map(i =>
+        col(s"m${b * BandSize + i}")): _*)
+    }
+    val banded = sigs
+      .select(col("doc_id"), posexplode(array(bandCols: _*))
+        .as(Seq("band_idx", "band_hash")))
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -117,20 +127,20 @@ object Dedup {
     * matches), verified by exact Hamming distance. No oracle
     * (bit-level hashing) — ScalaTest'd on planted near-dups. */
   def d4DedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val sigExpr = expr(
-      """aggregate(split(text, ' '), array_repeat(0L, 64),
-           (acc, t) -> zip_with(acc,
-             transform(sequence(0, 63),
-               i -> CASE WHEN (shiftright(xxhash64(t), i) & 1) = 1
-                         THEN 1L ELSE -1L END),
-             (a, b) -> a + b))""")
-    val simhash = expr(
-      """aggregate(sequence(0, 63), 0L,
-           (acc, i) -> acc + CASE WHEN element_at(sig, i + 1) > 0
-                                  THEN shiftleft(1L, i) ELSE 0L END)""")
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), sigExpr.as("sig"))
-      .select(col("doc_id"), simhash.as("simhash"))
+    // Same explode+codegen-agg shape as d3 (see comment there): hash
+    // each token ONCE, then 64 conditional sums in one hash aggregate;
+    // token multiplicity weights bits exactly as the textbook simhash.
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L))
+        .as(s"b$i"))
+    val sums = toks.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+    val simhash = (0 until 64).map(i =>
+      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    val docs = sums.select(col("doc_id"), simhash.as("simhash"))
     val chunked = docs.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         """transform(sequence(0, 3),

@@ -69,11 +69,15 @@ object Relational {
       .filter(col("qty_or_null").isNull)
       .select("l_orderkey", "l_linenumber", "l_quantity")
 
-  /** F4 — positive-count filter after aggregation (R:237 `Freq > 0`). */
-  def f4FilterHaving(s: SparkSession, dir: String): DataFrame =
+  /** F4 — count filter after aggregation (R:237 `Freq > 0`): groups
+    * larger than the mean group size — scale-free, so the filter is
+    * non-trivial at every sf. The 1-row mean is a broadcast scalar. */
+  def f4FilterHaving(s: SparkSession, dir: String): DataFrame = {
+    val total = Tables.orders(s, dir).count()
     Tables.orders(s, dir)
       .groupBy("o_orderpriority", "o_orderstatus").count()
-      .filter(col("count") > 500)
+      .filter(col("count") > total / 15.0)
+  }
 
   /** C1 — sentinel→NULL dirty numeric cast (R:114–129: `""`/`"-"` → NA →
     * double). Testdata carries no dirty strings, so the dirty column is
@@ -217,7 +221,8 @@ object Relational {
            IS NULL""",
     "f4_filter_having" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS count
-         FROM orders GROUP BY 1, 2 HAVING count(*) > 500""",
+         FROM orders GROUP BY 1, 2
+         HAVING count(*) > (SELECT count(*) / 15.0 FROM orders)""",
     "c1_dirty_cast" ->
       """SELECT o_orderkey,
          CASE WHEN o_orderkey % 7 = 0 THEN ''

@@ -68,19 +68,11 @@ object EventStreams {
   /** Structured Streaming twins — same aggregation bodies over a
     * file stream with a 1-hour watermark. Driven by ScalaTest with a
     * memory sink (complete/append) and asserted equal to e1/e2. */
-  def tumblingStream(s: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.events(s, dir).schema
-    val stream = s.readStream.schema(schema)
-      .parquet(s"$dir/events.parquet")
-    tumblingAgg(stream.withWatermark("ts", "1 hour"))
-  }
+  def tumblingStream(s: SparkSession, dir: String): DataFrame =
+    tumblingAgg(Tables.eventsStream(s, dir).withWatermark("ts", "1 hour"))
 
-  def slidingStream(s: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.events(s, dir).schema
-    val stream = s.readStream.schema(schema)
-      .parquet(s"$dir/events.parquet")
-    slidingAgg(stream.withWatermark("ts", "1 hour"))
-  }
+  def slidingStream(s: SparkSession, dir: String): DataFrame =
+    slidingAgg(Tables.eventsStream(s, dir).withWatermark("ts", "1 hour"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_stream_tumbling" -> e1StreamTumbling,

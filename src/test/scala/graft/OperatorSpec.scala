@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + semantics for the SparkEntry operator inventory. The deep
+  * correctness gate is the DuckDB oracle (Verify + driver compare);
+  * these tests pin the semantics that the oracle can't see: schema
+  * shapes, known golden values, and edge-case behavior. */
+class OperatorSpec extends SparkTestBase {
+
+  test("every query runs and yields rows at sf0.001 (documents ops at sf0.01)") {
+    // documents/embeddings are tiny at sf0.001 — near-dup pair queries
+    // legitimately return few/zero rows there; run those at sf0.01.
+    val needsDocs = Set("d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
+      "d4_dedup_simhash", "d5_dedup_embedding")
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val dir = if (needsDocs(name)) sfTest else sfSmoke
+      val n = fn(spark, dir).count()
+      assert(n > 0, s"$name returned 0 rows on $dir")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle entries without queries: $missing")
+  }
+
+  test("entry (flagship) returns the 6 returnflag×linestatus groups") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length > 0 && rows.length <= 6)
+    val schema = SparkEntry.entry(spark).schema.fieldNames.toSet
+    assert(schema == Set("l_returnflag", "l_linestatus", "sum_qty",
+      "sum_base_price", "sum_disc_price", "avg_qty", "count_order"))
+  }
+
+  test("c1 dirty cast: sentinels to NULL, clean strings parse") {
+    import spark.implicits._
+    val df = Seq("", "-", "15667000").toDF("dirty")
+      .withColumn("parsed",
+        when(col("dirty").isin("", "-"), lit(null))
+          .otherwise(col("dirty")).cast("double"))
+    val got = df.select("parsed").collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq == Seq(None, None, Some(1.5667e7)))
+  }
+
+  test("c4 rounding parity: R half-even = bround, oracle half-up = round") {
+    import spark.implicits._
+    val df = Seq(45.0, 35.0, 44.9).toDF("x")
+      .select(round(col("x"), -1).as("half_up"),
+        bround(col("x"), -1).as("half_even"))
+    val rows = df.collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(rows(0) == ((50.0, 40.0))) // R round(45,-1)=40 (half-even)
+    assert(rows(1) == ((40.0, 40.0)))
+    assert(rows(2) == ((40.0, 40.0)))
+  }
+
+  test("g9 weighted mean: all-NULL group yields NULL (reference fallback)") {
+    import spark.implicits._
+    val df = Seq(("g1", Some(10.0), 2.0), ("g1", Some(20.0), 2.0),
+      ("g2", None, 3.0)).toDF("k", "price", "qty")
+    val out = df.groupBy("k").agg(
+      (sum(when(col("price").isNotNull, col("price") * col("qty")))
+        / sum(when(col("price").isNotNull, col("qty")))).as("wm"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out("g1").contains(15.0))
+    assert(out("g2").isEmpty) // NULL, not NaN or 0
+  }
+
+  test("v1 pivot has fixed band schema independent of data") {
+    val df = ops.Reshape.v1Pivot(spark, sfSmoke)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("l_suppkey", "qty_010", "qty_020", "qty_030", "qty_040", "qty_050"))
+  }
+
+  test("o3 stratified sample: exact ceil(0.8n) per stratum, no RNG") {
+    val sampled = ops.Ordering.o3StratifiedSample(spark, sfTest)
+      .groupBy("c_mktsegment").count()
+    val full = Tables.customer(spark, sfTest)
+      .groupBy("c_mktsegment").count().withColumnRenamed("count", "total")
+    val joined = sampled.join(full, "c_mktsegment").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (got, total) = (r.getLong(1), r.getLong(2))
+      assert(got == math.ceil(total * 0.8).toLong,
+        s"${r.getString(0)}: $got != ceil(0.8*$total)")
+    }
+  }
+
+  test("t1 union equals f2-style isin filter (SURVEY T1 ≡ F2)") {
+    val union = ops.Joins.t1Union(spark, sfTest).select("c_custkey")
+    val isin = Tables.customer(spark, sfTest)
+      .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select("c_custkey")
+    assert(union.exceptAll(isin).count() == 0)
+    assert(isin.exceptAll(union).count() == 0)
+  }
+}

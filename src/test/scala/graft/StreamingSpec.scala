@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Batch-parity of the Structured Streaming window aggregations: the
+  * streaming twin over the same parquet must produce exactly the rows
+  * of the batch query once all data is processed. */
+class StreamingSpec extends SparkTestBase {
+
+  private def runToCompletion(df: org.apache.spark.sql.DataFrame,
+      name: String): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  private def asSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  test("tumbling window: streaming result == batch result") {
+    val batch = EventStreams.e1StreamTumbling(spark, sfSmoke)
+    val stream = runToCompletion(
+      EventStreams.tumblingStream(spark, sfSmoke), "tumbling_out")
+    assert(asSet(stream) == asSet(batch))
+    assert(batch.count() > 0)
+  }
+
+  test("sliding window: streaming result == batch result") {
+    val batch = EventStreams.e2StreamSliding(spark, sfSmoke)
+    val stream = runToCompletion(
+      EventStreams.slidingStream(spark, sfSmoke), "sliding_out")
+    assert(asSet(stream) == asSet(batch))
+    // every event lands in exactly 2 sliding windows
+    val events = Tables.events(spark, sfSmoke).count()
+    val windowed = batch.agg(sum("n_events")).head().getLong(0)
+    assert(windowed == 2 * events)
+  }
+
+  test("session windows: gaps over 30min split sessions") {
+    import spark.implicits._
+    val sessions = EventStreams.e3StreamSession(spark, sfSmoke)
+    val users = Tables.events(spark, sfSmoke)
+      .select(countDistinct("user_id")).head().getLong(0)
+    assert(sessions.select(countDistinct("user_id")).head().getLong(0)
+      == users)
+    // session durations can never exceed the span of the data
+    assert(sessions.filter($"duration_us" < 0).count() == 0)
+    // event conservation
+    val total = sessions.agg(sum("n_events")).head().getLong(0)
+    assert(total == Tables.events(spark, sfSmoke).count())
+  }
+}
