@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
+import graft.ml.Models
+import graft.multimodal.Multimodal
 import graft.ops.{Aggregates, Joins, Ordering, Relational, Reshape}
 import graft.sim.Similarity
 import graft.streaming.EventStreams
@@ -25,12 +27,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Aggregates.queries ++ Joins.queries ++
       Reshape.queries ++ Ordering.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ EventStreams.queries
+      Dedup.queries ++ Similarity.queries ++ EventStreams.queries ++
+      Models.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Aggregates.oracle ++ Joins.oracle ++
       Reshape.oracle ++ Ordering.oracle ++ TextAnalysis.oracle ++
-      Dedup.oracle ++ Similarity.oracle ++ EventStreams.oracle
+      Dedup.oracle ++ Similarity.oracle ++ EventStreams.oracle ++
+      Models.oracle ++ Multimodal.oracle
 }

@@ -1,0 +1,174 @@
+package graft.parking
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The reference pipeline itself (SURVEY §3 entry points A/B/C),
+  * re-expressed end-to-end on the actual parking-competition CSVs at
+  * /root/reference (read-only). This is the fidelity layer: every
+  * stage cites the R lines it reproduces; ParkingSpec pins the
+  * goldens (423 complexes, sentinel counts, the missing 090 band).
+  *
+  * Deliberate divergences from the reference (SURVEY §5: "replicate
+  * capabilities, not bugs"): fixed pivot band lists (the reference's
+  * data-dependent pivot silently drops empty bands); apartment model
+  * fits apartment data (the reference fits shop data via the
+  * `apt_df <- method1_shop_df` copy-paste at R:1036); the stratified
+  * split is key-derived, not RNG-seeded (deterministic cross-engine).
+  */
+object ParkingPipeline {
+
+  /** Explicit schema (FIXTURES.md §A): rents stay STRING at read —
+    * they carry ""/"-" sentinels (R:114–129) — and are cleaned by the
+    * dirty-cast stage, never by inference. */
+  private val trainSchema = StructType(Seq(
+    StructField("단지코드", StringType),
+    StructField("총세대수", IntegerType),
+    StructField("임대건물구분", StringType),
+    StructField("지역", StringType),
+    StructField("공급유형", StringType),
+    StructField("전용면적", DoubleType),
+    StructField("전용면적별세대수", IntegerType),
+    StructField("공가수", DoubleType),
+    StructField("자격유형", StringType),
+    StructField("임대보증금", StringType),
+    StructField("임대료", StringType),
+    StructField("도보 10분거리 내 지하철역 수(환승노선 수 반영)", DoubleType),
+    StructField("도보 10분거리 내 버스정류장 수", DoubleType),
+    StructField("단지내주차면수", DoubleType),
+    StructField("등록차량수", DoubleType)))
+
+  private def testSchema =
+    StructType(trainSchema.fields.dropRight(1))
+
+  /** S1 — CSV scan with header + UTF-8 (R:84–97). */
+  def loadTrain(s: SparkSession, path: String): DataFrame =
+    s.read.option("header", true).option("encoding", "UTF-8")
+      .schema(trainSchema).csv(path)
+
+  def loadTest(s: SparkSession, path: String): DataFrame =
+    s.read.option("header", true).option("encoding", "UTF-8")
+      .schema(testSchema).csv(path)
+
+  /** C1 + C9 — sentinel→NULL rent cast (R:122–129) and long→short
+    * transit renames (R:133–139). */
+  def clean(df: DataFrame): DataFrame = {
+    def dirty(c: String) =
+      when(col(c).isin("", "-"), lit(null)).otherwise(col(c))
+        .cast("double").as(c)
+    df.withColumn("임대보증금", dirty("임대보증금"))
+      .withColumn("임대료", dirty("임대료"))
+      .withColumnRenamed("도보 10분거리 내 지하철역 수(환승노선 수 반영)",
+        "지하철역수")
+      .withColumnRenamed("도보 10분거리 내 버스정류장 수", "버스정류장수")
+  }
+
+  /** G4 — data-driven discovery of complex-level columns (R:174–191):
+    * a column is complex-level iff the sum over complexes of its
+    * per-complex distinct-non-NA count is ≤ #complexes. Driver-side
+    * metadata: one 1-row aggregate, collected. */
+  def complexLevelColumns(df: DataFrame, key: String): Seq[String] = {
+    val others = df.columns.filterNot(_ == key)
+    val perGroup = df.groupBy(key)
+      .agg(countDistinct(col(others.head)).as(others.head),
+        others.tail.map(c => countDistinct(col(c)).as(c)).toSeq: _*)
+    val sums = perGroup
+      .agg(sum(col(others.head)).as(others.head),
+        others.tail.map(c => sum(col(c)).as(c)).toSeq: _*)
+      .head()
+    val nKeys = df.select(key).distinct().count()
+    key +: others.filter(c =>
+      sums.getAs[Long](c) <= nKeys)
+  }
+
+  /** P1 + G5 — per-complex dimension table (R:194–196): project the
+    * complex-level columns, dedup to one row per complex. */
+  def perComplex(df: DataFrame): DataFrame = {
+    val cols = complexLevelColumns(df, "단지코드")
+    df.select(cols.map(col): _*).dropDuplicates("단지코드")
+  }
+
+  /** C3 + G1 — total residential area per complex (R:264–272):
+    * Σ 전용면적 × 전용면적별세대수. */
+  def totalArea(df: DataFrame): DataFrame =
+    df.groupBy("단지코드")
+      .agg(sum(col("전용면적") * col("전용면적별세대수")).as("총면적"))
+
+  /** Fixed band list 10..100 — pinned, unlike the reference's
+    * data-dependent pivot (R:290–312), so train and test always share
+    * a schema; the empty 090 band becomes an all-zero column. */
+  val bands: Seq[Int] = (1 to 10).map(_ * 10)
+
+  /** C4 + V1 — area-band household histogram (R:290–315): R's
+    * `round(전용면적, -1)` is half-to-EVEN → `bround`; clamp [10,100]
+    * (R:292–296 `pmax/pmin`); pivot with zero-fill and `str_pad`-style
+    * column names (R:306). */
+  def areaBandPivot(df: DataFrame): DataFrame = {
+    val band = least(greatest(bround(col("전용면적"), -1), lit(10.0)),
+      lit(100.0)).cast("int")
+    val pivoted = df.withColumn("band", band)
+      .groupBy("단지코드").pivot("band", bands)
+      .sum("전용면적별세대수")
+      .na.fill(0, bands.map(_.toString))
+    bands.foldLeft(pivoted) { (d, b) =>
+      d.withColumnRenamed(b.toString, f"전용면적_$b%03d")
+    }
+  }
+
+  /** V2 variant — the same pivot restricted to one building type
+    * (R:856–877 `split()` + per-group pivot ≡ filtered pivot). */
+  def areaBandPivotFor(df: DataFrame, buildingType: String): DataFrame =
+    areaBandPivot(df.filter(col("임대건물구분") === buildingType))
+
+  /** G9 + C6 — per-complex household-weighted mean rent with all-NULL
+    * fallback (R:922–940: the `group_split`+`map_df` loop as ONE hash
+    * aggregate), then exact-median imputation (R:941–943). */
+  def weightedRent(df: DataFrame): DataFrame = {
+    def weighted(c: String) =
+      (sum(when(col(c).isNotNull, col(c) * col("전용면적별세대수")))
+        / sum(when(col(c).isNotNull, col("전용면적별세대수")))).as(c)
+    val perComplexRent = df.groupBy("단지코드")
+      .agg(weighted("임대보증금"), weighted("임대료"))
+    val meds = perComplexRent.agg(
+      expr("percentile(`임대보증금`, 0.5)"),
+      expr("percentile(`임대료`, 0.5)")).head()
+    perComplexRent
+      .withColumn("임대보증금",
+        coalesce(col("임대보증금"), lit(meds.getDouble(0))))
+      .withColumn("임대료", coalesce(col("임대료"), lit(meds.getDouble(1))))
+  }
+
+  /** Entry point A+B (SURVEY §3.1–3.2): the full per-complex feature
+    * table — dedup → enrich (area, bands, rents) → impute transit
+    * NAs (C5, R:350–358) → derived ratios (C3, R:421–424). One lazy
+    * DAG; every join is a broadcast (423-row dimension side). */
+  def featureTable(s: SparkSession, path: String): DataFrame = {
+    val cleaned = clean(loadTrain(s, path)).cache()
+    val dim = perComplex(cleaned)
+    val enriched = dim
+      .join(broadcast(totalArea(cleaned)), Seq("단지코드"))
+      .join(broadcast(areaBandPivot(cleaned)), Seq("단지코드"))
+      .join(broadcast(weightedRent(cleaned)), Seq("단지코드"))
+      .na.fill(0.0, Seq("지하철역수", "버스정류장수"))
+    enriched
+      .withColumn("세대당주차면수", col("단지내주차면수") / col("총세대수"))
+      .withColumn("대중교통수", col("지하철역수") + col("버스정류장수"))
+  }
+
+  /** O3 — stratified 80/20 split by 지역 (R:962–992), exact and
+    * key-derived (no RNG): rank within stratum by 단지코드. */
+  def stratifiedSplit(features: DataFrame): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy("지역").orderBy("단지코드")
+    val wAll = Window.partitionBy("지역")
+    val ranked = features
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val train = ranked.filter(col("rn") <= ceil(col("n") * 0.8))
+      .drop("rn", "n")
+    val test = ranked.filter(col("rn") > ceil(col("n") * 0.8))
+      .drop("rn", "n")
+    (train, test)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ml.Models
+import graft.multimodal.Multimodal
+
+/** Sanity for the spark.ml layer and the multimodal plumbing — the
+  * non-SQL-expressible queries the DuckDB oracle can't gate. */
+class MlMultimodalSpec extends SparkTestBase {
+
+  test("m2 linear regression fits and reports finite metrics") {
+    val out = Models.m2Linreg(spark, sfSmoke)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.contains("intercept"))
+    assert(out("rmse") >= 0 && !out("rmse").isNaN)
+    assert(out("r2") <= 1.0 + 1e-9)
+    assert(out("mape") >= 0)
+  }
+
+  test("m1 PCA explains decreasing variance over 3 components") {
+    val ev = Models.m1Pca(spark, sfSmoke)
+      .select("component", "explained_variance").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ev.size == 3)
+    assert(ev("pc1") >= ev("pc2") && ev("pc2") >= ev("pc3"))
+    assert(ev("pc1") > 0)
+  }
+
+  test("m4 LASSO CV picks a lambda and zeroes no more than all coefs") {
+    val out = Models.m4LassoCv(spark, sfSmoke)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(Set(0.01, 1.0, 100.0).contains(out("best_reg_param")))
+    assert(out("n_nonzero_coefs") >= 0 && out("n_nonzero_coefs") <= 5)
+  }
+
+  test("m5 random forest importances sum to ~1") {
+    val out = Models.m5RandomForest(spark, sfSmoke).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val total = out.collect {
+      case (k, v) if k.startsWith("importance_") => v
+    }.sum
+    assert(math.abs(total - 1.0) < 1e-6, s"importances sum $total")
+  }
+
+  test("m6 stepwise AIC strictly improves per step") {
+    val steps = Models.m6StepwiseAic(spark, sfSmoke)
+      .select("aic").collect().map(_.getDouble(0))
+    assert(steps.nonEmpty)
+    steps.sliding(2).foreach {
+      case Array(a, b) => assert(b < a, s"AIC went up: $a -> $b")
+      case _ =>
+    }
+  }
+
+  test("x5 multimodal decode: byte counts match source, histograms normalized") {
+    val feats = Multimodal.x5MultimodalFeatures(spark, sfSmoke)
+    val docs = Tables.documents(spark, sfSmoke)
+      .select(col("doc_id").as("media_id"),
+        length(col("text")).cast("long").as("n_chars_len"))
+    val joined = feats.join(docs, "media_id")
+    // ASCII text → byte length == char length
+    assert(joined.filter(col("n_bytes") =!= col("n_chars_len")).count() == 0)
+    val histSum = (0 until 8).map(i => col(s"h$i")).reduce(_ + _)
+    assert(feats.filter(abs(histSum - 1.0) > 1e-3).count() == 0)
+    assert(feats.select(countDistinct("kind")).head().getLong(0) == 3)
+  }
+
+  test("frame sampling yields n frames of the requested size") {
+    val media = Multimodal.mediaTable(spark, sfSmoke).toDF()
+    val framed = Multimodal.frameSample(media, n = 4, frameBytes = 16)
+    import spark.implicits._
+    assert(framed.filter(size($"frames") =!= 4).count() == 0)
+    val badLen = framed
+      .select(explode($"frames").as("f"))
+      .filter(length($"f") =!= 16)
+    assert(badLen.count() == 0)
+  }
+}

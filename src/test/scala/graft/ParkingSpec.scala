@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.parking.ParkingPipeline._
+
+/** Golden end-to-end checks of the parking pipeline against the
+  * actual reference CSVs (BASELINE.md / FIXTURES.md goldens: row
+  * counts, sentinel counts, the absent 090 band, split exactness). */
+class ParkingSpec extends SparkTestBase {
+
+  private val trainCsv = "/root/reference/train.csv"
+  private val testCsv = "/root/reference/test.csv"
+
+  private lazy val train = clean(loadTrain(spark, trainCsv)).cache()
+
+  test("golden: train is 2952 rows × 15 cols, 423 complexes; test 1022/150") {
+    assert(train.count() == 2952)
+    assert(train.columns.length == 15)
+    assert(train.select("단지코드").distinct().count() == 423)
+    val te = clean(loadTest(spark, testCsv))
+    assert(te.count() == 1022)
+    assert(te.select("단지코드").distinct().count() == 150)
+  }
+
+  test("golden: sentinel cleaning nulled exactly the dirty rents") {
+    // train.csv: 569 empty + 12 '-' in 임대보증금; 569 + 21 in 임대료
+    assert(train.filter(col("임대보증금").isNull).count() == 569 + 12)
+    assert(train.filter(col("임대료").isNull).count() == 569 + 21)
+    // cleaned values are genuine doubles (spot value from train.csv:2)
+    val v = train
+      .filter(col("단지코드") === "C2483" && col("전용면적") === 39.72)
+      .select(min("임대보증금")).head().getDouble(0)
+    assert(v == 15667000.0)
+  }
+
+  test("golden: transit nulls before impute (211 subway, 4 bus)") {
+    assert(train.filter(col("지하철역수").isNull).count() == 211)
+    assert(train.filter(col("버스정류장수").isNull).count() == 4)
+  }
+
+  test("complex-level column discovery finds the per-complex columns") {
+    val cols = complexLevelColumns(train, "단지코드")
+    // the label and complex-wide features repeat per complex (SURVEY §1.4)
+    assert(cols.contains("등록차량수"))
+    assert(cols.contains("총세대수"))
+    assert(cols.contains("지역"))
+    // the unit-type grain columns must NOT be complex-level
+    assert(!cols.contains("전용면적"))
+    assert(!cols.contains("전용면적별세대수"))
+  }
+
+  test("golden: feature table is one row per complex with full schema") {
+    val feats = featureTable(spark, trainCsv).cache()
+    assert(feats.count() == 423)
+    assert(feats.select("단지코드").distinct().count() == 423)
+    // fixed band schema incl. the empty 090 band...
+    bands.foreach(b => assert(feats.columns.contains(f"전용면적_$b%03d")))
+    // ...which is all-zero in train (변수별_분포그림 has no 090 PNG)
+    assert(feats.agg(sum("전용면적_090")).head().getLong(0) == 0)
+    // no nulls survive imputation in the modeling columns
+    Seq("임대보증금", "임대료", "지하철역수", "버스정류장수", "총면적")
+      .foreach { c =>
+        assert(feats.filter(col(c).isNull).count() == 0, s"nulls in $c")
+      }
+  }
+
+  test("household conservation: band histogram sums to total area rows") {
+    val feats = featureTable(spark, trainCsv)
+    val bandSum = bands.map(b => col(f"전용면적_$b%03d")).reduce(_ + _)
+    val totalHouseholds = train
+      .agg(sum("전용면적별세대수")).head().getLong(0)
+    val pivotTotal = feats.agg(sum(bandSum)).head().getLong(0)
+    assert(pivotTotal == totalHouseholds)
+  }
+
+  test("stratified split is exact 80/20 per region and disjoint") {
+    val feats = featureTable(spark, trainCsv)
+    val (tr, te) = stratifiedSplit(feats)
+    assert(tr.count() + te.count() == 423)
+    assert(tr.join(te, Seq("단지코드"), "inner").count() == 0)
+    val sizes = feats.groupBy("지역").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val trSizes = tr.groupBy("지역").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (region, n) =>
+      assert(trSizes.getOrElse(region, 0L) ==
+        math.ceil(n * 0.8).toLong, s"region $region")
+    }
+  }
+}
