@@ -50,7 +50,15 @@ object Dedup {
   def d2DedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), shingles.as("sh"))
-    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val allExploded = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    // A shingle appearing in a single document can never produce a
+    // pair — dropping document-frequency-1 shingles BEFORE the
+    // self-join is exactness-preserving and removes the long unique
+    // tail (the bulk of shingles) from the shuffle.
+    val exploded = allExploded
+      .withColumn("df", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
+      .filter(col("df") >= 2).drop("df")
     val pairs = exploded.as("a").join(exploded.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -158,23 +166,47 @@ object Dedup {
 
   /** D5 — embedding-cosine near-dup pairs, brute force (the oracle
     * baseline; n2SimLshTopk in graft.sim is the bucketed scale path).
-    * Cosine in explicit sequential double arithmetic so DuckDB
-    * reproduces it bit-for-bit. */
+    *
+    * Dense all-pairs math is the one place a DataFrame expression is
+    * the wrong tool (Catalyst evaluates array lambdas interpreted —
+    * 24s at sf0.1; a flat 64-term expression is worse): this is a
+    * broadcast + mapPartitions PRIMITIVE-ARRAY kernel — one side
+    * collected and broadcast (5000×64 doubles ≈ 2.5 MB), row range
+    * partitioned, tight JIT'd while-loops. At cluster scale the same
+    * kernel tiles: block one side, broadcast block-by-block.
+    *
+    * Bit-exactness vs the DuckDB oracle is preserved: float→double
+    * conversion is exact, and the dot/norm sums accumulate in index
+    * order — the same IEEE op sequence as list_sum(list_transform). */
   def d5DedupEmbedding(s: SparkSession, dir: String): DataFrame = {
-    val dot = expr(
-      """aggregate(zip_with(a.embedding, b.embedding,
-           (x, y) -> cast(x AS double) * cast(y AS double)),
-           cast(0 AS double), (acc, v) -> acc + v)""")
-    val emb = Tables.embeddings(s, dir)
-      .withColumn("norm", sqrt(expr(
-        """aggregate(transform(embedding,
-             x -> cast(x AS double) * cast(x AS double)),
-             cast(0 AS double), (acc, v) -> acc + v)""")))
-    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cosine", dot / (col("a.norm") * col("b.norm")))
-      .filter(col("cosine") >= 0.45)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        Det.r6(col("cosine")).as("cosine"))
+    import s.implicits._
+    val all = Tables.embeddings(s, dir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+      .map { case (id, v) => (id, v.map(_.toDouble)) }
+    val norms = all.map { case (_, v) =>
+      var acc = 0.0; var k = 0
+      while (k < v.length) { acc += v(k) * v(k); k += 1 }
+      math.sqrt(acc)
+    }
+    val bc = s.sparkContext.broadcast((all, norms))
+    val n = all.length
+    val rows = s.sparkContext
+      .parallelize(0 until n, math.min(n, 64))
+      .flatMap { i =>
+        val (arr, nrm) = bc.value
+        val (idA, va) = arr(i)
+        (i + 1 until arr.length).iterator.flatMap { j =>
+          val vb = arr(j)._2
+          var dot = 0.0; var k = 0
+          while (k < va.length) { dot += va(k) * vb(k); k += 1 }
+          val cos = dot / (nrm(i) * nrm(j))
+          if (cos >= 0.45) Iterator.single((idA, arr(j)._1, cos))
+          else Iterator.empty
+        }
+      }
+    rows.toDF("vec_a", "vec_b", "cosine")
+      .select(col("vec_a"), col("vec_b"), Det.r6(col("cosine")).as("cosine"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

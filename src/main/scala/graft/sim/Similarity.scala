@@ -18,6 +18,12 @@ import graft.ops.Det
   */
 object Similarity {
 
+  // Higher-order-function cosine: interpreted by Catalyst, but the
+  // ArrayAggregate eval is a tight loop and beats both a 64-term flat
+  // expression (falls out of codegen size limits → 400 virtual calls
+  // per pair) and is fine at the ~500k-pair scale of these queries.
+  // The truly pair-heavy op (d5, 12.5M pairs) uses the broadcast
+  // primitive-array kernel in Dedup instead.
   private val normCol = sqrt(expr(
     """aggregate(transform(embedding,
          x -> cast(x AS double) * cast(x AS double)),
