@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, NullType}
+
+/** Native Catalyst expression: cosine similarity between two
+  * `array<float>` columns, in one fused pass.
+  *
+  * Why an Expression and not functions._: the composable form
+  * (`aggregate(zip_with(...))`) evaluates on Catalyst's interpreted
+  * higher-order-function path — per-pair lambda dispatch dominates any
+  * pairwise similarity join. This node generates a tight primitive
+  * loop inside WholeStageCodegen (`doGenCode`), with an interpreted
+  * `nullSafeEval` twin for completeness.
+  *
+  * Numeric contract (oracle bit-parity): floats are widened to double
+  * (exact), and dot/normA/normB each accumulate in INDEX ORDER — the
+  * same IEEE-754 op sequence as DuckDB
+  * `list_sum(list_transform(...))`, so
+  * `dot/(sqrt(na)*sqrt(nb))` is bit-identical to the SQL oracle's
+  * norm-then-divide formulation. Null ARRAY inputs yield NULL
+  * (BinaryExpression default); null ELEMENTS are not expected
+  * (embeddings are dense) and would read as 0.0.
+  *
+  * Registered for SQL as `float_cosine` via [[GraftFunctions]].
+  */
+case class FloatCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArray(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case NullType => true // NULL literal — evaluation null-propagates
+      case _ => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> arguments, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "float_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $x.getFloat($i);
+         |  double $yi = (double) $y.getFloat($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot /
+         |  (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatCosine =
+    copy(left = newLeft, right = newRight)
+}

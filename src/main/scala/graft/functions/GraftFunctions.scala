@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.expr
+
+/** Registration for graft's native Catalyst expressions.
+  *
+  * Two paths:
+  *  - library user: `SparkSession.builder.withExtensions(new
+  *    GraftExtensions)` registers `float_cosine` permanently;
+  *  - ad hoc: `GraftFunctions.register(spark)` installs it into the
+  *    session's function registry (idempotent), after which
+  *    `expr("float_cosine(a, b)")` / SQL both resolve it.
+  */
+object GraftFunctions {
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "float_cosine" -> (exprs => FloatCosine(exprs(0), exprs(1))))
+
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  /** `float_cosine` as a Column over two column names/paths (requires
+    * `register(spark)` or the extensions to have run). */
+  def floatCosine(a: String, b: String): Column =
+    expr(s"float_cosine($a, $b)")
+}
+
+/** SparkSessionExtensions entry point (spark.sql.extensions=
+  * graft.functions.GraftExtensions). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[FloatCosine].getName, name), builder))
+    }
+}

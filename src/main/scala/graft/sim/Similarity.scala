@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.GraftFunctions
 import graft.ops.Det
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -18,33 +19,22 @@ import graft.ops.Det
   */
 object Similarity {
 
-  // Higher-order-function cosine: interpreted by Catalyst, but the
-  // ArrayAggregate eval is a tight loop and beats both a 64-term flat
-  // expression (falls out of codegen size limits → 400 virtual calls
-  // per pair) and is fine at the ~500k-pair scale of these queries.
-  // The truly pair-heavy op (d5, 12.5M pairs) uses the broadcast
-  // primitive-array kernel in Dedup instead.
-  private val normCol = sqrt(expr(
-    """aggregate(transform(embedding,
-         x -> cast(x AS double) * cast(x AS double)),
-         cast(0 AS double), (acc, v) -> acc + v)"""))
-
-  private val dotAB = expr(
-    """aggregate(zip_with(q.embedding, v.embedding,
-         (x, y) -> cast(x AS double) * cast(y AS double)),
-         cast(0 AS double), (acc, v) -> acc + v)""")
-
   /** N1 — brute-force cosine top-k: every 50th vector is a query;
     * rank all other vectors by cosine, keep top 5. Deterministic
-    * tiebreak on neighbor id. */
+    * tiebreak on neighbor id. Cosine is graft's native codegen'd
+    * [[graft.functions.FloatCosine]] expression — one fused primitive
+    * loop per pair inside WholeStageCodegen, bit-identical to the
+    * oracle's norm-then-divide SQL (index-order accumulation). */
   def n1SimTopkBruteforce(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).withColumn("norm", normCol)
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding"), col("norm"))
+      .select(col("vec_id").as("q_id"), col("embedding"))
     val scored = queries.as("q").join(emb.as("v"),
         col("q.q_id") =!= col("v.vec_id"))
       .select(col("q.q_id"), col("v.vec_id").as("neighbor_id"),
-        (dotAB / (col("q.norm") * col("v.norm"))).as("cosine"))
+        GraftFunctions.floatCosine("q.embedding", "v.embedding")
+          .as("cosine"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -66,6 +56,7 @@ object Similarity {
     * compare only against same-bucket vectors. Recall vs n1 is
     * asserted in ScalaTest; no SQL oracle (scheme-specific). */
   def n2SimLshTopk(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     val bucketBits = (0 until NumPlanes).map { j =>
       val dot = (0 until 64).map(i =>
         element_at(col("embedding"), i + 1).cast("double")
@@ -73,16 +64,15 @@ object Similarity {
       when(dot >= 0, 1L << j).otherwise(0L)
     }
     val emb = Tables.embeddings(s, dir)
-      .withColumn("norm", normCol)
       .withColumn("bucket", bucketBits.reduce(_ + _))
     val queries = emb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding"),
-        col("norm"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("embedding"), col("bucket"))
     val scored = queries.as("q").join(emb.as("v"),
         col("q.bucket") === col("v.bucket") &&
           col("q.q_id") =!= col("v.vec_id"))
       .select(col("q.q_id"), col("v.vec_id").as("neighbor_id"),
-        (dotAB / (col("q.norm") * col("v.norm"))).as("cosine"))
+        GraftFunctions.floatCosine("q.embedding", "v.embedding")
+          .as("cosine"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
