@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.sources.CsvIO
+import graft.streaming.{EventStreams, SessionEvent, Sessionize}
+
+/** S3/S4 sink-source round trips and the stateful streaming
+  * sessionizer's batch-parity contract. */
+class SourcesSessionSpec extends SparkTestBase {
+
+  test("s3: CSV round trip preserves data under a declared schema") {
+    val src = Tables.orders(spark, sfSmoke)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val dir = Files.createTempDirectory("graft_csv").toString
+    CsvIO.writeCsv(src, dir)
+    val back = CsvIO.readCsv(spark, dir, src.schema)
+    assert(back.exceptAll(src).count() == 0)
+    assert(src.exceptAll(back).count() == 0)
+  }
+
+  test("s4: parquet round trip is lossless incl. timestamps") {
+    val src = Tables.orders(spark, sfSmoke)
+    val dir = Files.createTempDirectory("graft_pq").toString
+    CsvIO.writeParquet(src, dir)
+    val back = CsvIO.readParquet(spark, dir)
+    assert(back.exceptAll(src).count() == 0)
+    assert(src.exceptAll(back).count() == 0)
+  }
+
+  test("merge(): gap splits, accumulation, and open-session carry") {
+    val ev = (ts: Long) => SessionEvent(1L, ts, ts, 1.0)
+    val (closed, open) = Sessionize.merge(1L,
+      Seq(ev(0), ev(1000), ev(1000 + Sessionize.GapUs + 1)), None)
+    assert(closed.map(c => (c.n_events, c.duration_us)) == Seq((2L, 1000L)))
+    assert(open.exists(_.n_events == 1))
+    // feeding the carry into a next batch continues the open session
+    val (closed2, open2) = Sessionize.merge(1L,
+      Seq(ev(1000 + Sessionize.GapUs + 2000)), open)
+    assert(closed2.isEmpty && open2.exists(_.n_events == 2))
+  }
+
+  test("stateful streaming sessions == batch sessions minus open tails") {
+    import spark.implicits._
+    val q = Sessionize.sessionStream(spark, sfSmoke)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions_out").start()
+    try q.processAllAvailable() finally q.stop()
+    // batch sum_value is Det.r2-rounded; round the streamed one too
+    // (summation order differs: ts-order fold vs hash-agg order)
+    val streamed = spark.table("sessions_out")
+      .select(col("user_id"), col("n_events"), col("duration_us"),
+        ops.Det.r2(col("sum_value")).as("sum_value"))
+    // batch e3 minus each user's LAST session (still open in the stream)
+    val batch = EventStreams.e3StreamSession(spark, sfSmoke)
+    val lastPerUser = batch.groupBy("user_id")
+      .agg(max("session_id").as("session_id"))
+    val closedBatch = batch.join(lastPerUser,
+        Seq("user_id", "session_id"), "left_anti")
+      .select("user_id", "n_events", "duration_us", "sum_value")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(closedBatch).count() == 0)
+    assert(closedBatch.exceptAll(streamed).count() == 0)
+  }
+}
