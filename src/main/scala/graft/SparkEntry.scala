@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.ml.Models
 import graft.multimodal.Multimodal
-import graft.ops.{Aggregates, Joins, Ordering, Relational, Reshape}
+import graft.ops.{Aggregates, Joins, Ordering, Relational, Reshape, SqlSurface}
 import graft.sim.Similarity
 import graft.streaming.EventStreams
 import graft.text.TextAnalysis
@@ -28,7 +28,7 @@ object SparkEntry {
     Relational.queries ++ Aggregates.queries ++ Joins.queries ++
       Reshape.queries ++ Ordering.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ EventStreams.queries ++
-      Models.queries ++ Multimodal.queries
+      Models.queries ++ Multimodal.queries ++ SqlSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +36,5 @@ object SparkEntry {
     Relational.oracle ++ Aggregates.oracle ++ Joins.oracle ++
       Reshape.oracle ++ Ordering.oracle ++ TextAnalysis.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ EventStreams.oracle ++
-      Models.oracle ++ Multimodal.oracle
+      Models.oracle ++ Multimodal.oracle ++ SqlSurface.oracle
 }

@@ -135,20 +135,48 @@ object Dedup {
     * matches), verified by exact Hamming distance. No oracle
     * (bit-level hashing) — ScalaTest'd on planted near-dups. */
   def d4DedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    // Same explode+codegen-agg shape as d3 (see comment there): hash
-    // each token ONCE, then 64 conditional sums in one hash aggregate;
-    // token multiplicity weights bits exactly as the textbook simhash.
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(expr(s"(shiftright(h, $i) & 1) = 1"), 1L).otherwise(-1L))
-        .as(s"b$i"))
-    val sums = toks.groupBy("doc_id")
-      .agg(bitSums.head, bitSums.tail: _*)
-    val simhash = (0 until 64).map(i =>
-      when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
-    val docs = sums.select(col("doc_id"), simhash.as("simhash"))
+    // The signature is a pure per-document computation — no shuffle at
+    // all: a mapPartitions kernel tokenizes, hashes each token once
+    // (two murmur32 rounds → 64 bits) and folds ±1 bit counts in a
+    // primitive array. Strictly better than the earlier
+    // explode + 64-column hash-agg (which shuffled 1.5M token rows at
+    // sf0.1); only the tiny (doc_id, simhash) table enters the
+    // banding join below.
+    import s.implicits._
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        import scala.util.hashing.MurmurHash3
+        it.map { case (id, text) =>
+          val counts = new Array[Int](64)
+          val n = text.length
+          var start = 0
+          var i = 0
+          while (i <= n) {
+            if (i == n || text.charAt(i) == ' ') {
+              if (i > start) {
+                val tok = text.substring(start, i)
+                val h = (MurmurHash3.stringHash(tok, 0x9747b28c).toLong
+                  << 32) |
+                  (MurmurHash3.stringHash(tok, 0x85ebca6b).toLong
+                    & 0xffffffffL)
+                var b = 0
+                while (b < 64) {
+                  if (((h >>> b) & 1L) == 1L) counts(b) += 1
+                  else counts(b) -= 1
+                  b += 1
+                }
+              }
+              start = i + 1
+            }
+            i += 1
+          }
+          var sig = 0L
+          var b = 0
+          while (b < 64) { if (counts(b) > 0) sig |= 1L << b; b += 1 }
+          (id, sig)
+        }
+      }.toDF("doc_id", "simhash")
     val chunked = docs.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         """transform(sequence(0, 3),

@@ -88,6 +88,21 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("salted join equals plain join on a skewed key") {
+    import spark.implicits._
+    // 10k rows, 90% on one hot key
+    val large = spark.range(10000)
+      .select(when($"id" % 10 === 0, $"id" % 7).otherwise(0L).as("k"),
+        $"id".as("payload"))
+    val small = Seq((0L, "hot"), (1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "name")
+    val plain = large.join(small, Seq("k"), "inner")
+    val salted = ops.SkewJoin.saltedJoin(large, small, "k", salts = 8)
+      .select(plain.columns.map(col).toSeq: _*)
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
   test("t1 union equals f2-style isin filter (SURVEY T1 ≡ F2)") {
     val union = ops.Joins.t1Union(spark, sfTest).select("c_custkey")
     val isin = Tables.customer(spark, sfTest)
