@@ -44,26 +44,55 @@ object Dedup {
         count(lit(1)).as("n_docs"),
         countDistinct(col("exact_md5")).as("n_exact_variants"))
 
+  /** Distinct 3-token shingles, kernel-side (shared by d2/d3): the
+    * Catalyst HOF form (`transform` over `sequence`) evaluates
+    * interpreted per element — a flatMap kernel tokenizes and builds
+    * the distinct set in one pass. */
+  private[dedup] def shingleSet(text: String): Iterator[String] = {
+    val toks = text.split(' ')
+    if (toks.length < 3) Iterator.empty
+    else {
+      val seen = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i <= toks.length - 3) {
+        seen += (toks(i) + " " + toks(i + 1) + " " + toks(i + 2))
+        i += 1
+      }
+      seen.iterator
+    }
+  }
+
   /** D2 — exact n-gram Jaccard near-dup pairs. Blocking key = shared
-    * shingle (equi-join, shuffle on shingle), then exact
-    * |A∩B| / |A∪B| >= 0.4 on the candidate pairs only. */
+    * shingle, then exact |A∩B| / |A∪B| >= 0.4 on candidates only.
+    *
+    * Shape (one keyed shuffle per stage, all kernels JIT'd):
+    * flatMap shingle kernel → groupByKey(shingle) + flatMapGroups
+    * pair expansion (singleton shingles dropped — they can never form
+    * a pair, so exactness is preserved) → hash-agg shared counts →
+    * broadcast-join per-doc set sizes → jaccard filter. A stop-shingle
+    * cap would bound adversarial hot keys at the cost of exactness
+    * (not applied — this is the exact baseline; d3 is the approximate
+    * scale path). */
   def d2DedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), shingles.as("sh"))
-    val allExploded = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    // A shingle appearing in a single document can never produce a
-    // pair — dropping document-frequency-1 shingles BEFORE the
-    // self-join is exactness-preserving and removes the long unique
-    // tail (the bulk of shingles) from the shuffle.
-    val exploded = allExploded
-      .withColumn("df", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("s")))
-      .filter(col("df") >= 2).drop("df")
-    val pairs = exploded.as("a").join(exploded.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    import s.implicits._
+    val exploded = Tables.documents(s, dir)
+      .select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) => shingleSet(text).map((id, _)) }
+      .toDF("doc_id", "s")
+    val pairs = exploded.as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroups { (_, it) =>
+        val ids = it.map(_._1).toArray
+        java.util.Arrays.sort(ids)
+        if (ids.length < 2) Iterator.empty
+        else for {
+          i <- ids.indices.iterator
+          j <- (i + 1 until ids.length).iterator
+        } yield (ids(i), ids(j))
+      }
+      .toDF("doc_a", "doc_b")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_a")
         .withColumnRenamed("n", "n_a"), "doc_a")
@@ -93,10 +122,13 @@ object Dedup {
     // ~100× slower, and Catalyst may inline them repeatedly across a
     // self-join. The explode+groupBy shape is also the scalable one:
     // one keyed shuffle on doc_id, partial min map-side.
+    import s.implicits._
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), shingles.as("sh"))
     val hashed = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(shingles).as("s"))
+      .select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) => shingleSet(text).map((id, _)) }
+      .toDF("doc_id", "s")
       .select(col("doc_id") +: (0 until NumHashes).map(j =>
         xxhash64(lit(j), col("s")).as(s"h$j")): _*)
     val sigs = hashed.groupBy("doc_id")
