@@ -159,7 +159,40 @@ object Aggregates {
       Det.r2(expr("percentile(o_totalprice, 0.5)")).as("p50"),
       Det.r2(expr("percentile(o_totalprice, 0.75)")).as("p75"))
 
+  /** S5/G8 — fixed-bin histogram: the statistic behind the plot sink
+    * (R:363–381, one histogram per numeric column). Fixed 50k-wide
+    * bins clamped to [0, 11], expressed as plain floor arithmetic
+    * (identical in DuckDB — its 1.0 release lacks width_bucket);
+    * pinned bins keep the schema data-independent (same rationale as
+    * V1's pinned pivot values). */
+  def g12Histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("bucket",
+        least(floor(col("o_totalprice") / 50000.0), lit(11L))
+          .cast("bigint"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_orders"))
+
+  /** M9 (partial) — Durbin–Watson statistic of a series:
+    * DW = Σ(eₜ−eₜ₋₁)² / Σeₜ², the one reference diagnostic that IS
+    * window-expressible (SURVEY §2.9). Series = mean-centered event
+    * values ordered by event_id; single-partition window is fine for
+    * a statistic that is sequential by definition (at scale: compute
+    * per series key). */
+  def m9DurbinWatson(s: SparkSession, dir: String): DataFrame = {
+    val mean = Tables.events(s, dir).agg(avg("value")).head().getDouble(0)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("event_id")
+    Tables.events(s, dir)
+      .select(col("event_id"), (col("value") - mean).as("e"))
+      .withColumn("e_prev", lag("e", 1).over(w))
+      .agg((sum(when(col("e_prev").isNotNull,
+        (col("e") - col("e_prev")) * (col("e") - col("e_prev"))))
+        / sum(col("e") * col("e"))).as("dw"))
+      .select(Det.r6(col("dw")).as("dw"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g12_histogram" -> g12Histogram,
+    "m9_durbin_watson" -> m9DurbinWatson,
     "g1_agg_sum" -> g1AggSum,
     "g2_group_count" -> g2GroupCount,
     "g3_count_of_counts" -> g3CountOfCounts,
@@ -177,6 +210,20 @@ object Aggregates {
       "o_totalprice")
 
   val oracle: Map[String, String] = Map(
+    "g12_histogram" ->
+      """SELECT cast(least(floor(o_totalprice / 50000.0), 11) AS bigint)
+           AS bucket,
+         count(*) AS n_orders
+         FROM orders GROUP BY 1""",
+    "m9_durbin_watson" ->
+      s"""WITH m AS (SELECT avg(value) AS mu FROM events),
+         e AS (SELECT event_id, value - mu AS e FROM events, m),
+         l AS (SELECT e, lag(e) OVER (ORDER BY event_id) AS e_prev FROM e)
+         SELECT ${Det.sql(
+        """sum(CASE WHEN e_prev IS NOT NULL
+                    THEN (e - e_prev) * (e - e_prev) END)
+               / sum(e * e)""", 6)} AS dw
+         FROM l""",
     "g1_agg_sum" ->
       s"""SELECT l_returnflag, l_linestatus,
          ${Det.sql("sum(l_quantity)", 2)} AS sum_qty,

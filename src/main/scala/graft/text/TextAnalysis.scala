@@ -37,9 +37,9 @@ object TextAnalysis {
   def x1TextTokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),
-      size(tokens).as("n_ws_tokens"),
+      size(tokens).cast("bigint").as("n_ws_tokens"),
       size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
-        .as("n_word_tokens"))
+        .cast("bigint").as("n_word_tokens"))
 
   /** X2 — quality scoring: length, token stats, stopword ratio, and a
     * composite quality score. Single-space-joined text means total
@@ -85,7 +85,7 @@ object TextAnalysis {
       col("doc_id"),
       md5(array_join(array_sort(array_distinct(tokens)), " ")
         .cast("binary")).as("fingerprint"),
-      size(array_distinct(tokens)).as("n_distinct_tokens"))
+      size(array_distinct(tokens)).cast("bigint").as("n_distinct_tokens"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_text_tokens" -> x1TextTokens,
