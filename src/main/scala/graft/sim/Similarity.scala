@@ -81,9 +81,61 @@ object Similarity {
         Det.r6(col("cosine")).as("cosine"))
   }
 
+  private val IvfCells = 16
+  private val IvfProbes = 4
+
+  /** N3 — IVF-style ANN: a k-means coarse quantizer (seeded, k=16)
+    * partitions vectors into cells; each query probes its 4 nearest
+    * cells and brute-forces only those (cosine via the native
+    * float_cosine expression). The third ANN shape next to brute
+    * force (n1) and sign-LSH (n2): at 100 TB the inverted file is the
+    * partitioning — vectors cluster-bucketed at write time, a query
+    * touches nprobe/k of the data. Recall vs n1 asserted in
+    * ScalaTest; rows-only (k-means isn't SQL-expressible). */
+  def n3SimIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("features", array_to_vector(col("embedding")))
+    val model = new KMeans().setK(IvfCells).setSeed(42)
+      .setFeaturesCol("features").fit(emb)
+    val assigned = model.transform(emb)
+      .select(col("vec_id"), col("embedding"),
+        col("prediction").as("cell"))
+    // centroids as float arrays (cell-selection only — lossy cast OK)
+    import s.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i, c.toArray.map(_.toFloat))
+    }.toSeq.toDF("cell", "centroid")
+    val queries = assigned.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").as("q_embedding"))
+    val wCells = Window.partitionBy("q_id")
+      .orderBy(col("centroid_sim").desc, col("cell"))
+    val probed = queries.crossJoin(broadcast(centroids))
+      .withColumn("centroid_sim",
+        GraftFunctions.floatCosine("q_embedding", "centroid"))
+      .withColumn("cell_rank", row_number().over(wCells))
+      .filter(col("cell_rank") <= IvfProbes)
+      .select("q_id", "q_embedding", "cell")
+    val scored = probed.join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        GraftFunctions.floatCosine("q_embedding", "embedding")
+          .as("cosine"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("neighbor_id"), col("rank"),
+        Det.r6(col("cosine")).as("cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n1_sim_topk_bruteforce" -> n1SimTopkBruteforce,
-    "n2_sim_lsh_topk" -> n2SimLshTopk)
+    "n2_sim_lsh_topk" -> n2SimLshTopk,
+    "n3_sim_ivf_topk" -> n3SimIvfTopk)
 
   val oracle: Map[String, String] = Map(
     "n1_sim_topk_bruteforce" ->

@@ -60,6 +60,17 @@ class DedupSimSpec extends SparkTestBase {
       "cosine must be identical where both paths scored the pair")
   }
 
+  test("n3 IVF top-k: cosines agree with n1; probing 4/16 cells keeps recall") {
+    val brute = Similarity.n1SimTopkBruteforce(spark, sfTest)
+      .withColumnRenamed("cosine", "c1").withColumnRenamed("rank", "r1")
+    val ivf = Similarity.n3SimIvfTopk(spark, sfTest)
+    assert(ivf.count() > 0)
+    val joined = ivf.join(brute, Seq("q_id", "neighbor_id"))
+    assert(joined.filter(col("cosine") =!= col("c1")).count() == 0)
+    val recall = joined.count().toDouble / brute.count()
+    assert(recall >= 0.2, s"IVF recall@5 too low: $recall")
+  }
+
   test("n1 emits exactly top-5 per query with contiguous ranks") {
     val brute = Similarity.n1SimTopkBruteforce(spark, sfTest)
     val byQ = brute.groupBy("q_id")
