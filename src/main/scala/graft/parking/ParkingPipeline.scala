@@ -157,6 +157,54 @@ object ParkingPipeline {
       .withColumn("대중교통수", col("지하철역수") + col("버스정류장수"))
   }
 
+  /** Entry point C (SURVEY §3.3, R:1176–1315): fit OLS and a seeded
+    * random forest on the per-complex feature table predicting
+    * 등록차량수, score RMSE / R² / MAPE on the held-out 20%.
+    * (The reference's own numbers describe a buggy run — its
+    * "apartment" model was fit on shop data, R:1036 — so these are
+    * capability parity, not bit targets; BASELINE.md caveats.) */
+  def fitAndScore(s: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.evaluation.RegressionEvaluator
+    import org.apache.spark.ml.feature.{OneHotEncoder, StringIndexer, VectorAssembler}
+    import org.apache.spark.ml.regression.{LinearRegression, RandomForestRegressor}
+    val feats = featureTable(s, path)
+      .withColumnRenamed("등록차량수", "label")
+    val (train, test) = stratifiedSplit(feats)
+    val numCols = Array("총세대수", "공가수", "지하철역수", "버스정류장수",
+      "단지내주차면수", "총면적", "임대보증금", "임대료",
+      "세대당주차면수", "대중교통수") ++
+      bands.map(b => f"전용면적_$b%03d")
+    val prep: Array[org.apache.spark.ml.PipelineStage] = Array(
+      new StringIndexer().setInputCol("지역").setOutputCol("region_idx")
+        .setStringOrderType("alphabetAsc").setHandleInvalid("keep"),
+      new OneHotEncoder().setInputCol("region_idx")
+        .setOutputCol("region_oh").setDropLast(true),
+      new VectorAssembler().setInputCols(numCols :+ "region_oh")
+        .setOutputCol("features"))
+    val ev = new RegressionEvaluator().setLabelCol("label")
+      .setPredictionCol("prediction")
+    def score(model: org.apache.spark.ml.PipelineModel,
+        name: String): Seq[(String, String, Double)] = {
+      val pred = model.transform(test)
+      val mape = pred.filter(col("label") =!= 0.0)
+        .agg(avg(abs((col("label") - col("prediction")) / col("label"))))
+        .head().getDouble(0)
+      Seq((name, "rmse", ev.setMetricName("rmse").evaluate(pred)),
+        (name, "r2", ev.setMetricName("r2").evaluate(pred)),
+        (name, "mape", mape))
+    }
+    val lm = new Pipeline().setStages(prep :+
+      new LinearRegression().setLabelCol("label")
+        .setFeaturesCol("features").setSolver("normal")).fit(train)
+    val rf = new Pipeline().setStages(prep :+
+      new RandomForestRegressor().setLabelCol("label")
+        .setFeaturesCol("features").setNumTrees(50).setSeed(4)).fit(train)
+    import s.implicits._
+    (score(lm, "lm") ++ score(rf, "rf"))
+      .toDF("model", "metric", "value")
+  }
+
   /** O3 — stratified 80/20 split by 지역 (R:962–992), exact and
     * key-derived (no RNG): rank within stratum by 단지코드. */
   def stratifiedSplit(features: DataFrame): (DataFrame, DataFrame) = {

@@ -73,6 +73,20 @@ class ParkingSpec extends SparkTestBase {
     assert(pivotTotal == totalHouseholds)
   }
 
+  test("entry point C: lm + rf fit the parking data and score sanely") {
+    val scores = fitAndScore(spark, trainCsv)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    Seq("lm", "rf").foreach { m =>
+      assert(scores((m, "rmse")) > 0 && !scores((m, "rmse")).isNaN)
+      assert(scores((m, "r2")) <= 1.0 + 1e-9)
+      assert(scores((m, "mape")) > 0)
+    }
+    // both models must beat the trivial mean-predictor (r2 > 0)
+    assert(scores(("lm", "r2")) > 0, s"lm r2 = ${scores(("lm", "r2"))}")
+    assert(scores(("rf", "r2")) > 0, s"rf r2 = ${scores(("rf", "r2"))}")
+  }
+
   test("stratified split is exact 80/20 per region and disjoint") {
     val feats = featureTable(spark, trainCsv)
     val (tr, te) = stratifiedSplit(feats)
