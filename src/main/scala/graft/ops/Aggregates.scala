@@ -190,9 +190,47 @@ object Aggregates {
       .select(Det.r6(col("dw")).as("dw"))
   }
 
+  /** M9 — Jarque–Bera normality statistic from raw central moments
+    * (R:600–601: `jarque.bera.test`): JB = n/6·(S² + (K−3)²/4) with
+    * S = m₃/m₂^{3/2}, K = m₄/m₂². Built-in skewness/kurtosis differ
+    * between engines (sample-corrected vs population), so the moments
+    * are computed explicitly and identically on both sides. */
+  def m9JarqueBera(s: SparkSession, dir: String): DataFrame = {
+    val mu = Tables.orders(s, dir).agg(avg("o_totalprice"))
+      .head().getDouble(0)
+    val d = col("o_totalprice") - mu
+    Tables.orders(s, dir)
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg(d * d).as("m2"), avg(d * d * d).as("m3"),
+        avg(d * d * d * d).as("m4"))
+      .select(Det.r4((col("n") / 6.0) *
+        ((col("m3") / sqrt(col("m2") * col("m2") * col("m2")))
+          * (col("m3") / sqrt(col("m2") * col("m2") * col("m2")))
+          + ((col("m4") / (col("m2") * col("m2"))) - 3.0)
+          * ((col("m4") / (col("m2") * col("m2"))) - 3.0) / 4.0))
+        .as("jb"))
+  }
+
+  /** M9 — two-sample Welch t statistic from group aggregates
+    * (R:759–772 `t.test`): t = (m₁−m₂)/√(v₁/n₁ + v₂/n₂) comparing
+    * order totals between 'F' and 'O' status groups. */
+  def m9TTest(s: SparkSession, dir: String): DataFrame = {
+    def grp(status: String) = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === status)
+      .agg(avg("o_totalprice").as(s"m_$status"),
+        var_samp("o_totalprice").as(s"v_$status"),
+        count(lit(1)).cast("double").as(s"n_$status"))
+    grp("F").crossJoin(grp("O"))
+      .select(Det.r6((col("m_F") - col("m_O"))
+        / sqrt(col("v_F") / col("n_F") + col("v_O") / col("n_O")))
+        .as("t_stat"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g12_histogram" -> g12Histogram,
     "m9_durbin_watson" -> m9DurbinWatson,
+    "m9_jarque_bera" -> m9JarqueBera,
+    "m9_t_test" -> m9TTest,
     "g1_agg_sum" -> g1AggSum,
     "g2_group_count" -> g2GroupCount,
     "g3_count_of_counts" -> g3CountOfCounts,
@@ -224,6 +262,33 @@ object Aggregates {
                     THEN (e - e_prev) * (e - e_prev) END)
                / sum(e * e)""", 6)} AS dw
          FROM l""",
+    "m9_jarque_bera" ->
+      s"""WITH m AS (SELECT avg(o_totalprice) AS mu FROM orders),
+         s AS (SELECT cast(count(*) AS double) AS n,
+           avg((o_totalprice - mu) * (o_totalprice - mu)) AS m2,
+           avg((o_totalprice - mu) * (o_totalprice - mu)
+               * (o_totalprice - mu)) AS m3,
+           avg((o_totalprice - mu) * (o_totalprice - mu)
+               * (o_totalprice - mu) * (o_totalprice - mu)) AS m4
+           FROM orders, m)
+         SELECT ${Det.sql(
+        """(n / 6.0) *
+           ((m3 / sqrt(m2 * m2 * m2)) * (m3 / sqrt(m2 * m2 * m2))
+            + ((m4 / (m2 * m2)) - 3.0) * ((m4 / (m2 * m2)) - 3.0)
+              / 4.0)""", 4)} AS jb
+         FROM s""",
+    "m9_t_test" ->
+      s"""WITH f AS (SELECT avg(o_totalprice) AS m,
+             var_samp(o_totalprice) AS v,
+             cast(count(*) AS double) AS n
+           FROM orders WHERE o_orderstatus = 'F'),
+         o AS (SELECT avg(o_totalprice) AS m,
+             var_samp(o_totalprice) AS v,
+             cast(count(*) AS double) AS n
+           FROM orders WHERE o_orderstatus = 'O')
+         SELECT ${Det.sql(
+        "(f.m - o.m) / sqrt(f.v / f.n + o.v / o.n)", 6)} AS t_stat
+         FROM f, o""",
     "g1_agg_sum" ->
       s"""SELECT l_returnflag, l_linestatus,
          ${Det.sql("sum(l_quantity)", 2)} AS sum_qty,
