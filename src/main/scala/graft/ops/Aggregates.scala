@@ -53,9 +53,9 @@ object Aggregates {
     val cols = df.columns.filter(_ != "o_custkey").sorted
     val perGroup = df.groupBy("o_custkey")
       .agg(countDistinct(col(cols.head)).as(cols.head),
-        cols.tail.map(c => countDistinct(col(c)).as(c)): _*)
+        cols.tail.map(c => countDistinct(col(c)).as(c)).toSeq: _*)
     perGroup.agg(sum(col(cols.head)).as(cols.head),
-      cols.tail.map(c => sum(col(c)).as(c)): _*)
+      cols.tail.map(c => sum(col(c)).as(c)).toSeq: _*)
   }
 
   /** G5 — multi-column distinct / dedup (R:165, R:196: `distinct()`). */

@@ -79,8 +79,7 @@ object ParkingPipeline {
         others.tail.map(c => sum(col(c)).as(c)).toSeq: _*)
       .head()
     val nKeys = df.select(key).distinct().count()
-    key +: others.filter(c =>
-      sums.getAs[Long](c) <= nKeys)
+    key +: others.filter(c => sums.getAs[Long](c) <= nKeys).toSeq
   }
 
   /** P1 + G5 — per-complex dimension table (R:194–196): project the
