@@ -57,14 +57,28 @@ object Similarity {
     * asserted in ScalaTest; no SQL oracle (scheme-specific). */
   def n2SimLshTopk(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    val bucketBits = (0 until NumPlanes).map { j =>
-      val dot = (0 until 64).map(i =>
-        element_at(col("embedding"), i + 1).cast("double")
-          * lit(planeComponent(j, i))).reduce(_ + _)
-      when(dot >= 0, 1L << j).otherwise(0L)
-    }
-    val emb = Tables.embeddings(s, dir)
-      .withColumn("bucket", bucketBits.reduce(_ + _))
+    import s.implicits._
+    // Bucket assignment as a kernel: the expression form (8 planes ×
+    // 64 flat terms) spends more time in codegen compilation than the
+    // data takes to process. Plane components are deterministic, so
+    // the table is built once per task.
+    val planes = Array.tabulate(NumPlanes, 64)((j, i) => planeComponent(j, i))
+    val buckets = Tables.embeddings(s, dir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, v) =>
+          var bucket = 0L
+          var j = 0
+          while (j < NumPlanes) {
+            var dot = 0.0; var i = 0
+            while (i < 64) { dot += v(i) * planes(j)(i); i += 1 }
+            if (dot >= 0) bucket |= 1L << j
+            j += 1
+          }
+          (id, bucket)
+        }
+      }.toDF("vec_id", "bucket")
+    val emb = Tables.embeddings(s, dir).join(buckets, "vec_id")
     val queries = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("embedding"), col("bucket"))
     val scored = queries.as("q").join(emb.as("v"),
