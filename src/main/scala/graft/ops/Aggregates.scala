@@ -226,7 +226,22 @@ object Aggregates {
         .as("t_stat"))
   }
 
+  /** G13 — the 100 TB approximate path, surfaced explicitly: HLL
+    * distinct counts and t-digest quantiles next to their exact
+    * counterparts. Exact variants answer the oracle; THESE are what a
+    * cluster would run (constant memory, one pass, mergeable
+    * sketches). Rows-only — approximation is engine-specific by
+    * nature; the spec asserts the error envelope against exact. */
+  def g13ApproxStats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).agg(
+      countDistinct("l_orderkey").as("exact_orders"),
+      approx_count_distinct("l_orderkey", 0.02).as("approx_orders"),
+      expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+      expr("approx_percentile(l_extendedprice, 0.5, 10000)")
+        .as("approx_p50"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g13_approx_stats" -> g13ApproxStats,
     "g12_histogram" -> g12Histogram,
     "m9_durbin_watson" -> m9DurbinWatson,
     "m9_jarque_bera" -> m9JarqueBera,

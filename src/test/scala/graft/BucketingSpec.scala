@@ -1,0 +1,49 @@
+package graft
+
+
+import org.apache.spark.sql.functions._
+
+/** Co-located joins via bucketing (SURVEY §4 / the 100 TB design):
+  * writing both fact tables bucketed on the join key lets the join
+  * plan without ANY shuffle exchange — the property that matters when
+  * the join is run repeatedly at scale. Also checks the approximate
+  * aggregates' error envelope. */
+class BucketingSpec extends SparkTestBase {
+
+  test("join of tables bucketed on the key plans without a shuffle") {
+    // tables land in the default ./spark-warehouse (gitignored);
+    // warehouse.dir is a static config and can't move at runtime
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    Tables.lineitem(spark, sfSmoke)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("li_b")
+    Tables.orders(spark, sfSmoke)
+      .select("o_orderkey", "o_orderpriority")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("ord_b")
+    val joined = spark.table("li_b").join(spark.table("ord_b"),
+      col("l_orderkey") === col("o_orderkey"))
+    // force sort-merge so the test checks bucketing, not broadcast
+    val smj = joined.hint("merge")
+    val plan = smj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    // and it is still correct
+    val expected = Tables.lineitem(spark, sfSmoke)
+      .join(Tables.orders(spark, sfSmoke),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(smj.count() == expected)
+  }
+
+  test("approx aggregates stay inside their error envelope") {
+    val r = ops.Aggregates.g13ApproxStats(spark, sfTest).head()
+    val (exactN, approxN) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approxN - exactN).toDouble / exactN < 0.05,
+      s"HLL err: $approxN vs $exactN")
+    val (exactP, approxP) = (r.getDouble(2), r.getDouble(3))
+    assert(math.abs(approxP - exactP) / exactP < 0.02,
+      s"approx p50: $approxP vs $exactP")
+  }
+}
