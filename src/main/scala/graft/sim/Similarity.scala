@@ -112,7 +112,7 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val emb = Tables.embeddings(s, dir)
       .withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(IvfCells).setSeed(42)
+    val model = new KMeans().setK(IvfCells).setSeed(42).setMaxIter(5)
       .setFeaturesCol("features").fit(emb)
     val assigned = model.transform(emb)
       .select(col("vec_id"), col("embedding"),

@@ -12,9 +12,14 @@ class BucketingSpec extends SparkTestBase {
 
   test("join of tables bucketed on the key plans without a shuffle") {
     // tables land in the default ./spark-warehouse (gitignored);
-    // warehouse.dir is a static config and can't move at runtime
-    spark.sql("DROP TABLE IF EXISTS li_b")
-    spark.sql("DROP TABLE IF EXISTS ord_b")
+    // warehouse.dir is a static config and can't move at runtime.
+    // Each forked test JVM gets a fresh in-memory catalog, so orphaned
+    // directories from prior runs must be removed on disk too.
+    Seq("li_b", "ord_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      new scala.reflect.io.Directory(
+        new java.io.File(s"spark-warehouse/$t")).deleteRecursively()
+    }
     Tables.lineitem(spark, sfSmoke)
       .select("l_orderkey", "l_quantity", "l_extendedprice")
       .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
