@@ -107,9 +107,12 @@ object Dedup {
   private val NumHashes = 16
   private val BandSize = 4 // 4 bands × 4 rows
 
-  /** D3 — MinHash + LSH banding near-dup candidates, verified with
-    * exact Jaccard (>= 0.4). The scale path for d2: shuffle is on
-    * (band index, band hash) — candidate pairs only, never all pairs.
+  /** D3 — MinHash + LSH banding near-dup candidates (Broder 1997,
+    * "On the resemblance and containment of documents"; banding per
+    * Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3),
+    * verified with exact Jaccard (>= 0.4). The scale path for d2:
+    * shuffle is on (band index, band hash) — candidates only, never
+    * all pairs.
     * Signature: minhash_j = min over shingles of xxhash64(j, shingle);
     * band hash = xxhash64 of its 4 signature rows. No oracle (murmur/
     * xxhash not reproducible in ANSI SQL); parity with d2 is asserted
@@ -160,9 +163,11 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), Det.r4(col("jaccard")).as("jaccard"))
   }
 
-  /** D4 — SimHash near-dup pairs. 64-bit signature: bit i gets +1/-1
-    * per token according to bit i of xxhash64(token); sign of the sum
-    * is the bit. Candidates block on 16-bit chunks (any equal chunk →
+  /** D4 — SimHash near-dup pairs (Charikar 2002, "Similarity
+    * estimation techniques from rounding algorithms"; chunked-index
+    * candidate blocking per Manku et al. 2007). 64-bit signature:
+    * bit i gets +1/-1 per token according to bit i of the token hash;
+    * sign of the sum is the bit. Candidates block on 16-bit chunks (any equal chunk →
     * candidate; Hamming distance <= 3 guarantees one of 4 chunks
     * matches), verified by exact Hamming distance. No oracle
     * (bit-level hashing) — ScalaTest'd on planted near-dups. */

@@ -51,9 +51,10 @@ object Similarity {
   private def planeComponent(j: Int, i: Int): Double =
     (((j * 73856093 + i * 19349663) % 97 + 97) % 97 - 48) / 48.0
 
-  /** N2 — LSH-bucketed cosine top-k (scale path of n1). Bucket id =
-    * sign bits of the vector against 8 fixed hyperplanes; queries
-    * compare only against same-bucket vectors. Recall vs n1 is
+  /** N2 — LSH-bucketed cosine top-k (scale path of n1): sign-random-
+    * projection hashing (Charikar 2002). Bucket id = sign bits of the
+    * vector against 8 fixed hyperplanes; queries compare only against
+    * same-bucket vectors. Recall vs n1 is
     * asserted in ScalaTest; no SQL oracle (scheme-specific). */
   def n2SimLshTopk(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
@@ -98,10 +99,12 @@ object Similarity {
   private val IvfCells = 16
   private val IvfProbes = 4
 
-  /** N3 — IVF-style ANN: a k-means coarse quantizer (seeded, k=16)
-    * partitions vectors into cells; each query probes its 4 nearest
-    * cells and brute-forces only those (cosine via the native
-    * float_cosine expression). The third ANN shape next to brute
+  /** N3 — IVF-style ANN (inverted-file coarse quantization as in
+    * Jégou et al. 2011, "Product quantization for nearest neighbor
+    * search" — the IVF stage without PQ): a k-means coarse quantizer
+    * (seeded, k=16) partitions vectors into cells; each query probes
+    * its 4 nearest cells and brute-forces only those (cosine via the
+    * native float_cosine expression). The third ANN shape next to brute
     * force (n1) and sign-LSH (n2): at 100 TB the inverted file is the
     * partitioning — vectors cluster-bucketed at write time, a query
     * touches nprobe/k of the data. Recall vs n1 asserted in
