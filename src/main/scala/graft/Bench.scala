@@ -16,19 +16,29 @@ object Bench {
     // Warmup: touch the fact table once so session/codegen/parquet
     // reader startup is not charged to whichever query runs first.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    // Headline = every declarative query. The m* entries are iterative
-    // model fits (CV loops, stepwise refits) — training time, not query
-    // latency — so they are excluded from the throughput metric.
-    val headline = SparkEntry.queries.filterNot(_._1.startsWith("m"))
+    // Headline = every declarative query. The graft.ml.Models entries
+    // are iterative model fits (CV loops, stepwise refits) — training
+    // time, not query latency — so they are excluded by MEMBERSHIP in
+    // that module (a name-prefix filter would also drop the m9_*
+    // single-pass diagnostic aggregates, which DO belong here).
+    val headline = SparkEntry.queries -- ml.Models.queries.keySet
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = headline.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"BENCH FAIL $name: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":${failed.isEmpty},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

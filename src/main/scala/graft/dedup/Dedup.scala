@@ -69,11 +69,26 @@ object Dedup {
     * flatMap shingle kernel → groupByKey(shingle) + flatMapGroups
     * pair expansion (singleton shingles dropped — they can never form
     * a pair, so exactness is preserved) → hash-agg shared counts →
-    * broadcast-join per-doc set sizes → jaccard filter. A stop-shingle
-    * cap would bound adversarial hot keys at the cost of exactness
-    * (not applied — this is the exact baseline; d3 is the approximate
-    * scale path). */
-  def d2DedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    * broadcast-join per-doc set sizes → jaccard filter.
+    *
+    * The pair expansion is O(k²) in the hottest shingle's doc count,
+    * so the EXACT oracle form is vulnerable to one adversarial common
+    * shingle blowing a single task. `d2b` runs the same pipeline with
+    * a stop-shingle cap (a shingle shared by more than `cap` docs is
+    * dropped before expansion — the standard stop-word treatment):
+    * per-task work and output are bounded by cap², at the cost of
+    * under-counting overlap through ubiquitous shingles (jaccard can
+    * only DECREASE, and the denominator still uses full set sizes, so
+    * d2b ⊆ d2). d3 MinHash is the fully approximate scale path. */
+  def d2DedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    d2Impl(s, dir, cap = Int.MaxValue)
+
+  /** D2b — d2 with the hot-shingle guard on (see above). */
+  def d2bDedupNgramCapped(s: SparkSession, dir: String): DataFrame =
+    d2Impl(s, dir, cap = 1000)
+
+  private[graft] def d2Impl(s: SparkSession, dir: String,
+      cap: Int): DataFrame = {
     import s.implicits._
     val exploded = Tables.documents(s, dir)
       .select("doc_id", "text").as[(Long, String)]
@@ -82,13 +97,23 @@ object Dedup {
     val pairs = exploded.as[(Long, String)]
       .groupByKey(_._2)
       .flatMapGroups { (_, it) =>
-        val ids = it.map(_._1).toArray
-        java.util.Arrays.sort(ids)
-        if (ids.length < 2) Iterator.empty
-        else for {
-          i <- ids.indices.iterator
-          j <- (i + 1 until ids.length).iterator
-        } yield (ids(i), ids(j))
+        // Materialize at most cap+1 ids: a stop-shingle is detected and
+        // dropped without buffering its full (possibly huge) doc list.
+        val buf = new scala.collection.mutable.ArrayBuffer[Long]
+        var overflow = false
+        while (it.hasNext && !overflow) {
+          buf += it.next()._1
+          if (buf.length > cap) overflow = true
+        }
+        if (overflow || buf.length < 2) Iterator.empty
+        else {
+          val ids = buf.toArray
+          java.util.Arrays.sort(ids)
+          for {
+            i <- ids.indices.iterator
+            j <- (i + 1 until ids.length).iterator
+          } yield (ids(i), ids(j))
+        }
       }
       .toDF("doc_a", "doc_b")
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
@@ -230,53 +255,69 @@ object Dedup {
   }
 
   /** D5 — embedding-cosine near-dup pairs, brute force (the oracle
-    * baseline; n2SimLshTopk in graft.sim is the bucketed scale path).
+    * baseline; n2SimLshTopk / n3SimIvfTopk in graft.sim are the
+    * sub-quadratic scale paths).
     *
-    * Dense all-pairs math is the one place a DataFrame expression is
-    * the wrong tool (Catalyst evaluates array lambdas interpreted —
-    * 24s at sf0.1; a flat 64-term expression is worse): this is a
-    * broadcast + mapPartitions PRIMITIVE-ARRAY kernel — one side
-    * collected and broadcast (5000×64 doubles ≈ 2.5 MB), row range
-    * partitioned, tight JIT'd while-loops. At cluster scale the same
-    * kernel tiles: block one side, broadcast block-by-block.
+    * Block-broadcast tiling: the corpus is hashed into blocks of at
+    * most ~`blockSize` vectors; each pass collects ONE block (bounded
+    * driver memory: 100k × 64 dims × 8 B ≈ 51 MB), broadcasts it, and
+    * streams the full distributed table against it in a
+    * primitive-array mapPartitions kernel (Catalyst array lambdas run
+    * interpreted — 24 s at sf0.1; a flat 64-term expression falls out
+    * of codegen limits). A pair (a,b), a<b, is emitted exactly once:
+    * in the pass that broadcasts a's block. Total flops stay O(n²) —
+    * brute force is the point — but no single collect, broadcast, or
+    * task exceeds one block, so the same code runs at cluster scale.
     *
     * Bit-exactness vs the DuckDB oracle is preserved: float→double
     * conversion is exact, and the dot/norm sums accumulate in index
     * order — the same IEEE op sequence as list_sum(list_transform). */
-  def d5DedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+  def d5DedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    d5Tiled(s, dir, blockSize = 100000)
+
+  private[graft] def d5Tiled(s: SparkSession, dir: String,
+      blockSize: Int): DataFrame = {
     import s.implicits._
-    val all = Tables.embeddings(s, dir)
+    val vecs = Tables.embeddings(s, dir)
       .select("vec_id", "embedding").as[(Long, Array[Float])]
-      .collect().sortBy(_._1)
-      .map { case (id, v) => (id, v.map(_.toDouble)) }
-    val norms = all.map { case (_, v) =>
-      var acc = 0.0; var k = 0
-      while (k < v.length) { acc += v(k) * v(k); k += 1 }
-      math.sqrt(acc)
-    }
-    val bc = s.sparkContext.broadcast((all, norms))
-    val n = all.length
-    val rows = s.sparkContext
-      .parallelize(0 until n, math.min(n, 64))
-      .flatMap { i =>
-        val (arr, nrm) = bc.value
-        val (idA, va) = arr(i)
-        (i + 1 until arr.length).iterator.flatMap { j =>
-          val vb = arr(j)._2
-          var dot = 0.0; var k = 0
-          while (k < va.length) { dot += va(k) * vb(k); k += 1 }
-          val cos = dot / (nrm(i) * nrm(j))
-          if (cos >= 0.45) Iterator.single((idA, arr(j)._1, cos))
-          else Iterator.empty
+      .map { case (id, v) =>
+        val d = new Array[Double](v.length)
+        var acc = 0.0; var k = 0
+        while (k < v.length) {
+          d(k) = v(k).toDouble; acc += d(k) * d(k); k += 1
+        }
+        (id, d, math.sqrt(acc))
+      }
+    val n = vecs.count()
+    val numBlocks = math.max(1, ((n + blockSize - 1) / blockSize).toInt)
+    val tiles = (0 until numBlocks).map { b =>
+      val block = vecs
+        .filter(pmod(xxhash64(col("_1")), lit(numBlocks)) === b)
+        .collect()
+      val bc = s.sparkContext.broadcast(block)
+      vecs.flatMap { case (idB, vb, nb) =>
+        val blk = bc.value
+        blk.iterator.flatMap { case (idA, va, na) =>
+          if (idA >= idB) Iterator.empty
+          else {
+            var dot = 0.0; var k = 0
+            while (k < va.length) { dot += va(k) * vb(k); k += 1 }
+            val cos = dot / (na * nb)
+            if (cos >= 0.45) Iterator.single((idA, idB, cos))
+            else Iterator.empty
+          }
         }
       }
-    rows.toDF("vec_a", "vec_b", "cosine")
+    }
+    tiles.reduce(_ union _)
+      .toDF("vec_a", "vec_b", "cosine")
       .select(col("vec_a"), col("vec_b"), Det.r6(col("cosine")).as("cosine"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> d1DedupExact,
     "d2_dedup_ngram_jaccard" -> d2DedupNgramJaccard,
+    "d2b_dedup_ngram_capped" -> d2bDedupNgramCapped,
     "d3_dedup_minhash_lsh" -> d3DedupMinhashLsh,
     "d4_dedup_simhash" -> d4DedupSimhash,
     "d5_dedup_embedding" -> d5DedupEmbedding)

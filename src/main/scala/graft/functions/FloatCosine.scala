@@ -25,10 +25,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, N
   * (BinaryExpression default); null ELEMENTS are not expected
   * (embeddings are dense) and would read as 0.0.
   *
+  * Edge cases yield NULL rather than NaN: a zero-norm (or empty)
+  * vector would produce 0/0 = NaN, which Spark sorts ABOVE every
+  * double — a garbage vector would falsely rank first in a top-k
+  * desc sort — while DuckDB's division returns NULL; NULL on both
+  * engines keeps parity and drops the row from >= filters. Mismatched
+  * lengths also yield NULL (a truncated dot product is silently wrong
+  * data).
+  *
   * Registered for SQL as `float_cosine` via [[GraftFunctions]].
   */
 case class FloatCosine(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def isFloatArray(t: DataType) = t match {
@@ -50,16 +60,20 @@ case class FloatCosine(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
-      dot += xi * yi; na += xi * xi; nb += yi * yi
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getFloat(i).toDouble
+        val yi = y.getFloat(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) null else dot / denom
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -72,16 +86,23 @@ case class FloatCosine(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val denom = ctx.freshName("denom")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $x.getFloat($i);
-         |  double $yi = (double) $y.getFloat($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = (double) $x.getFloat($i);
+         |    double $yi = (double) $y.getFloat($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  double $denom =
+         |    java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  if ($denom == 0.0) { ${ev.isNull} = true; }
+         |  else { ${ev.value} = $dot / $denom; }
          |}
-         |${ev.value} = $dot /
-         |  (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 import graft.Tables
@@ -19,16 +19,21 @@ object Aggregates {
 
   /** G1 — group-by + sum, the flagship query (R:264–269, R:297–298).
     * TPC-H Q1 shape: 4 groups out of 60k rows → partial agg collapses
-    * virtually all data map-side. */
+    * virtually all data map-side. Money sums accumulate in decimal
+    * (Det.dsum2) so the result is independent of partition/merge
+    * order — at 1000 executors a double sum is not reproducible, and
+    * a ULP difference can cross a rounding boundary. */
   def g1AggSum(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        Det.r2(sum("l_quantity")).as("sum_qty"),
-        Det.r2(sum("l_extendedprice")).as("sum_base_price"),
-        Det.r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .as("sum_disc_price"),
-        Det.r4(avg("l_quantity")).as("avg_qty"),
+        Det.dsum2(col("l_quantity")).as("sum_qty"),
+        Det.dsum2(col("l_extendedprice")).as("sum_base_price"),
+        sum(Det.d2(col("l_extendedprice"))
+            * (lit(1) - Det.d2(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        Det.r4(Det.dsum2(col("l_quantity")) / count(lit(1)))
+          .as("avg_qty"),
         count(lit(1)).as("count_order"))
 
   /** G2 — group-by + count (R:350–351, R:165–166). */
@@ -122,16 +127,22 @@ object Aggregates {
     li.groupBy("l_suppkey")
       .agg(
         Det.r2(sum(when(col("price_or_null").isNotNull,
-            col("price_or_null") * col("l_quantity")))
-          / sum(when(col("price_or_null").isNotNull, col("l_quantity"))))
+            Det.d2(col("price_or_null")) * Det.d2(col("l_quantity"))))
+            .cast("double")
+          / sum(when(col("price_or_null").isNotNull,
+            Det.d2(col("l_quantity")))).cast("double"))
           .as("weighted_price"),
         count(lit(1)).as("n_lines"))
   }
 
   /** G10 — pairwise Pearson correlation (R:386–392: `cor(use=
-    * 'pairwise.complete.obs')`). Long format (var_a, var_b, corr); all
-    * pairs computed in ONE aggregate pass (corr is an algebraic
-    * aggregate), not a job per pair. */
+    * 'pairwise.complete.obs')`) WITH the cor.test statistic (R:739):
+    * t = r·√((n−2)/(1−r²)), the exact transform R's cor.test applies;
+    * its p-value is 2·P(T_{n−2} > |t|) — the CDF isn't ANSI-SQL, so
+    * the statistic is the emitted (and oracle-checked) surface. Long
+    * format (var_a, var_b, corr, t); all pairs computed in ONE
+    * aggregate pass (corr is an algebraic aggregate), not a job per
+    * pair. */
   def g10Corr(s: SparkSession, dir: String): DataFrame = {
     val df = Tables.lineitem(s, dir)
     val vars = Seq("l_quantity", "l_extendedprice", "l_discount")
@@ -139,15 +150,75 @@ object Aggregates {
       i <- vars.indices; j <- vars.indices if i < j
     } yield (vars(i), vars(j))
     val aggs = pairs.map { case (a, b) =>
-      Det.r6(corr(col(a), col(b))).as(s"${a}__$b")
-    }
+      corr(col(a), col(b)).as(s"${a}__$b")
+    } :+ count(lit(1)).cast("double").as("n")
     val wide = df.agg(aggs.head, aggs.tail.toSeq: _*)
     val longRows = pairs.map { case (a, b) =>
+      val r = col(s"${a}__$b")
       struct(lit(a).as("var_a"), lit(b).as("var_b"),
-        col(s"${a}__$b").as("pearson_r"))
+        Det.r6(r).as("pearson_r"),
+        Det.r6(r * sqrt((col("n") - lit(2.0)) / (lit(1.0) - r * r)))
+          .as("t_stat"))
     }
     wide.select(explode(array(longRows: _*)).as("r"))
-      .select("r.var_a", "r.var_b", "r.pearson_r")
+      .select("r.var_a", "r.var_b", "r.pearson_r", "r.t_stat")
+  }
+
+  /** M9 — variance inflation factors (R:527–531 `vif(model)`,
+    * R:613–614): VIF_j = 1/(1−R²_j) of the auxiliary regression of
+    * feature j on the remaining features. For the 3-feature surface
+    * the auxiliary R² has the closed pairwise form
+    * R²_x = (r_xy² + r_xz² − 2·r_xy·r_xz·r_yz)/(1 − r_yz²), so the
+    * whole diagnostic is ONE corr-aggregate pass — no refits, no
+    * shuffle beyond the aggregate, and the identical formula text runs
+    * in DuckDB (oracle-gated). The general-k path (aux OLS refits on
+    * ml machinery) is `MlDiagnostics.vifOls`, spec-pinned to agree
+    * with this closed form. */
+  def m9Vif(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.lineitem(s, dir)
+    val wide = df.agg(
+      corr(col("l_quantity"), col("l_extendedprice")).as("r_qe"),
+      corr(col("l_quantity"), col("l_discount")).as("r_qd"),
+      corr(col("l_extendedprice"), col("l_discount")).as("r_ed"))
+    def vif(rxy: Column, rxz: Column, ryz: Column): Column =
+      lit(1.0) / (lit(1.0) -
+        (rxy * rxy + rxz * rxz - lit(2.0) * rxy * rxz * ryz)
+          / (lit(1.0) - ryz * ryz))
+    val rows = Seq(
+      ("l_quantity", vif(col("r_qe"), col("r_qd"), col("r_ed"))),
+      ("l_extendedprice", vif(col("r_qe"), col("r_ed"), col("r_qd"))),
+      ("l_discount", vif(col("r_qd"), col("r_ed"), col("r_qe"))))
+    val longRows = rows.map { case (f, v) =>
+      struct(lit(f).as("feature"), Det.r6(v).as("vif"))
+    }
+    wide.select(explode(array(longRows: _*)).as("r"))
+      .select("r.feature", "r.vif")
+  }
+
+  /** M9 — Breusch–Pagan heteroskedasticity statistic (R:613–614
+    * `bptest`): BP = n·R²_aux of the regression of squared residuals
+    * on the regressors. For the simple-regression surface
+    * (l_extendedprice ~ l_quantity) both stages are closed-form in
+    * aggregates: b = cov/var, e = y − a − bx, R²_aux = corr(e², x)² —
+    * two aggregate passes, a 1-row broadcast join between them,
+    * DuckDB-oracled with the identical formula. The general-k path is
+    * `MlDiagnostics.breuschPaganOls`. Under H₀ BP ~ χ²(k). */
+  def m9BreuschPagan(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_extendedprice").as("y"), col("l_quantity").as("x"))
+    val fit = li.agg(
+      (covar_pop(col("y"), col("x")) / var_pop(col("x"))).as("b"),
+      avg("y").as("my"), avg("x").as("mx"))
+    val e2 = li.crossJoin(broadcast(fit))
+      .select(col("x"),
+        ((col("y") - (col("my") - col("b") * col("mx"))
+          - col("b") * col("x"))
+          * (col("y") - (col("my") - col("b") * col("mx"))
+            - col("b") * col("x"))).as("e2"))
+    e2.agg((count(lit(1)).cast("double")
+        * (corr(col("e2"), col("x")) * corr(col("e2"), col("x"))))
+        .as("bp"))
+      .select(Det.r4(col("bp")).as("bp"))
   }
 
   /** G11 — global exact quantiles (R:942–943 `median`). Exact
@@ -172,22 +243,29 @@ object Aggregates {
           .cast("bigint"))
       .groupBy("bucket").agg(count(lit(1)).as("n_orders"))
 
-  /** M9 (partial) — Durbin–Watson statistic of a series:
-    * DW = Σ(eₜ−eₜ₋₁)² / Σeₜ², the one reference diagnostic that IS
-    * window-expressible (SURVEY §2.9). Series = mean-centered event
-    * values ordered by event_id; single-partition window is fine for
-    * a statistic that is sequential by definition (at scale: compute
-    * per series key). */
+  /** M9 (partial) — per-series Durbin–Watson statistic:
+    * DW = Σ(eₜ−eₜ₋₁)² / Σeₜ² per series, the one reference diagnostic
+    * that IS window-expressible (SURVEY §2.9). Series key =
+    * event_type; residuals are mean-centered within the series and
+    * ordered by event_id. `Window.partitionBy(series)` keeps every
+    * exchange keyed — a global `Window.orderBy` would funnel the whole
+    * table through ONE task, the round-1 scale-killer. The per-series
+    * means arrive via a broadcast self-join (k rows), not a collect. */
   def m9DurbinWatson(s: SparkSession, dir: String): DataFrame = {
-    val mean = Tables.events(s, dir).agg(avg("value")).head().getDouble(0)
-    val w = org.apache.spark.sql.expressions.Window.orderBy("event_id")
+    val means = Tables.events(s, dir)
+      .groupBy("event_type").agg(avg("value").as("mu"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("event_id")
     Tables.events(s, dir)
-      .select(col("event_id"), (col("value") - mean).as("e"))
+      .join(broadcast(means), "event_type")
+      .select(col("event_type"), col("event_id"),
+        (col("value") - col("mu")).as("e"))
       .withColumn("e_prev", lag("e", 1).over(w))
+      .groupBy("event_type")
       .agg((sum(when(col("e_prev").isNotNull,
         (col("e") - col("e_prev")) * (col("e") - col("e_prev"))))
         / sum(col("e") * col("e"))).as("dw"))
-      .select(Det.r6(col("dw")).as("dw"))
+      .select(col("event_type"), Det.r6(col("dw")).as("dw"))
   }
 
   /** M9 — Jarque–Bera normality statistic from raw central moments
@@ -246,6 +324,8 @@ object Aggregates {
     "m9_durbin_watson" -> m9DurbinWatson,
     "m9_jarque_bera" -> m9JarqueBera,
     "m9_t_test" -> m9TTest,
+    "m9_vif" -> m9Vif,
+    "m9_breusch_pagan" -> m9BreuschPagan,
     "g1_agg_sum" -> g1AggSum,
     "g2_group_count" -> g2GroupCount,
     "g3_count_of_counts" -> g3CountOfCounts,
@@ -269,14 +349,18 @@ object Aggregates {
          count(*) AS n_orders
          FROM orders GROUP BY 1""",
     "m9_durbin_watson" ->
-      s"""WITH m AS (SELECT avg(value) AS mu FROM events),
-         e AS (SELECT event_id, value - mu AS e FROM events, m),
-         l AS (SELECT e, lag(e) OVER (ORDER BY event_id) AS e_prev FROM e)
-         SELECT ${Det.sql(
+      s"""WITH m AS (SELECT event_type, avg(value) AS mu
+                     FROM events GROUP BY 1),
+         e AS (SELECT events.event_type, event_id, value - mu AS e
+               FROM events JOIN m ON events.event_type = m.event_type),
+         l AS (SELECT event_type, e,
+                 lag(e) OVER (PARTITION BY event_type
+                              ORDER BY event_id) AS e_prev FROM e)
+         SELECT event_type, ${Det.sql(
         """sum(CASE WHEN e_prev IS NOT NULL
                     THEN (e - e_prev) * (e - e_prev) END)
                / sum(e * e)""", 6)} AS dw
-         FROM l""",
+         FROM l GROUP BY 1""",
     "m9_jarque_bera" ->
       s"""WITH m AS (SELECT avg(o_totalprice) AS mu FROM orders),
          s AS (SELECT cast(count(*) AS double) AS n,
@@ -306,11 +390,13 @@ object Aggregates {
          FROM f, o""",
     "g1_agg_sum" ->
       s"""SELECT l_returnflag, l_linestatus,
-         ${Det.sql("sum(l_quantity)", 2)} AS sum_qty,
-         ${Det.sql("sum(l_extendedprice)", 2)} AS sum_base_price,
-         ${Det.sql("sum(l_extendedprice * (1 - l_discount))", 2)}
+         ${Det.sqlDsum2("l_quantity")} AS sum_qty,
+         ${Det.sqlDsum2("l_extendedprice")} AS sum_base_price,
+         cast(sum(${Det.sqlD2("l_extendedprice")}
+                  * (1 - ${Det.sqlD2("l_discount")})) AS double)
            AS sum_disc_price,
-         ${Det.sql("avg(l_quantity)", 4)} AS avg_qty,
+         ${Det.sql(s"${Det.sqlDsum2("l_quantity")} / count(*)", 4)}
+           AS avg_qty,
          count(*) AS count_order
          FROM lineitem GROUP BY 1, 2""",
     "g2_group_count" ->
@@ -365,22 +451,60 @@ object Aggregates {
            l_quantity FROM lineitem)
          SELECT l_suppkey,
            ${Det.sql(
-        """sum(CASE WHEN price_or_null IS NOT NULL
-                          THEN price_or_null * l_quantity END)
-                 / sum(CASE WHEN price_or_null IS NOT NULL
-                            THEN l_quantity END)""", 2)} AS weighted_price,
+        s"""cast(sum(CASE WHEN price_or_null IS NOT NULL
+                          THEN ${Det.sqlD2("price_or_null")}
+                               * ${Det.sqlD2("l_quantity")} END) AS double)
+                 / cast(sum(CASE WHEN price_or_null IS NOT NULL
+                            THEN ${Det.sqlD2("l_quantity")} END)
+                        AS double)""", 2)} AS weighted_price,
            count(*) AS n_lines
          FROM x GROUP BY 1""",
-    "g10_corr" ->
-      s"""SELECT 'l_quantity' AS var_a, 'l_extendedprice' AS var_b,
-           ${Det.sql("corr(l_quantity, l_extendedprice)", 6)} AS pearson_r
-           FROM lineitem
+    "g10_corr" -> {
+      def row(a: String, b: String, label: String) = {
+        val t = s"corr($a, $b) * sqrt((cast(count(*) AS double) - 2.0)" +
+          s" / (1.0 - corr($a, $b) * corr($a, $b)))"
+        s"SELECT $label ${Det.sql(s"corr($a, $b)", 6)} AS pearson_r, " +
+          s"${Det.sql(t, 6)} AS t_stat FROM lineitem"
+      }
+      Seq(
+        row("l_quantity", "l_extendedprice",
+          "'l_quantity' AS var_a, 'l_extendedprice' AS var_b,"),
+        row("l_quantity", "l_discount", "'l_quantity', 'l_discount',"),
+        row("l_extendedprice", "l_discount",
+          "'l_extendedprice', 'l_discount',"))
+        .mkString(" UNION ALL ")
+    },
+    "m9_vif" -> {
+      def vif(rxy: String, rxz: String, ryz: String) =
+        s"1.0 / (1.0 - ($rxy * $rxy + $rxz * $rxz" +
+          s" - 2.0 * $rxy * $rxz * $ryz) / (1.0 - $ryz * $ryz))"
+      s"""WITH r AS (SELECT
+           corr(l_quantity, l_extendedprice) AS r_qe,
+           corr(l_quantity, l_discount) AS r_qd,
+           corr(l_extendedprice, l_discount) AS r_ed
+           FROM lineitem)
+         SELECT 'l_quantity' AS feature,
+           ${Det.sql(vif("r_qe", "r_qd", "r_ed"), 6)} AS vif FROM r
          UNION ALL
-         SELECT 'l_quantity', 'l_discount',
-           ${Det.sql("corr(l_quantity, l_discount)", 6)} FROM lineitem
+         SELECT 'l_extendedprice', ${Det.sql(vif("r_qe", "r_ed", "r_qd"), 6)}
+           FROM r
          UNION ALL
-         SELECT 'l_extendedprice', 'l_discount',
-           ${Det.sql("corr(l_extendedprice, l_discount)", 6)} FROM lineitem""",
+         SELECT 'l_discount', ${Det.sql(vif("r_qd", "r_ed", "r_qe"), 6)}
+           FROM r"""
+    },
+    "m9_breusch_pagan" ->
+      s"""WITH li AS (SELECT l_extendedprice AS y, l_quantity AS x
+                      FROM lineitem),
+         fit AS (SELECT covar_pop(y, x) / var_pop(x) AS b,
+                   avg(y) AS my, avg(x) AS mx FROM li),
+         e AS (SELECT x,
+                 (y - (my - b * mx) - b * x) * (y - (my - b * mx) - b * x)
+                   AS e2
+               FROM li, fit)
+         SELECT ${Det.sql(
+        "cast(count(*) AS double) * (corr(e2, x) * corr(e2, x))", 4)}
+           AS bp
+         FROM e""",
     "g11_median" ->
       s"""SELECT ${Det.sql("quantile_cont(o_totalprice, 0.25)", 2)} AS p25,
          ${Det.sql("quantile_cont(o_totalprice, 0.5)", 2)} AS p50,

@@ -20,12 +20,12 @@ object Joins {
   def j1JoinFacts(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"),
-        (col("l_extendedprice") * (lit(1) - col("l_discount")))
-          .as("revenue"))
+        (Det.d2(col("l_extendedprice"))
+          * (lit(1) - Det.d2(col("l_discount")))).as("revenue"))
     val ord = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
     li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .groupBy("o_orderpriority")
-      .agg(Det.r2(sum("revenue")).as("total_revenue"),
+      .agg(sum("revenue").cast("double").as("total_revenue"),
         count(lit(1)).as("n_lines"))
   }
 
@@ -39,7 +39,8 @@ object Joins {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name")
       .agg(count(lit(1)).as("n_customers"),
-        Det.r2(avg("c_acctbal")).as("avg_acctbal"))
+        Det.r2(Det.dsum2(col("c_acctbal")) / count(lit(1)))
+          .as("avg_acctbal"))
 
   /** J3 — anti-join (R:970, R:979: `setdiff` / `!code %in%` as a
     * filter). Customers that never placed a large order. At scale this
@@ -60,7 +61,7 @@ object Joins {
     val ordersPerCust = Tables.orders(s, dir)
       .groupBy(col("o_custkey").as("custkey"))
       .agg(count(lit(1)).as("n_orders"),
-        Det.r2(sum("o_totalprice")).as("total_spent"))
+        Det.dsum2(col("o_totalprice")).as("total_spent"))
     val balance = Tables.customer(s, dir)
       .select(col("c_custkey").as("custkey"), col("c_acctbal"))
     balance.join(ordersPerCust, Seq("custkey"), "inner")
@@ -111,14 +112,16 @@ object Joins {
   val oracle: Map[String, String] = Map(
     "j1_join_facts" ->
       s"""SELECT o_orderpriority,
-         ${Det.sql("sum(l_extendedprice * (1 - l_discount))", 2)}
+         cast(sum(${Det.sqlD2("l_extendedprice")}
+                  * (1 - ${Det.sqlD2("l_discount")})) AS double)
            AS total_revenue,
          count(*) AS n_lines
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY 1""",
     "j2_join_dims" ->
       s"""SELECT r_name, count(*) AS n_customers,
-         ${Det.sql("avg(c_acctbal)", 2)} AS avg_acctbal
+         ${Det.sql(s"${Det.sqlDsum2("c_acctbal")} / count(*)", 2)}
+           AS avg_acctbal
          FROM customer
          JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
@@ -131,7 +134,7 @@ object Joins {
     "j4_zip_join" ->
       s"""SELECT c_custkey AS custkey, c_acctbal,
          count(*) AS n_orders,
-         ${Det.sql("sum(o_totalprice)", 2)} AS total_spent
+         ${Det.sqlDsum2("o_totalprice")} AS total_spent
          FROM customer JOIN orders ON o_custkey = c_custkey
          GROUP BY 1, 2""",
     "t1_union" ->

@@ -25,7 +25,7 @@ object Ordering {
   def o1OrderBy(s: SparkSession, dir: String): DataFrame = {
     val agg = Tables.orders(s, dir)
       .groupBy("o_orderpriority")
-      .agg(Det.r2(sum("o_totalprice")).as("total_price"))
+      .agg(Det.dsum2(col("o_totalprice")).as("total_price"))
     agg.withColumn("rank",
       row_number().over(Window.orderBy(col("total_price").desc,
         col("o_orderpriority"))))
@@ -65,7 +65,7 @@ object Ordering {
          cast(row_number() OVER (ORDER BY total_price DESC,
            o_orderpriority) AS int) AS rank
          FROM (SELECT o_orderpriority,
-                 ${Det.sql("sum(o_totalprice)", 2)} AS total_price
+                 ${Det.sqlDsum2("o_totalprice")} AS total_price
                FROM orders GROUP BY 1)""",
     "o2_limit" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

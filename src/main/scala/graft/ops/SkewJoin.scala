@@ -20,6 +20,14 @@ object SkewJoin {
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    // Replicating the small side is only sound when unmatched SMALL
+    // rows never reach the output: under right/full outer each
+    // unmatched small row would surface once per salt replica.
+    val normalized = joinType.toLowerCase.replaceAll("[_ ]", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
+        .contains(normalized),
+      s"saltedJoin supports inner/left_outer/left_semi/left_anti, " +
+        s"got '$joinType' (small-side replication breaks right/full outer)")
     val saltCol: Column =
       pmod(xxhash64(large.columns.map(col).toSeq: _*), lit(salts))
     val salted = large.withColumn("__salt", saltCol)

@@ -14,10 +14,18 @@ object SqlSurface {
 
   /** Star-join revenue rollup — lineitem ⋈ orders ⋈ customer, revenue
     * by (priority, segment). Catalyst gets the same free rein as the
-    * DataFrame path: pushdown, partial aggs, join reordering. */
+    * DataFrame path: pushdown, partial aggs, join reordering.
+    *
+    * Revenue accumulates in DECIMAL, not double: TPC-H prices are
+    * exact in cents, so `decimal(12,2) * (1 - decimal(12,2))` is an
+    * exact scale-4 decimal and its sum is associative — the result
+    * cannot depend on either engine's accumulation order. (The
+    * round-1 double-sum version crossed a rounding boundary for one
+    * of the 25 groups.) */
   val starJoinSql: String =
     s"""SELECT o_orderpriority, c_mktsegment,
-       ${Det.sql("sum(l_extendedprice * (1 - l_discount))", 2)}
+       cast(sum(cast(l_extendedprice AS decimal(12,2))
+                * (1 - cast(l_discount AS decimal(12,2)))) AS double)
          AS revenue,
        count(*) AS n_lines
        FROM lineitem

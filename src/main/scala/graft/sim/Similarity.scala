@@ -43,8 +43,6 @@ object Similarity {
         Det.r6(col("cosine")).as("cosine"))
   }
 
-  private val NumPlanes = 8
-
   /** Deterministic pseudo-random hyperplane component for (plane j,
     * dim i): small signed value from integer arithmetic (public LCG
     * constants), reproducible with no RNG. */
@@ -52,41 +50,67 @@ object Similarity {
     (((j * 73856093 + i * 19349663) % 97 + 97) % 97 - 48) / 48.0
 
   /** N2 — LSH-bucketed cosine top-k (scale path of n1): sign-random-
-    * projection hashing (Charikar 2002). Bucket id = sign bits of the
-    * vector against 8 fixed hyperplanes; queries compare only against
-    * same-bucket vectors. Recall vs n1 is
-    * asserted in ScalaTest; no SQL oracle (scheme-specific). */
-  def n2SimLshTopk(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
+    * projection hashing (Charikar 2002), MULTI-TABLE: `numTables`
+    * independent sets of `numPlanes` hyperplanes. A query compares
+    * only against vectors sharing a bucket in ANY table (standard
+    * OR-amplification): recall is 1-(1-p^b)^L instead of p^b, while
+    * expected bucket occupancy stays n/2^b per table — the two dials
+    * that bound both miss rate and the per-bucket join fan-out at
+    * 100 TB (more planes → smaller buckets; more tables → recall
+    * back). Candidates are distinct (q, v) pairs BEFORE the cosine —
+    * embeddings are fetched once per pair, not once per colliding
+    * table. Recall vs n1 and max bucket occupancy are asserted in
+    * ScalaTest; no SQL oracle (scheme-specific). */
+  def n2SimLshTopk(s: SparkSession, dir: String): DataFrame =
+    n2Impl(s, dir, numPlanes = 8, numTables = 4)
+
+  private[graft] def n2Buckets(s: SparkSession, dir: String,
+      numPlanes: Int, numTables: Int): DataFrame = {
     import s.implicits._
-    // Bucket assignment as a kernel: the expression form (8 planes ×
+    // Bucket assignment as a kernel: the expression form (L×b planes ×
     // 64 flat terms) spends more time in codegen compilation than the
     // data takes to process. Plane components are deterministic, so
     // the table is built once per task.
-    val planes = Array.tabulate(NumPlanes, 64)((j, i) => planeComponent(j, i))
-    val buckets = Tables.embeddings(s, dir)
+    val planes = Array.tabulate(numTables * numPlanes, 64)(planeComponent)
+    Tables.embeddings(s, dir)
       .select("vec_id", "embedding").as[(Long, Array[Float])]
       .mapPartitions { it =>
-        it.map { case (id, v) =>
-          var bucket = 0L
-          var j = 0
-          while (j < NumPlanes) {
-            var dot = 0.0; var i = 0
-            while (i < 64) { dot += v(i) * planes(j)(i); i += 1 }
-            if (dot >= 0) bucket |= 1L << j
-            j += 1
+        it.flatMap { case (id, v) =>
+          (0 until numTables).iterator.map { t =>
+            var bucket = 0L
+            var j = 0
+            while (j < numPlanes) {
+              var dot = 0.0; var i = 0
+              while (i < 64) { dot += v(i) * planes(t * numPlanes + j)(i); i += 1 }
+              if (dot >= 0) bucket |= 1L << j
+              j += 1
+            }
+            (id, t, bucket)
           }
-          (id, bucket)
         }
-      }.toDF("vec_id", "bucket")
-    val emb = Tables.embeddings(s, dir).join(buckets, "vec_id")
-    val queries = emb.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("embedding"), col("bucket"))
-    val scored = queries.as("q").join(emb.as("v"),
-        col("q.bucket") === col("v.bucket") &&
+      }.toDF("vec_id", "table_id", "bucket")
+  }
+
+  private[graft] def n2Impl(s: SparkSession, dir: String,
+      numPlanes: Int, numTables: Int): DataFrame = {
+    GraftFunctions.register(s)
+    val buckets = n2Buckets(s, dir, numPlanes, numTables)
+    val qBuckets = buckets.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("table_id"), col("bucket"))
+    val candidates = qBuckets.as("q").join(buckets.as("v"),
+        col("q.table_id") === col("v.table_id") &&
+          col("q.bucket") === col("v.bucket") &&
           col("q.q_id") =!= col("v.vec_id"))
-      .select(col("q.q_id"), col("v.vec_id").as("neighbor_id"),
-        GraftFunctions.floatCosine("q.embedding", "v.embedding")
+      .select(col("q.q_id"), col("v.vec_id").as("neighbor_id"))
+      .distinct()
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val scored = candidates
+      .join(emb.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_embedding")), "q_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("v_embedding")), "neighbor_id")
+      .select(col("q_id"), col("neighbor_id"),
+        GraftFunctions.floatCosine("q_embedding", "v_embedding")
           .as("cosine"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -107,24 +131,62 @@ object Similarity {
     * native float_cosine expression). The third ANN shape next to brute
     * force (n1) and sign-LSH (n2): at 100 TB the inverted file is the
     * partitioning — vectors cluster-bucketed at write time, a query
-    * touches nprobe/k of the data. Recall vs n1 asserted in
+    * touches nprobe/k of the data.
+    *
+    * Scale choices: (a) the quantizer fits on a deterministic
+    * key-hash SAMPLE capped at ~100k vectors — k-means on the full
+    * corpus would iterate over 100 TB for a 16-row model; (b) cell
+    * ASSIGNMENT uses the same metric as probe selection (max cosine
+    * against the centroid, in a broadcast mapPartitions kernel — no
+    * shuffle), so a query's nearest cells are exactly where its
+    * cosine-nearest vectors were filed. Recall vs n1 asserted in
     * ScalaTest; rows-only (k-means isn't SQL-expressible). */
   def n3SimIvfTopk(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    import s.implicits._
     val emb = Tables.embeddings(s, dir)
+    val total = emb.count()
+    val sampleCap = 100000L
+    val mod = math.max(1L, total / sampleCap)
+    val fitSet = emb
+      .filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
       .withColumn("features", array_to_vector(col("embedding")))
     val model = new KMeans().setK(IvfCells).setSeed(42).setMaxIter(5)
-      .setFeaturesCol("features").fit(emb)
-    val assigned = model.transform(emb)
-      .select(col("vec_id"), col("embedding"),
-        col("prediction").as("cell"))
+      .setFeaturesCol("features").fit(fitSet)
     // centroids as float arrays (cell-selection only — lossy cast OK)
-    import s.implicits._
-    val centroids = model.clusterCenters.zipWithIndex.map {
-      case (c, i) => (i, c.toArray.map(_.toFloat))
-    }.toSeq.toDF("cell", "centroid")
+    val cents: Array[(Int, Array[Float])] =
+      model.clusterCenters.zipWithIndex.map {
+        case (c, i) => (i, c.toArray.map(_.toFloat))
+      }
+    val bcCents = s.sparkContext.broadcast(cents)
+    val assigned = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcCents.value
+        it.map { case (id, v) =>
+          var nv = 0.0; var i = 0
+          while (i < v.length) { nv += v(i).toDouble * v(i); i += 1 }
+          val nrm = math.sqrt(nv)
+          var best = 0; var bestSim = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            val ct = cs(c)._2
+            var dot = 0.0; var nc = 0.0; var k = 0
+            while (k < ct.length) {
+              dot += v(k).toDouble * ct(k)
+              nc += ct(k).toDouble * ct(k)
+              k += 1
+            }
+            val sim = dot / (nrm * math.sqrt(nc))
+            if (sim > bestSim) { bestSim = sim; best = cs(c)._1 }
+            c += 1
+          }
+          (id, v, best)
+        }
+      }.toDF("vec_id", "embedding", "cell")
+    val centroids = cents.toSeq.toDF("cell", "centroid")
     val queries = assigned.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"),
         col("embedding").as("q_embedding"))

@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.sim.Similarity
+
+/** Dev tool: measures ANN recall vs the n1 brute-force ground truth
+  * and LSH bucket occupancy across (planes, tables) settings — the
+  * numbers behind DedupSimSpec's recall/occupancy gates. Not part of
+  * the library surface.
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val truth = pairs(Similarity.n1SimTopkBruteforce(spark, dir))
+    println(s"n1 truth pairs: ${truth.size}")
+    for ((b, l) <- Seq((4, 4), (6, 4), (8, 4), (8, 8), (10, 6))) {
+      val got = pairs(Similarity.n2Impl(spark, dir, b, l))
+      val recall = (got & truth).size.toDouble / truth.size
+      val occ = Similarity.n2Buckets(spark, dir, b, l)
+        .groupBy("table_id", "bucket").count()
+        .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+      println(f"n2 planes=$b tables=$l recall=$recall%.3f maxBucket=$occ")
+    }
+    val ivf = pairs(Similarity.n3SimIvfTopk(spark, dir))
+    println(f"n3 ivf recall=${(ivf & truth).size.toDouble / truth.size}%.3f")
+    spark.stop()
+  }
+}

@@ -67,8 +67,75 @@ class DedupSimSpec extends SparkTestBase {
     assert(ivf.count() > 0)
     val joined = ivf.join(brute, Seq("q_id", "neighbor_id"))
     assert(joined.filter(col("cosine") =!= col("c1")).count() == 0)
+    // measured 0.68 on this fixture (cosine-consistent cell assignment
+    // + seeded sample-fit quantizer — fully deterministic)
     val recall = joined.count().toDouble / brute.count()
-    assert(recall >= 0.2, s"IVF recall@5 too low: $recall")
+    assert(recall >= 0.6, s"IVF recall@5 too low: $recall")
+  }
+
+  test("n2 recall@5 vs n1, and the planes/tables recall↔bucket-size dials") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      pairSet(df, "q_id", "neighbor_id")
+    val truth = pairs(Similarity.n1SimTopkBruteforce(spark, sfTest))
+    // registered default (8 planes × 4 tables): recall floor (measured
+    // 0.38 — SRP collision odds for this fixture's cos≈0.3 top-5 are
+    // p^8 per table; the dials below buy recall back)
+    val got = pairs(Similarity.n2SimLshTopk(spark, sfTest))
+    val recallDefault = (got & truth).size.toDouble / truth.size
+    assert(recallDefault >= 0.3, s"n2 default recall: $recallDefault")
+    // fewer planes → bigger buckets → more recall (measured 0.76)
+    val loose = pairs(Similarity.n2Impl(spark, sfTest, 4, 4))
+    val recallLoose = (loose & truth).size.toDouble / truth.size
+    assert(recallLoose >= 0.6, s"n2 4-plane recall: $recallLoose")
+    // more planes → max bucket occupancy must DROP (the 100 TB dial:
+    // expected n/2^planes per table)
+    def maxBucket(planes: Int, tables: Int): Long =
+      Similarity.n2Buckets(spark, sfTest, planes, tables)
+        .groupBy("table_id", "bucket").count()
+        .agg(org.apache.spark.sql.functions.max("count"))
+        .head().getLong(0)
+    val occ4 = maxBucket(4, 4)
+    val occ10 = maxBucket(10, 6)
+    assert(occ10 < occ4, s"occupancy must shrink with planes: $occ10 vs $occ4")
+    val n = Tables.embeddings(spark, sfTest).count()
+    assert(occ10 <= n / 4, s"10-plane max bucket $occ10 vs n=$n")
+  }
+
+  test("d5 block-tiled pairs == single-pass pairs (bounded driver memory)") {
+    // blockSize 64 forces ~8 tiles at sfTest; a huge blockSize is the
+    // single-broadcast degenerate case. Same pairs, same cosines.
+    val tiled = Dedup.d5Tiled(spark, sfTest, blockSize = 64)
+    val single = Dedup.d5Tiled(spark, sfTest, blockSize = 1 << 20)
+    assert(tiled.count() > 0)
+    assert(tiled.exceptAll(single).count() == 0)
+    assert(single.exceptAll(tiled).count() == 0)
+  }
+
+  test("d2b stop-shingle cap bounds pair expansion on a planted hot shingle") {
+    import spark.implicits._
+    // 60 docs sharing one hot shingle ("aa bb cc") + 2 true near-dups.
+    // Build as a temp view consumed through the same pipeline entry.
+    val hot = (1 to 60).map(i =>
+      (i.toLong, s"aa bb cc w$i x$i y$i z$i q$i r$i"))
+    val dups = Seq(
+      (1001L, "p q r s t u v w x y z"),
+      (1002L, "p q r s t u v w x y zz"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_d2b").toString
+    (hot ++ dups).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    // cap=50 drops the hot shingle (60 docs > 50) — the 60×59/2 pair
+    // blow-up never materializes; the true near-dup pair survives via
+    // its other shared shingles.
+    val capped = Dedup.d2Impl(spark, dir, cap = 50)
+    val cappedPairs = pairSet(capped, "doc_a", "doc_b")
+    assert(cappedPairs.contains((1001L, 1002L)),
+      s"true near-dup lost: $cappedPairs")
+    assert(!cappedPairs.exists { case (a, b) => a <= 60 && b <= 60 },
+      "hot-shingle-only pairs must be dropped by the cap")
+    // exact (uncapped) keeps the hot group's pairs — and is a superset
+    val exact = pairSet(Dedup.d2Impl(spark, dir, cap = Int.MaxValue),
+      "doc_a", "doc_b")
+    assert(cappedPairs.subsetOf(exact))
   }
 
   test("n1 emits exactly top-5 per query with contiguous ranks") {

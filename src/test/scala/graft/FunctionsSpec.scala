@@ -44,4 +44,24 @@ class FunctionsSpec extends SparkTestBase {
       "SELECT float_cosine(NULL, embedding) AS c FROM emb_fn_test")
     assert(nulls.filter(col("c").isNotNull).count() == 0)
   }
+
+  test("float_cosine: zero-norm and length-mismatch yield NULL, not NaN") {
+    GraftFunctions.register(spark)
+    // codegen path (column input) and interpreted path (literal fold)
+    // must both null out instead of emitting 0/0 = NaN — NaN sorts
+    // ABOVE every double and would falsely rank first in top-k desc.
+    val df = spark.sql(
+      """SELECT
+           float_cosine(cast(array(0.0, 0.0) AS array<float>),
+                        cast(array(1.0, 2.0) AS array<float>)) AS zero_norm,
+           float_cosine(cast(array() AS array<float>),
+                        cast(array() AS array<float>)) AS empty,
+           float_cosine(cast(array(1.0) AS array<float>),
+                        cast(array(1.0, 2.0) AS array<float>)) AS mismatch,
+           float_cosine(cast(array(1.0, 0.0) AS array<float>),
+                        cast(array(1.0, 0.0) AS array<float>)) AS ok""")
+    val r = df.head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getDouble(3) == 1.0)
+  }
 }

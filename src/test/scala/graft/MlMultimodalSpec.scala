@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.ml.Models
+import graft.ml.{MlDiagnostics, Models}
 import graft.multimodal.Multimodal
+import graft.ops.Aggregates
 
 /** Sanity for the spark.ml layer and the multimodal plumbing — the
   * non-SQL-expressible queries the DuckDB oracle can't gate. */
@@ -50,6 +51,31 @@ class MlMultimodalSpec extends SparkTestBase {
       case Array(a, b) => assert(b < a, s"AIC went up: $a -> $b")
       case _ =>
     }
+  }
+
+  test("m9 VIF: aux-OLS path agrees with the closed pairwise-corr form") {
+    val feats = Array("l_quantity", "l_extendedprice", "l_discount")
+    val df = Tables.lineitem(spark, sfSmoke).select(feats.head,
+      feats.tail.toSeq: _*)
+    val ols = MlDiagnostics.vifOls(df, feats).toMap
+    val closed = Aggregates.m9Vif(spark, sfSmoke).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(closed.keySet == ols.keySet)
+    closed.foreach { case (f, v) =>
+      assert(math.abs(v - ols(f)) < 1e-4, s"$f: closed $v vs ols ${ols(f)}")
+      assert(v >= 1.0, s"VIF must be >= 1, got $v for $f")
+    }
+  }
+
+  test("m9 Breusch-Pagan: aux-OLS path agrees with the closed corr form") {
+    val df = Tables.lineitem(spark, sfSmoke)
+      .select(col("l_extendedprice").as("y"), col("l_quantity").as("x"))
+    val ols = MlDiagnostics.breuschPaganOls(df, "y", Array("x"))
+    val closed = Aggregates.m9BreuschPagan(spark, sfSmoke)
+      .head().getDouble(0)
+    assert(closed > 0.0, s"expected a nonzero BP, got $closed")
+    // the closed form emits Det.r4-rounded values (1e-4 grid)
+    assert(math.abs(closed - ols) < 5e-4, s"closed $closed vs ols $ols")
   }
 
   test("x5 multimodal decode: byte counts match source, histograms normalized") {

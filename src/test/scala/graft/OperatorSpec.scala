@@ -101,6 +101,17 @@ class OperatorSpec extends SparkTestBase {
       .select(plain.columns.map(col).toSeq: _*)
     assert(salted.exceptAll(plain).count() == 0)
     assert(plain.exceptAll(salted).count() == 0)
+    // left_anti is safe (unmatched LARGE rows only); right/full outer
+    // would emit unmatched small rows once per salt replica — rejected
+    val anti = ops.SkewJoin.saltedJoin(large, small, "k", 8, "left_anti")
+    val plainAnti = large.join(small, Seq("k"), "left_anti")
+    assert(anti.count() == plainAnti.count())
+    intercept[IllegalArgumentException] {
+      ops.SkewJoin.saltedJoin(large, small, "k", 8, "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      ops.SkewJoin.saltedJoin(large, small, "k", 8, "full_outer")
+    }
   }
 
   test("t1 union equals f2-style isin filter (SURVEY T1 ≡ F2)") {

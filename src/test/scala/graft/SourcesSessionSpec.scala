@@ -52,10 +52,26 @@ class SourcesSessionSpec extends SparkTestBase {
     val streamed = spark.table("sessions_out")
       .select(col("user_id"), col("n_events"), col("duration_us"),
         ops.Det.r2(col("sum_value")).as("sum_value"))
-    // batch e3 minus each user's LAST session (still open in the stream)
+    // Batch e3 minus each user's OPEN tail. With EventTimeTimeout a
+    // user's final session is only still open if the final watermark
+    // (max event time − 1 h) has not yet passed its last event + gap;
+    // otherwise the timeout fired (in the no-data batch the watermark
+    // advance triggers) and the tail was emitted too.
+    val events = Tables.events(spark, sfSmoke)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val wmUs = events.agg(max("ts_us")).head().getLong(0) -
+      3600L * 1000000
+    val openUsers = events.groupBy("user_id")
+      .agg(max("ts_us").as("last_us"))
+      // timeout fires when floor((last+gap)/1000) ms < watermark ms;
+      // floor(x/1000) >= k  ⟺  x >= 1000k, so compare in micros
+      .filter(col("last_us") + Sessionize.GapUs >=
+        lit((wmUs / 1000) * 1000))
+      .select("user_id")
     val batch = EventStreams.e3StreamSession(spark, sfSmoke)
     val lastPerUser = batch.groupBy("user_id")
       .agg(max("session_id").as("session_id"))
+      .join(openUsers, Seq("user_id"), "left_semi")
     val closedBatch = batch.join(lastPerUser,
         Seq("user_id", "session_id"), "left_anti")
       .select("user_id", "n_events", "duration_us", "sum_value")
