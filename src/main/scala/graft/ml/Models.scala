@@ -78,28 +78,33 @@ object Models {
   /** M1 — PCA with scaling (R:537–570 `prcomp(scale=TRUE)`): scaled
     * numeric features → 3 PCs; outputs per-component explained
     * variance plus loadings in long form (component, feature, loading
-    * magnitude — sign is basis-dependent, so magnitude only). */
-  def m1Pca(s: SparkSession, dir: String): DataFrame = {
-    val df = featureTable(s, dir)
+    * magnitude — sign is basis-dependent, so magnitude only).
+    * Generic over (table, feature list) so the parking per-complex
+    * table reuses it (ParkingPipeline.pcaOnComplex). */
+  private[graft] def pcaOf(s: SparkSession, df: DataFrame,
+      features: Array[String], k: Int = 3): DataFrame = {
     val pipe = new Pipeline().setStages(Array(
-      new VectorAssembler().setInputCols(numFeatures).setOutputCol("raw"),
+      new VectorAssembler().setInputCols(features).setOutputCol("raw"),
       new StandardScaler().setInputCol("raw").setOutputCol("scaled")
         .setWithMean(true).setWithStd(true),
-      new PCA().setK(3).setInputCol("scaled").setOutputCol("pcs")))
+      new PCA().setK(k).setInputCol("scaled").setOutputCol("pcs")))
     val model = pipe.fit(df)
     val pca = model.stages(2).asInstanceOf[org.apache.spark.ml.feature.PCAModel]
     val ev = pca.explainedVariance.toArray
-    val pc = pca.pc // numFeatures × k
+    val pc = pca.pc // features × k
     val rows = for {
-      k <- 0 until 3; f <- numFeatures.indices
-    } yield (s"pc${k + 1}", numFeatures(f),
-      math.abs(pc(f, k)), ev(k))
+      c <- 0 until k; f <- features.indices
+    } yield (s"pc${c + 1}", features(f),
+      math.abs(pc(f, c)), ev(c))
     import s.implicits._
     rows.toDF("component", "feature", "abs_loading", "explained_variance")
       .select(col("component"), col("feature"),
         Det.r6(col("abs_loading")).as("abs_loading"),
         Det.r6(col("explained_variance")).as("explained_variance"))
   }
+
+  def m1Pca(s: SparkSession, dir: String): DataFrame =
+    pcaOf(s, featureTable(s, dir), numFeatures)
 
   /** M2+M3+M7+M8 — OLS linear regression through the one-hot pipeline
     * (R:1093, R:1176–1244), normal-equation solver for determinism;
@@ -123,12 +128,19 @@ object Models {
     * (R:1247–1254 `cv.glmnet(alpha=1, nfolds=10)`): elasticNet=1.0,
     * 3-fold CV over a small λ grid (kept small: CV cost = folds ×
     * grid fits). Outputs best λ and CV/fit metrics. */
-  def m4LassoCv(s: SparkSession, dir: String): DataFrame = {
-    val df = featureTable(s, dir)
+  def m4LassoCv(s: SparkSession, dir: String): DataFrame =
+    lassoCvOf(s, featureTable(s, dir), numFeatures)
+
+  /** Generic LASSO-CV body — shared with the parking per-complex
+    * table (ParkingPipeline.lassoCvOnComplex). */
+  private[graft] def lassoCvOf(s: SparkSession, df: DataFrame,
+      features: Array[String]): DataFrame = {
     val lr = new LinearRegression().setLabelCol("label")
       .setFeaturesCol("features").setElasticNetParam(1.0)
       .setMaxIter(50)
-    val pipe = new Pipeline().setStages(encoder(withSegment = false) :+ lr)
+    val pipe = new Pipeline().setStages(Array[org.apache.spark.ml.PipelineStage](
+      new VectorAssembler().setInputCols(features).setOutputCol("features"))
+      :+ lr)
     val grid = new ParamGridBuilder()
       .addGrid(lr.regParam, Array(0.01, 1.0, 100.0)).build()
     val cv = new CrossValidator().setEstimator(pipe)
@@ -165,8 +177,14 @@ object Models {
     * `MASS::stepAIC`). No spark.ml built-in: a bounded driver-side
     * greedy loop refitting OLS; AIC from the Gaussian log-likelihood,
     * AIC = n·ln(RSS/n) + 2(k+2). Outputs one row per step. */
-  def m6StepwiseAic(s: SparkSession, dir: String): DataFrame = {
-    val df = featureTable(s, dir).cache()
+  def m6StepwiseAic(s: SparkSession, dir: String): DataFrame =
+    stepwiseAicOf(s, featureTable(s, dir), numFeatures)
+
+  /** Generic stepwise body — shared with the parking per-complex
+    * table (ParkingPipeline.stepAicOnComplex). */
+  private[graft] def stepwiseAicOf(s: SparkSession, df0: DataFrame,
+      features: Array[String]): DataFrame = {
+    val df = df0.cache()
     val n = df.count().toDouble
     def fitAic(feats: Array[String]): Double = {
       val lr = new LinearRegression().setLabelCol("label")
@@ -179,7 +197,7 @@ object Models {
         .head().getDouble(0)
       n * math.log(rss / n) + 2.0 * (feats.length + 2)
     }
-    var current = numFeatures
+    var current = features
     var steps = Seq(("start", current.mkString("+"), fitAic(current)))
     var improved = true
     while (improved && current.length > 1) {

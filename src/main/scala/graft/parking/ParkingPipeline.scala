@@ -142,9 +142,12 @@ object ParkingPipeline {
   /** Entry point A+B (SURVEY §3.1–3.2): the full per-complex feature
     * table — dedup → enrich (area, bands, rents) → impute transit
     * NAs (C5, R:350–358) → derived ratios (C3, R:421–424). One lazy
-    * DAG; every join is a broadcast (423-row dimension side). */
-  def featureTable(s: SparkSession, path: String): DataFrame = {
-    val cleaned = clean(loadTrain(s, path)).cache()
+    * DAG; every join is a broadcast (423-row dimension side).
+    * `featureTableOf` takes an already-cleaned frame so the SAME
+    * enrichment runs on train.csv and (label-less) test.csv — the
+    * submission path needs both under one schema. */
+  def featureTableOf(cleaned0: DataFrame): DataFrame = {
+    val cleaned = cleaned0.cache()
     val dim = perComplex(cleaned)
     val enriched = dim
       .join(broadcast(totalArea(cleaned)), Seq("단지코드"))
@@ -155,6 +158,20 @@ object ParkingPipeline {
       .withColumn("세대당주차면수", col("단지내주차면수") / col("총세대수"))
       .withColumn("대중교통수", col("지하철역수") + col("버스정류장수"))
   }
+
+  def featureTable(s: SparkSession, path: String): DataFrame =
+    featureTableOf(clean(loadTrain(s, path)))
+
+  /** Demographic enrichment (R:1040–1044, the commented-out
+    * `merge(x=apt_df, y=age_gender, by="지역")`): age_gender_info.csv
+    * is a 16-region × 22-share dimension — the canonical tiny
+    * broadcast join; the fact side never shuffles. */
+  def loadAgeGender(s: SparkSession, path: String): DataFrame =
+    s.read.option("header", true).option("encoding", "UTF-8")
+      .option("inferSchema", true).csv(path)
+
+  def withDemographics(features: DataFrame, ageGender: DataFrame): DataFrame =
+    features.join(broadcast(ageGender), Seq("지역"), "left")
 
   /** Entry point C (SURVEY §3.3, R:1176–1315): fit OLS and a seeded
     * random forest on the per-complex feature table predicting
@@ -170,10 +187,6 @@ object ParkingPipeline {
     val feats = featureTable(s, path)
       .withColumnRenamed("등록차량수", "label")
     val (train, test) = stratifiedSplit(feats)
-    val numCols = Array("총세대수", "공가수", "지하철역수", "버스정류장수",
-      "단지내주차면수", "총면적", "임대보증금", "임대료",
-      "세대당주차면수", "대중교통수") ++
-      bands.map(b => f"전용면적_$b%03d")
     val prep: Array[org.apache.spark.ml.PipelineStage] = Array(
       new StringIndexer().setInputCol("지역").setOutputCol("region_idx")
         .setStringOrderType("alphabetAsc").setHandleInvalid("keep"),
@@ -202,6 +215,67 @@ object ParkingPipeline {
     import s.implicits._
     (score(lm, "lm") ++ score(rf, "rf"))
       .toDF("model", "metric", "value")
+  }
+
+  /** Numeric feature list shared by the model entry points. */
+  private[parking] val numCols: Array[String] =
+    Array("총세대수", "공가수", "지하철역수", "버스정류장수",
+      "단지내주차면수", "총면적", "임대보증금", "임대료",
+      "세대당주차면수", "대중교통수") ++
+      bands.map(b => f"전용면적_$b%03d")
+
+  /** The 10 base (non-band) features — the stepwise/PCA surface the
+    * reference explores (R:537–570, R:632–634 work on the compact
+    * per-complex frame, not the band histogram). */
+  private[parking] val baseCols: Array[String] = numCols.take(10)
+
+  /** M1 on the parking table (R:537–570: `prcomp(scale=TRUE)` on the
+    * per-complex frame). */
+  def pcaOnComplex(s: SparkSession, path: String): DataFrame =
+    graft.ml.Models.pcaOf(s, featureTable(s, path), baseCols)
+
+  /** M4+M10 on the parking table (R:1247–1254: `cv.glmnet(alpha=1)`
+    * over the apartment frame). */
+  def lassoCvOnComplex(s: SparkSession, path: String): DataFrame =
+    graft.ml.Models.lassoCvOf(s,
+      featureTable(s, path).withColumnRenamed("등록차량수", "label"),
+      numCols)
+
+  /** M6 on the parking table (R:632–634: `MASS::stepAIC` backward
+    * elimination over the per-complex regression). */
+  def stepAicOnComplex(s: SparkSession, path: String): DataFrame =
+    graft.ml.Models.stepwiseAicOf(s,
+      featureTable(s, path).withColumnRenamed("등록차량수", "label"),
+      baseCols)
+
+  /** The competition artifact (R:1005–1016 / sample_submission.csv
+    * shape): fit on the FULL training table, build the same feature
+    * table from label-less test.csv, predict per complex, and write
+    * a (code, num) CSV via the S3 sink. Returns the submission frame
+    * (150 rows on the reference data). */
+  def submission(s: SparkSession, trainPath: String, testPath: String,
+      outDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.{OneHotEncoder, StringIndexer, VectorAssembler}
+    import org.apache.spark.ml.regression.RandomForestRegressor
+    val train = featureTable(s, trainPath)
+      .withColumnRenamed("등록차량수", "label")
+    val test = featureTableOf(clean(loadTest(s, testPath)))
+    val prep: Array[org.apache.spark.ml.PipelineStage] = Array(
+      new StringIndexer().setInputCol("지역").setOutputCol("region_idx")
+        .setStringOrderType("alphabetAsc").setHandleInvalid("keep"),
+      new OneHotEncoder().setInputCol("region_idx")
+        .setOutputCol("region_oh").setDropLast(true),
+      new VectorAssembler().setInputCols(numCols :+ "region_oh")
+        .setOutputCol("features").setHandleInvalid("keep"))
+    val rf = new Pipeline().setStages(prep :+
+      new RandomForestRegressor().setLabelCol("label")
+        .setFeaturesCol("features").setNumTrees(50).setSeed(4)).fit(train)
+    val sub = rf.transform(test)
+      .select(col("단지코드").as("code"), col("prediction").as("num"))
+      .orderBy("code")
+    outDir.foreach(dir => graft.sources.CsvIO.writeCsv(sub, dir))
+    sub
   }
 
   /** O3 — stratified 80/20 split by 지역 (R:962–992), exact and

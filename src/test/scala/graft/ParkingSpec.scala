@@ -87,6 +87,55 @@ class ParkingSpec extends SparkTestBase {
     assert(scores(("rf", "r2")) > 0, s"rf r2 = ${scores(("rf", "r2"))}")
   }
 
+  test("pca/lasso/stepAIC run on the per-complex table (R model breadth)") {
+    // PCA: 3 components × 10 base features, decreasing explained var
+    val pca = pcaOnComplex(spark, trainCsv)
+    assert(pca.count() == 30)
+    val ev = pca.select("component", "explained_variance").distinct()
+      .orderBy("component").collect().map(_.getDouble(1))
+    assert(ev.length == 3 && ev.forall(v => v > 0 && v <= 1))
+    assert(ev(0) >= ev(1) && ev(1) >= ev(2))
+    // LASSO-CV: picks a lambda from the grid, metrics finite
+    val lasso = lassoCvOnComplex(spark, trainCsv)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(Set(0.01, 1.0, 100.0).contains(lasso("best_reg_param")))
+    assert(lasso("r2") > 0 && lasso("rmse") > 0)
+    // stepwise AIC: monotone improvement, never eliminates every feature
+    val steps = stepAicOnComplex(spark, trainCsv).collect()
+    val aics = steps.map(_.getDouble(2))
+    assert(aics.length >= 1 && aics.zip(aics.tail).forall { case (a, b) => b < a })
+    assert(steps.forall(_.getString(1).nonEmpty))
+  }
+
+  test("demographic join: 16-region broadcast adds shares, keeps grain") {
+    val feats = featureTable(spark, trainCsv)
+    val ag = loadAgeGender(spark, "/root/reference/age_gender_info.csv")
+    assert(ag.count() == 16)
+    val joined = withDemographics(feats, ag)
+    assert(joined.count() == 423)
+    assert(joined.columns.length == feats.columns.length + ag.columns.length - 1)
+    // every region resolves — no lost rows, no null shares
+    val shareCol = ag.columns.filterNot(_ == "지역").head
+    assert(joined.filter(col(shareCol).isNull).count() == 0)
+  }
+
+  test("submission: test.csv scores into a (code, num) CSV, one row per complex") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sub").toString
+    val sub = submission(spark, trainCsv, testCsv, Some(dir)).cache()
+    assert(sub.count() == 150)
+    assert(sub.columns.toSeq == Seq("code", "num"))
+    assert(sub.select("code").distinct().count() == 150)
+    assert(sub.filter(col("num").isNull || col("num") < 0).count() == 0)
+    // codes match sample_submission.csv exactly
+    val sample = spark.read.option("header", true)
+      .csv("/root/reference/sample_submission.csv")
+    assert(sub.select("code").exceptAll(sample.select("code")).count() == 0)
+    assert(sample.select("code").exceptAll(sub.select("code")).count() == 0)
+    // the sink round-trips
+    val back = spark.read.option("header", true).csv(dir)
+    assert(back.count() == 150)
+  }
+
   test("stratified split is exact 80/20 per region and disjoint") {
     val feats = featureTable(spark, trainCsv)
     val (tr, te) = stratifiedSplit(feats)
