@@ -77,7 +77,19 @@ case class FloatCosine(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext,
-      ev: ExprCode): ExprCode =
+      ev: ExprCode): ExprCode = {
+    // A NullType child (literal NULL argument) has no ArrayData value
+    // to call numElements() on — emit the constant-null result instead
+    // of codegen that fails to compile and forces the interpreted
+    // fallback for the whole stage.
+    if (left.dataType == NullType || right.dataType == NullType) {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      return ev.copy(code =
+        code"""
+           |boolean ${ev.isNull} = true;
+           |double ${ev.value} = 0.0;
+         """.stripMargin)
+    }
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
@@ -105,6 +117,7 @@ case class FloatCosine(left: Expression, right: Expression)
          |}
        """.stripMargin
     })
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FloatCosine =
