@@ -42,6 +42,18 @@ class BucketingSpec extends SparkTestBase {
     assert(smj.count() == expected)
   }
 
+  test("per-series Durbin-Watson plans with keyed exchanges only") {
+    // the round-1 global Window.orderBy funneled the whole events
+    // table through ONE task; the per-series form must show no
+    // SinglePartition exchange anywhere in the physical plan
+    val plan = ops.Aggregates.m9DurbinWatson(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"DW must not use a single-partition exchange:\n$plan")
+    assert(plan.contains("hashpartitioning"),
+      "expected a keyed window exchange")
+  }
+
   test("approx aggregates stay inside their error envelope") {
     val r = ops.Aggregates.g13ApproxStats(spark, sfTest).head()
     val (exactN, approxN) = (r.getLong(0), r.getLong(1))
