@@ -23,20 +23,26 @@ object Bench {
     // single-pass diagnostic aggregates, which DO belong here).
     val headline = SparkEntry.queries -- ml.Models.queries.keySet
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = headline.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch {
-        case e: Throwable =>
-          failed += name
-          System.err.println(s"BENCH FAIL $name: ${e.getMessage}")
+    // A failed query records null (not its time-to-failure) so the
+    // headline total only reflects COMPLETED queries.
+    val results: Map[String, Option[Double]] =
+      headline.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              failed += name
+              System.err.println(s"BENCH FAIL $name: ${e.getMessage}")
+              false
+          }
+        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + v.fold("null")(_.toString)
+    }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.flatten.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","ok":${failed.isEmpty},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -258,16 +258,26 @@ object Dedup {
     * baseline; n2SimLshTopk / n3SimIvfTopk in graft.sim are the
     * sub-quadratic scale paths).
     *
-    * Block-broadcast tiling: the corpus is hashed into blocks of at
-    * most ~`blockSize` vectors; each pass collects ONE block (bounded
-    * driver memory: 100k × 64 dims × 8 B ≈ 51 MB), broadcasts it, and
-    * streams the full distributed table against it in a
-    * primitive-array mapPartitions kernel (Catalyst array lambdas run
+    * Block-broadcast tiling, processed SEQUENTIALLY: the corpus is
+    * hashed into blocks of at most ~`blockSize` vectors; each pass
+    * collects ONE block (100k × 64 dims × 8 B ≈ 51 MB), broadcasts
+    * it, streams the full distributed table against it in a
+    * primitive-array flatMap kernel (Catalyst array lambdas run
     * interpreted — 24 s at sf0.1; a flat 64-term expression falls out
-    * of codegen limits). A pair (a,b), a<b, is emitted exactly once:
-    * in the pass that broadcasts a's block. Total flops stay O(n²) —
-    * brute force is the point — but no single collect, broadcast, or
-    * task exceeds one block, so the same code runs at cluster scale.
+    * of codegen limits), then MATERIALIZES the tile's (sparse) output
+    * via eager `localCheckpoint` and `destroy()`s the broadcast
+    * before the next block is collected. Lineage truncation is what
+    * makes the bound real: without it every broadcast stays
+    * referenced by the unioned plan and peak driver memory is the
+    * whole corpus. With it, the driver holds one block at a time and
+    * the tile outputs live distributed in executor block storage
+    * (MEMORY_AND_DISK; on a real cluster, `checkpoint` to durable
+    * storage is the fault-tolerant variant of the same move).
+    *
+    * A pair (a,b), a<b, is emitted exactly once: in the pass that
+    * broadcasts a's block. Total flops stay O(n²) — brute force is
+    * the point — but no single collect, broadcast, or task exceeds
+    * one block, so the same code runs at cluster scale.
     *
     * Bit-exactness vs the DuckDB oracle is preserved: float→double
     * conversion is exact, and the dot/norm sums accumulate in index
@@ -295,7 +305,7 @@ object Dedup {
         .filter(pmod(xxhash64(col("_1")), lit(numBlocks)) === b)
         .collect()
       val bc = s.sparkContext.broadcast(block)
-      vecs.flatMap { case (idB, vb, nb) =>
+      val tile = vecs.flatMap { case (idB, vb, nb) =>
         val blk = bc.value
         blk.iterator.flatMap { case (idA, va, na) =>
           if (idA >= idB) Iterator.empty
@@ -307,7 +317,9 @@ object Dedup {
             else Iterator.empty
           }
         }
-      }
+      }.localCheckpoint(true) // eager: tile computed NOW, lineage cut
+      bc.destroy()            // safe: checkpoint no longer needs it
+      tile
     }
     tiles.reduce(_ union _)
       .toDF("vec_a", "vec_b", "cosine")

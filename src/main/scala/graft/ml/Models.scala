@@ -126,8 +126,9 @@ object Models {
 
   /** M4+M10 — LASSO with cross-validated regularization path
     * (R:1247–1254 `cv.glmnet(alpha=1, nfolds=10)`): elasticNet=1.0,
-    * 3-fold CV over a small λ grid (kept small: CV cost = folds ×
-    * grid fits). Outputs best λ and CV/fit metrics. */
+    * 5-fold CV (the reference's trainControl fold count,
+    * R:1085–1086) over a small λ grid (CV cost = folds × grid fits).
+    * Outputs best λ and CV/fit metrics. */
   def m4LassoCv(s: SparkSession, dir: String): DataFrame =
     lassoCvOf(s, featureTable(s, dir), numFeatures)
 
@@ -146,7 +147,7 @@ object Models {
     val cv = new CrossValidator().setEstimator(pipe)
       .setEvaluator(new RegressionEvaluator().setLabelCol("label")
         .setPredictionCol("prediction").setMetricName("rmse"))
-      .setEstimatorParamMaps(grid).setNumFolds(3).setSeed(3)
+      .setEstimatorParamMaps(grid).setNumFolds(5).setSeed(3)
     val cvModel = cv.fit(df)
     val best = cvModel.bestModel.asInstanceOf[PipelineModel].stages.last
       .asInstanceOf[org.apache.spark.ml.regression.LinearRegressionModel]

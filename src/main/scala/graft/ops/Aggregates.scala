@@ -149,15 +149,22 @@ object Aggregates {
     val pairs = for {
       i <- vars.indices; j <- vars.indices if i < j
     } yield (vars(i), vars(j))
-    val aggs = pairs.map { case (a, b) =>
-      corr(col(a), col(b)).as(s"${a}__$b")
-    } :+ count(lit(1)).cast("double").as("n")
+    // n is the per-pair complete-observation count — the n that
+    // matches corr's pairwise.complete.obs semantics if either column
+    // ever carries NULLs (on the all-non-null TPC-H columns it equals
+    // count(*), so the oracle hash is unchanged).
+    val aggs = pairs.flatMap { case (a, b) =>
+      Seq(corr(col(a), col(b)).as(s"${a}__$b"),
+        count(when(col(a).isNotNull && col(b).isNotNull, 1))
+          .cast("double").as(s"n__${a}__$b"))
+    }
     val wide = df.agg(aggs.head, aggs.tail.toSeq: _*)
     val longRows = pairs.map { case (a, b) =>
       val r = col(s"${a}__$b")
+      val n = col(s"n__${a}__$b")
       struct(lit(a).as("var_a"), lit(b).as("var_b"),
         Det.r6(r).as("pearson_r"),
-        Det.r6(r * sqrt((col("n") - lit(2.0)) / (lit(1.0) - r * r)))
+        Det.r6(r * sqrt((n - lit(2.0)) / (lit(1.0) - r * r)))
           .as("t_stat"))
     }
     wide.select(explode(array(longRows: _*)).as("r"))
@@ -461,7 +468,9 @@ object Aggregates {
          FROM x GROUP BY 1""",
     "g10_corr" -> {
       def row(a: String, b: String, label: String) = {
-        val t = s"corr($a, $b) * sqrt((cast(count(*) AS double) - 2.0)" +
+        val n = s"cast(count(CASE WHEN $a IS NOT NULL" +
+          s" AND $b IS NOT NULL THEN 1 END) AS double)"
+        val t = s"corr($a, $b) * sqrt(($n - 2.0)" +
           s" / (1.0 - corr($a, $b) * corr($a, $b)))"
         s"SELECT $label ${Det.sql(s"corr($a, $b)", 6)} AS pearson_r, " +
           s"${Det.sql(t, 6)} AS t_stat FROM lineitem"

@@ -24,8 +24,10 @@ object SkewJoin {
     // rows never reach the output: under right/full outer each
     // unmatched small row would surface once per salt replica.
     val normalized = joinType.toLowerCase.replaceAll("[_ ]", "")
-    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti")
-        .contains(normalized),
+    // "semi"/"anti" are Spark's bare aliases for left_semi/left_anti —
+    // equally replication-safe (only large-side rows can surface).
+    require(Set("inner", "left", "leftouter",
+        "leftsemi", "semi", "leftanti", "anti").contains(normalized),
       s"saltedJoin supports inner/left_outer/left_semi/left_anti, " +
         s"got '$joinType' (small-side replication breaks right/full outer)")
     val saltCol: Column =

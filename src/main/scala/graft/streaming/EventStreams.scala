@@ -21,17 +21,21 @@ import graft.ops.Det
   */
 object EventStreams {
 
+  // events.value is cents-exact (2-dp doubles) → decimal accumulation
+  // (Det.dsum2) makes every sum order-independent: a plain double sum
+  // over ~3k groups is one accumulation-reorder away from crossing a
+  // rounding boundary (the q1 round-1 failure mode).
   private def tumblingAgg(df: DataFrame): DataFrame =
     df.groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        Det.r2(sum("value")).as("sum_value"))
+        Det.dsum2(col("value")).as("sum_value"))
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n_events"), col("sum_value"))
 
   private def slidingAgg(df: DataFrame): DataFrame =
     df.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        Det.r2(sum("value")).as("sum_value"))
+        Det.dsum2(col("value")).as("sum_value"))
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n_events"), col("sum_value"))
 
@@ -62,7 +66,7 @@ object EventStreams {
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
         (max("ts_us") - min("ts_us")).as("duration_us"),
-        Det.r2(sum("value")).as("sum_value"))
+        Det.dsum2(col("value")).as("sum_value"))
   }
 
   /** Structured Streaming twins — same aggregation bodies over a
@@ -84,13 +88,13 @@ object EventStreams {
       s"""SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts))
            AS window_start_us,
          event_type, count(*) AS n_events,
-         ${Det.sql("sum(value)", 2)} AS sum_value
+         ${Det.sqlDsum2("value")} AS sum_value
          FROM events GROUP BY 1, 2""",
     "e2_stream_sliding" ->
       s"""SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts)
              - k.k * INTERVAL '30 minutes') AS window_start_us,
          event_type, count(*) AS n_events,
-         ${Det.sql("sum(value)", 2)} AS sum_value
+         ${Det.sqlDsum2("value")} AS sum_value
          FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
          GROUP BY 1, 2""",
     "e3_stream_session" ->
@@ -112,6 +116,6 @@ object EventStreams {
          SELECT user_id, cast(session_id AS bigint) AS session_id,
            count(*) AS n_events,
            cast(max(ts_us) - min(ts_us) AS bigint) AS duration_us,
-           ${Det.sql("sum(value)", 2)} AS sum_value
+           ${Det.sqlDsum2("value")} AS sum_value
          FROM sessions GROUP BY 1, 2""")
 }
