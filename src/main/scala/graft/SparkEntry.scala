@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.ml.Models
 import graft.multimodal.Multimodal
-import graft.ops.{Aggregates, Joins, Ordering, Relational, Reshape, SqlSurface}
+import graft.ops.{Aggregates, Joins, Ordering, Relational, Reshape,
+  SqlSurface, TemporalJoins}
 import graft.sim.Similarity
 import graft.streaming.EventStreams
 import graft.text.TextAnalysis
@@ -26,6 +27,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Aggregates.queries ++ Joins.queries ++
+      TemporalJoins.queries ++
       Reshape.queries ++ Ordering.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ EventStreams.queries ++
       Models.queries ++ Multimodal.queries ++ SqlSurface.queries
@@ -34,6 +36,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Aggregates.oracle ++ Joins.oracle ++
+      TemporalJoins.oracle ++
       Reshape.oracle ++ Ordering.oracle ++ TextAnalysis.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ EventStreams.oracle ++
       Models.oracle ++ Multimodal.oracle ++ SqlSurface.oracle

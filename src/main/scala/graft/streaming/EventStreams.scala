@@ -78,6 +78,18 @@ object EventStreams {
   def slidingStream(s: SparkSession, dir: String): DataFrame =
     slidingAgg(Tables.eventsStream(s, dir).withWatermark("ts", "1 hour"))
 
+  /** Streaming exact dedup — at-least-once ingestion dedup by
+    * event_id via `dropDuplicatesWithinWatermark`: state holds one
+    * entry per id seen inside the watermark horizon and is evicted as
+    * the watermark advances — bounded state, the streaming twin of
+    * d1's batch dedup. The duplicated input (self-union, every event
+    * arriving twice) models a redelivering source; ScalaTest asserts
+    * the deduped stream carries exactly the batch-distinct count. */
+  def dedupedStream(s: SparkSession, dir: String): DataFrame = {
+    val es = Tables.eventsStream(s, dir).withWatermark("ts", "1 hour")
+    es.union(es).dropDuplicatesWithinWatermark("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_stream_tumbling" -> e1StreamTumbling,
     "e2_stream_sliding" -> e2StreamSliding,

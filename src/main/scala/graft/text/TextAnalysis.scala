@@ -87,11 +87,52 @@ object TextAnalysis {
         .cast("binary")).as("fingerprint"),
       size(array_distinct(tokens)).cast("bigint").as("n_distinct_tokens"))
 
+  /** X6 — corpus curation E2E: the composed filter→dedup pass a
+    * training-data pipeline runs before tokenization — predicted-
+    * language gate (x3's argmax), token-count and quality gates
+    * (x1/x2), then canonical-fingerprint dedup keeping the lowest
+    * doc_id (d1's canonicalization), with the duplicate count kept as
+    * provenance. All gates are codegen'd per-row expressions folded
+    * into the scan; the dedup is ONE `min_by` hash aggregate on the
+    * fingerprint (partial aggregation map-side — no window sort). At
+    * 100 TB: one scan + one hash shuffle, nothing else. */
+  def x6CorpusCuration(s: SparkSession, dir: String): DataFrame = {
+    val n = size(tokens).cast("double")
+    val stopRatio = stopCount(stopEn).cast("double") / n
+    val quality = Det.r4(least(n / 200.0, lit(1.0)) * 0.5
+      + least(stopRatio * 4.0, lit(1.0)) * 0.5)
+    val (en, de, es, fr) =
+      (stopCount(stopEn), stopCount(stopDe), stopCount(stopEs),
+        stopCount(stopFr))
+    val predicted =
+      when(en >= de && en >= es && en >= fr, "en")
+        .when(de >= es && de >= fr, "de")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    val fp = md5(array_join(array_sort(array_distinct(tokens)), " ")
+      .cast("binary"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), n.cast("bigint").as("n_tokens"),
+        quality.as("quality_score"), predicted.as("predicted_lang"),
+        fp.as("fingerprint"))
+      .filter(col("predicted_lang") === "en" &&
+        col("n_tokens") >= 10 && col("quality_score") >= 0.3)
+      .groupBy("fingerprint")
+      .agg(min_by(struct(col("doc_id"), col("n_tokens"),
+          col("quality_score")), col("doc_id")).as("k"),
+        count(lit(1)).as("n_dupes"))
+      .select(col("k.doc_id").as("doc_id"),
+        col("k.n_tokens").as("n_tokens"),
+        col("k.quality_score").as("quality_score"),
+        col("fingerprint"), col("n_dupes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_text_tokens" -> x1TextTokens,
     "x2_text_quality" -> x2TextQuality,
     "x3_text_langid" -> x3TextLangid,
-    "x4_text_fingerprint" -> x4TextFingerprint)
+    "x4_text_fingerprint" -> x4TextFingerprint,
+    "x6_corpus_curation" -> x6CorpusCuration)
 
   val oracle: Map[String, String] = Map(
     "x1_text_tokens" ->
@@ -135,5 +176,35 @@ object TextAnalysis {
          md5(array_to_string(list_sort(list_distinct(
            string_split(text, ' '))), ' ')) AS fingerprint,
          len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
-         FROM documents""")
+         FROM documents""",
+    "x6_corpus_curation" -> {
+      val n = "cast(len(string_split(text, ' ')) AS double)"
+      val stopRatio = s"(cast(len(list_filter(string_split(text, ' '), " +
+        s"t -> t IN ${inList(stopEn)})) AS double) / $n)"
+      val quality = Det.sql(s"least($n / 200.0, 1.0) * 0.5 " +
+        s"+ least($stopRatio * 4.0, 1.0) * 0.5", 4)
+      def cnt(vs: Seq[String]) =
+        s"len(list_filter(string_split(text, ' '), t -> t IN ${inList(vs)}))"
+      val (en, de, es, fr) = (cnt(stopEn), cnt(stopDe), cnt(stopEs),
+        cnt(stopFr))
+      val predicted = s"CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr" +
+        s" THEN 'en' WHEN $de >= $es AND $de >= $fr THEN 'de'" +
+        s" WHEN $es >= $fr THEN 'es' ELSE 'fr' END"
+      s"""WITH scored AS (
+           SELECT doc_id,
+             cast($n AS bigint) AS n_tokens,
+             $quality AS quality_score,
+             $predicted AS predicted_lang,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ')) AS fingerprint
+           FROM documents)
+         SELECT min(doc_id) AS doc_id,
+           arg_min(n_tokens, doc_id) AS n_tokens,
+           arg_min(quality_score, doc_id) AS quality_score,
+           fingerprint, count(*) AS n_dupes
+         FROM scored
+         WHERE predicted_lang = 'en' AND n_tokens >= 10
+           AND quality_score >= 0.3
+         GROUP BY fingerprint"""
+    })
 }

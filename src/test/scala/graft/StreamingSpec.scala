@@ -41,6 +41,22 @@ class StreamingSpec extends SparkTestBase {
     assert(windowed == 2 * events)
   }
 
+  test("streaming dedup: redelivered events collapse to batch-distinct") {
+    val q = EventStreams.dedupedStream(spark, sfSmoke).writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_out")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val events = Tables.events(spark, sfSmoke)
+    // input was doubled (self-union models an at-least-once source);
+    // the deduped stream must carry each event_id exactly once
+    assert(spark.table("dedup_out").count() == events.count())
+    assert(spark.table("dedup_out")
+      .select(countDistinct("event_id")).head().getLong(0)
+      == events.count())
+  }
+
   test("session windows: gaps over 30min split sessions") {
     import spark.implicits._
     val sessions = EventStreams.e3StreamSession(spark, sfSmoke)
