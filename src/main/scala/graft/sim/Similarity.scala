@@ -211,12 +211,36 @@ object Similarity {
         Det.r6(col("cosine")).as("cosine"))
   }
 
+  /** N0 — embedding QA: per-vector dimensionality and L2 norm, the
+    * sanity pass a pipeline runs before any ANN indexing (zero-norm
+    * or wrong-dim vectors break cosine math downstream — FloatCosine
+    * NULLs them, this surfaces them). Pure per-row expressions, no
+    * shuffle: scan-speed at 100 TB. The fold accumulates float→double
+    * in index order — bit-identical to the oracle's list_sum (for the
+    * pair-heavy hot paths the codegen'd FloatCosine expression is the
+    * scale form; one pass per row is fine interpreted). */
+  def n0EmbeddingNorms(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      size(col("embedding")).cast("bigint").as("dim"),
+      Det.r6(sqrt(expr("aggregate(embedding, cast(0.0 AS double), " +
+        "(acc, x) -> acc + cast(x AS double) * cast(x AS double))")))
+        .as("l2_norm"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n0_embedding_norms" -> n0EmbeddingNorms,
     "n1_sim_topk_bruteforce" -> n1SimTopkBruteforce,
     "n2_sim_lsh_topk" -> n2SimLshTopk,
     "n3_sim_ivf_topk" -> n3SimIvfTopk)
 
   val oracle: Map[String, String] = Map(
+    "n0_embedding_norms" ->
+      s"""SELECT vec_id,
+         cast(len(embedding) AS bigint) AS dim,
+         ${Det.sql(
+          "sqrt(list_sum(list_transform(embedding, " +
+            "x -> x::double * x::double)))", 6)} AS l2_norm
+         FROM embeddings""",
     "n1_sim_topk_bruteforce" ->
       s"""WITH e AS (
            SELECT vec_id, embedding,

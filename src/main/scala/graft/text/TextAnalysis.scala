@@ -127,12 +127,27 @@ object TextAnalysis {
         col("fingerprint"), col("n_dupes"))
   }
 
+  /** X7 — vocabulary stats: top-50 tokens by corpus frequency, the
+    * vocab/frequency pass of a tokenizer-training pipeline. explode →
+    * partial+final hash aggregate → TakeOrderedAndProject: the
+    * shuffle carries one row per DISTINCT token per partition (map-
+    * side combine), and the top-k never materializes the full sorted
+    * vocab. Deterministic total order (count desc, token) so the
+    * limit boundary is engine-independent. */
+  def x7TokenVocab(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(50)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_text_tokens" -> x1TextTokens,
     "x2_text_quality" -> x2TextQuality,
     "x3_text_langid" -> x3TextLangid,
     "x4_text_fingerprint" -> x4TextFingerprint,
-    "x6_corpus_curation" -> x6CorpusCuration)
+    "x6_corpus_curation" -> x6CorpusCuration,
+    "x7_token_vocab" -> x7TokenVocab)
 
   val oracle: Map[String, String] = Map(
     "x1_text_tokens" ->
@@ -206,5 +221,12 @@ object TextAnalysis {
          WHERE predicted_lang = 'en' AND n_tokens >= 10
            AND quality_score >= 0.3
          GROUP BY fingerprint"""
-    })
+    },
+    "x7_token_vocab" ->
+      """SELECT token, count(*) AS n_occurrences
+         FROM (SELECT unnest(string_split(text, ' ')) AS token
+               FROM documents)
+         GROUP BY 1
+         ORDER BY 2 DESC, 1
+         LIMIT 50""")
 }
