@@ -93,9 +93,12 @@ object TextAnalysis {
     * (x1/x2), then canonical-fingerprint dedup keeping the lowest
     * doc_id (d1's canonicalization), with the duplicate count kept as
     * provenance. All gates are codegen'd per-row expressions folded
-    * into the scan; the dedup is ONE `min_by` hash aggregate on the
-    * fingerprint (partial aggregation map-side — no window sort). At
-    * 100 TB: one scan + one hash shuffle, nothing else. */
+    * into the scan; the dedup is ONE `min_by` aggregate on the
+    * fingerprint with map-side partials (physical plan is a
+    * SortAggregate — struct buffers aren't hash-mutable — so each
+    * partition sorts its FILTERED rows, but only aggregated partials
+    * cross the single exchange; no full-table window shuffle-sort).
+    * At 100 TB: one scan + one shuffle, nothing else. */
   def x6CorpusCuration(s: SparkSession, dir: String): DataFrame = {
     val n = size(tokens).cast("double")
     val stopRatio = stopCount(stopEn).cast("double") / n
