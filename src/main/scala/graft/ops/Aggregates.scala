@@ -311,6 +311,81 @@ object Aggregates {
         .as("t_stat"))
   }
 
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** M9 — one-way ANOVA F statistic (R:768–772: `lm(등록차량수 ~ 지역)
+    * %>% anova()`, the 3+-category mean-difference test): F =
+    * (SSB/(k−1)) / (SSW/(n−k)) of `value` across event types. ONE
+    * aggregate pass with per-type conditional sums PIVOTED over the
+    * pinned type list (v1's pinned-value pattern: data-independent
+    * schema, no distinct scan), so the cross-group combination is a
+    * FIXED-ORDER arithmetic expression — summing shuffled group rows
+    * would be accumulation-order-dependent (the q1 round-1 failure
+    * mode). Per-type sums accumulate in exact decimal (value is
+    * cents-exact; squares are 4-dp-exact), so every input to the F
+    * formula is bit-reproducible in DuckDB. Scan-shaped: partial+
+    * final hash agg, no extra shuffle. */
+  def m9Anova(s: SparkSession, dir: String): DataFrame = {
+    val aggs = eventTypes.flatMap { t =>
+      val d = when(col("event_type") === t, Det.d2(col("value")))
+      Seq(count(when(col("event_type") === t, 1))
+          .cast("double").as(s"n_$t"),
+        sum(d).cast("double").as(s"s_$t"),
+        sum(when(col("event_type") === t,
+          Det.d2(col("value")) * Det.d2(col("value"))))
+          .cast("double").as(s"q_$t"))
+    }
+    val w = Tables.events(s, dir).agg(aggs.head, aggs.tail: _*)
+    def nc(t: String) = col(s"n_$t")
+    def mc(t: String) = col(s"s_$t") / col(s"n_$t")
+    val n = eventTypes.map(nc).reduce(_ + _)
+    val grand = eventTypes.map(t => col(s"s_$t")).reduce(_ + _) / n
+    val ssb = eventTypes
+      .map(t => nc(t) * (mc(t) - grand) * (mc(t) - grand))
+      .reduce(_ + _)
+    val ssw = eventTypes
+      .map(t => col(s"q_$t") - nc(t) * mc(t) * mc(t))
+      .reduce(_ + _)
+    val k = lit(eventTypes.size.toDouble)
+    w.select(n.cast("bigint").as("n"),
+      lit(eventTypes.size).as("k"),
+      Det.r4((ssb / (k - 1.0)) / (ssw / (n - k))).as("f_stat"))
+  }
+
+  private val qqPs = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+  // N(0,1) inverse CDF at the deciles — constants, identical literals
+  // on both engines (the normal quantile function is not ANSI SQL).
+  private val qqZs = Seq(-1.2815515655446004, -0.8416212335729143,
+    -0.5244005127080407, -0.2533471031357997, 0.0,
+    0.2533471031357997, 0.5244005127080407, 0.8416212335729143,
+    1.2815515655446004)
+
+  /** M9 — Q-Q plot data (R:597, R:646, R:1104 `qqnorm`): sample
+    * deciles of `value` standardized by the exact-decimal mean and
+    * deterministic sample sd, paired with the theoretical N(0,1)
+    * decile quantiles. Standardizing the deciles equals the deciles
+    * of the standardized values (affine monotone map) without a
+    * second pass. One exact-percentile aggregate (approx_percentile
+    * is the 100 TB sketch path, g13). */
+  def m9Qq(s: SparkSession, dir: String): DataFrame = {
+    val agg = Tables.events(s, dir).agg(
+      count(lit(1)).cast("double").as("n"),
+      Det.dsum2(col("value")).as("sy"),
+      sum(Det.d2(col("value")) * Det.d2(col("value")))
+        .cast("double").as("qy"),
+      expr(s"percentile(value, array(${qqPs.mkString(", ")}))").as("qs"))
+    val mean = col("sy") / col("n")
+    val sd = sqrt((col("qy") - col("sy") * col("sy") / col("n"))
+      / (col("n") - 1.0))
+    val pArr = array(qqPs.map(lit): _*)
+    val zArr = array(qqZs.map(lit): _*)
+    agg.select(col("n"), col("sy"), col("qy"),
+        posexplode(col("qs")).as(Seq("i", "q")))
+      .select(element_at(pArr, col("i") + 1).as("p"),
+        Det.r4((col("q") - mean) / sd).as("sample_q"),
+        element_at(zArr, col("i") + 1).as("theoretical_q"))
+  }
+
   /** G13 — the 100 TB approximate path, surfaced explicitly: HLL
     * distinct counts and t-digest quantiles next to their exact
     * counterparts. Exact variants answer the oracle; THESE are what a
@@ -333,6 +408,8 @@ object Aggregates {
     "m9_t_test" -> m9TTest,
     "m9_vif" -> m9Vif,
     "m9_breusch_pagan" -> m9BreuschPagan,
+    "m9_anova" -> m9Anova,
+    "m9_qq" -> m9Qq,
     "g1_agg_sum" -> g1AggSum,
     "g2_group_count" -> g2GroupCount,
     "g3_count_of_counts" -> g3CountOfCounts,
@@ -514,6 +591,53 @@ object Aggregates {
         "cast(count(*) AS double) * (corr(e2, x) * corr(e2, x))", 4)}
            AS bp
          FROM e""",
+    "m9_anova" -> {
+      val ts = eventTypes
+      val aggCols = ts.map { t =>
+        s"""cast(count(CASE WHEN event_type = '$t' THEN 1 END) AS double)
+             AS n_$t,
+           cast(sum(CASE WHEN event_type = '$t'
+             THEN cast(value AS decimal(12,2)) END) AS double) AS s_$t,
+           cast(sum(CASE WHEN event_type = '$t'
+             THEN cast(value AS decimal(12,2))
+                  * cast(value AS decimal(12,2)) END) AS double)
+             AS q_$t"""
+      }.mkString(",\n           ")
+      val nSum = ts.map(t => s"n_$t").mkString(" + ")
+      val sSum = ts.map(t => s"s_$t").mkString(" + ")
+      val ssb = ts.map(t =>
+        s"n_$t * (s_$t / n_$t - grand) * (s_$t / n_$t - grand)")
+        .mkString(" + ")
+      val ssw = ts.map(t =>
+        s"(q_$t - n_$t * (s_$t / n_$t) * (s_$t / n_$t))")
+        .mkString(" + ")
+      s"""WITH w AS (SELECT $aggCols FROM events),
+         g AS (SELECT w.*, ($nSum) AS n_all,
+                 (($sSum) / ($nSum)) AS grand FROM w),
+         h AS (SELECT n_all, ($ssb) AS ssb, ($ssw) AS ssw FROM g)
+         SELECT cast(n_all AS bigint) AS n, 5 AS k,
+           ${Det.sql("(ssb / (5.0 - 1.0)) / (ssw / (n_all - 5.0))", 4)}
+             AS f_stat
+         FROM h"""
+    },
+    "m9_qq" -> {
+      val values = qqPs.zip(qqZs).zipWithIndex.map {
+        case ((p, z), i) => s"(${i + 1}, $p, $z)"
+      }.mkString(", ")
+      s"""WITH a AS (
+           SELECT cast(count(*) AS double) AS n,
+             ${Det.sqlDsum2("value")} AS sy,
+             cast(sum(cast(value AS decimal(12,2))
+               * cast(value AS decimal(12,2))) AS double) AS qy,
+             quantile_cont(value, [${qqPs.mkString(", ")}]) AS qs
+           FROM events)
+         SELECT cast(v.p AS double) AS p,
+           ${Det.sql(
+            "(qs[v.i] - sy / n) / sqrt((qy - sy * sy / n) / (n - 1.0))",
+            4)} AS sample_q,
+           cast(v.z AS double) AS theoretical_q
+         FROM a CROSS JOIN (VALUES $values) v(i, p, z)"""
+    },
     "g11_median" ->
       s"""SELECT ${Det.sql("quantile_cont(o_totalprice, 0.25)", 2)} AS p25,
          ${Det.sql("quantile_cont(o_totalprice, 0.5)", 2)} AS p50,
