@@ -15,8 +15,22 @@ import org.apache.spark.sql.functions.expr
   *    `expr("float_cosine(a, b)")` / SQL both resolve it.
   */
 object GraftFunctions {
+  /** `stopword_count`'s word list arrives as a foldable string
+    * literal (comma-joined) so the function is SQL-addressable; it is
+    * folded into the expression at build time. */
+  private def literalWords(e: Expression): Seq[String] =
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        s.toString.split(",").toSeq
+      case other => throw new IllegalArgumentException(
+        s"stopword_count expects a foldable string word list, got $other")
+    }
+
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "float_cosine" -> (exprs => FloatCosine(exprs(0), exprs(1))))
+    "float_cosine" -> (exprs => FloatCosine(exprs(0), exprs(1))),
+    "token_count" -> (exprs => TokenCount(exprs(0))),
+    "stopword_count" ->
+      (exprs => StopwordCount(exprs(0), literalWords(exprs(1)))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

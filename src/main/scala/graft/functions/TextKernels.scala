@@ -1,0 +1,188 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, NullType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native codegen'd kernels for the text-analysis hot path.
+  *
+  * Why Expressions and not `size(split(...))` / `size(filter(...))`:
+  * Catalyst higher-order functions (ArrayFilter & friends) are
+  * CodegenFallback — any projection containing one drops out of
+  * WholeStageCodegen and evaluates the lambda per token per row, and
+  * `split` additionally materializes a per-row token ARRAY only to
+  * count it. These kernels scan the UTF8 bytes once, allocation-free,
+  * inside WholeStageCodegen — the difference between scan-speed and
+  * lambda-dispatch speed over 100 TB of documents.
+  *
+  * Semantics contract (oracle bit-parity): both kernels reproduce the
+  * single-space regex-split with limit -1 EXACTLY:
+  * `token_count` = (number of 0x20 bytes) + 1 — split on a
+  * single-char pattern keeps empty tokens, so fields = separators + 1
+  * (including leading/trailing/adjacent-space empties);
+  * `stopword_count` counts delimiter-bounded segments byte-equal to a
+  * word in the fixed list (an empty segment never matches — the lists
+  * hold non-empty words). 0x20 never occurs inside a UTF-8 multibyte
+  * sequence, so byte scanning is unicode-safe. Counts are exact
+  * integers — no floating-point parity concerns; the DuckDB oracle
+  * keeps the equivalent `len(string_split(...))` formulations.
+  */
+case class TokenCount(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType | NullType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_count"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    var cnt = 1
+    var i = 0
+    val n = s.numBytes()
+    while (i < n) {
+      if (s.getByte(i) == 0x20.toByte) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    if (child.dataType == NullType) {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      return ev.copy(code =
+        code"""
+           |boolean ${ev.isNull} = true;
+           |int ${ev.value} = 0;
+         """.stripMargin)
+    }
+    nullSafeCodeGen(ctx, ev, s => {
+      val i = ctx.freshName("i")
+      val nb = ctx.freshName("nb")
+      s"""
+         |${ev.value} = 1;
+         |int $nb = $s.numBytes();
+         |for (int $i = 0; $i < $nb; $i++) {
+         |  if ($s.getByte($i) == (byte) 0x20) ${ev.value}++;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenCount = copy(child = newChild)
+}
+
+/** Count of whitespace tokens belonging to a FIXED word list —
+  * `size(filter(split(text, ' '), t -> t IN (...)))` as one
+  * codegen'd byte scan (see the file doc for the contract). The word
+  * list is a construction-time constant (language stopword profiles),
+  * carried as a reference object, compared word-by-word: lists are
+  * 6–8 entries, so linear probing beats hash-set allocation. */
+case class StopwordCount(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType | NullType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "stopword_count"
+
+  @transient private lazy val wordBytes: Array[UTF8String] =
+    words.map(UTF8String.fromString).toArray
+
+  private def segmentMatches(s: UTF8String, start: Int, len: Int): Boolean = {
+    var w = 0
+    while (w < wordBytes.length) {
+      val wd = wordBytes(w)
+      if (wd.numBytes() == len) {
+        var k = 0
+        var eq = true
+        while (eq && k < len) {
+          if (s.getByte(start + k) != wd.getByte(k)) eq = false
+          k += 1
+        }
+        if (eq) return true
+      }
+      w += 1
+    }
+    false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes()
+    var cnt = 0
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.getByte(i) == 0x20.toByte) {
+        if (segmentMatches(s, start, i - start)) cnt += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    if (child.dataType == NullType) {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      return ev.copy(code =
+        code"""
+           |boolean ${ev.isNull} = true;
+           |int ${ev.value} = 0;
+         """.stripMargin)
+    }
+    val wordsRef = ctx.addReferenceObj("stopWords", wordBytes,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, s => {
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val start = ctx.freshName("start")
+      val len = ctx.freshName("len")
+      val w = ctx.freshName("w")
+      val k = ctx.freshName("k")
+      val wd = ctx.freshName("wd")
+      val eq = ctx.freshName("eq")
+      s"""
+         |${ev.value} = 0;
+         |int $nb = $s.numBytes();
+         |int $start = 0;
+         |for (int $i = 0; $i <= $nb; $i++) {
+         |  if ($i == $nb || $s.getByte($i) == (byte) 0x20) {
+         |    int $len = $i - $start;
+         |    for (int $w = 0; $w < $wordsRef.length; $w++) {
+         |      org.apache.spark.unsafe.types.UTF8String $wd = $wordsRef[$w];
+         |      if ($wd.numBytes() == $len) {
+         |        boolean $eq = true;
+         |        for (int $k = 0; $eq && $k < $len; $k++) {
+         |          if ($s.getByte($start + $k) != $wd.getByte($k)) {
+         |            $eq = false;
+         |          }
+         |        }
+         |        if ($eq) { ${ev.value}++; break; }
+         |      }
+         |    }
+         |    $start = $i + 1;
+         |  }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): StopwordCount = copy(child = newChild)
+}

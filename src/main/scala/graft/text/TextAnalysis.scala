@@ -3,20 +3,31 @@ package graft.text
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.GraftFunctions
 import graft.ops.Det
 
 /** Text-analysis operators over the `documents` table — the
   * training-data-pipeline extension layer (north-star §7 phase 4; the
   * reference itself has no text ops beyond `str_pad`/glue, R:306).
   *
-  * All ops are pure per-row expressions (split / higher-order array
-  * functions / regexp) — fully codegen'd, no shuffle, no UDF: at
-  * 100 TB these run at parquet-scan speed. Token arrays are computed
-  * once per expression tree; Spark CSE collapses repeated `split`s.
-  */
+  * All ops are pure per-row expressions, no shuffle, no UDF: at
+  * 100 TB these run at parquet-scan speed. The token/stopword COUNTS
+  * on the hot path are graft's native codegen'd kernels
+  * ([[graft.functions.TokenCount]]/[[graft.functions.StopwordCount]]
+  * — Catalyst higher-order functions like `filter(split(...))` are
+  * CodegenFallback and would drop these projections out of
+  * WholeStageCodegen); ops needing the actual token ARRAY (x4's
+  * canonical fingerprint, x7's explode) keep `split`. */
 object TextAnalysis {
 
   private val tokens = split(col("text"), " ")
+
+  /** Kernel-equality contract: `token_count(text)` ==
+    * `size(split(text, ' '))` and `stopword_count(text, ws)` ==
+    * `size(filter(split(text, ' '), t -> t IN ws))` — byte-for-byte
+    * split semantics, asserted in TextKernelsSpec; the DuckDB oracles
+    * keep the equivalent `string_split` formulations. */
+  private val nTokens = expr("token_count(text)")
 
   /** English-ish stopword list (subset present in the synthetic vocab). */
   private val stopEn = Seq("the", "a", "and", "of", "to", "in", "is", "on")
@@ -27,25 +38,29 @@ object TextAnalysis {
   private def inList(vs: Seq[String]): String =
     vs.map(v => s"'$v'").mkString("(", ", ", ")")
 
-  /** Count of tokens belonging to a fixed set, as a codegen'd
-    * higher-order filter (no explode, no shuffle). */
+  /** Count of tokens belonging to a fixed set — the codegen'd
+    * StopwordCount kernel (no array materialization, no lambda
+    * dispatch, no shuffle). */
   private def stopCount(vs: Seq[String]): org.apache.spark.sql.Column =
-    expr(s"size(filter(split(text, ' '), t -> t IN ${inList(vs)}))")
+    expr(s"stopword_count(text, '${vs.mkString(",")}')")
 
   /** X1 — token counting: whitespace tokens + regex (BPE-ish
     * word/number/symbol) tokens. */
-  def x1TextTokens(s: SparkSession, dir: String): DataFrame =
+  def x1TextTokens(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     Tables.documents(s, dir).select(
       col("doc_id"),
-      size(tokens).cast("bigint").as("n_ws_tokens"),
+      nTokens.cast("bigint").as("n_ws_tokens"),
       size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
         .cast("bigint").as("n_word_tokens"))
+  }
 
   /** X2 — quality scoring: length, token stats, stopword ratio, and a
     * composite quality score. Single-space-joined text means total
     * token chars = length - (n-1). */
   def x2TextQuality(s: SparkSession, dir: String): DataFrame = {
-    val n = size(tokens).cast("double")
+    GraftFunctions.register(s)
+    val n = nTokens.cast("double")
     val stopRatio = stopCount(stopEn).cast("double") / n
     val avgTokLen = (length(col("text")).cast("double") - n + 1.0) / n
     Tables.documents(s, dir).select(
@@ -63,6 +78,7 @@ object TextAnalysis {
     * the operator, not accuracy). Deterministic argmax with fixed
     * tiebreak order en > de > es > fr. */
   def x3TextLangid(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
     val (en, de, es, fr) =
       (stopCount(stopEn), stopCount(stopDe), stopCount(stopEs),
         stopCount(stopFr))
@@ -100,7 +116,8 @@ object TextAnalysis {
     * cross the single exchange; no full-table window shuffle-sort).
     * At 100 TB: one scan + one shuffle, nothing else. */
   def x6CorpusCuration(s: SparkSession, dir: String): DataFrame = {
-    val n = size(tokens).cast("double")
+    GraftFunctions.register(s)
+    val n = nTokens.cast("double")
     val stopRatio = stopCount(stopEn).cast("double") / n
     val quality = Det.r4(least(n / 200.0, lit(1.0)) * 0.5
       + least(stopRatio * 4.0, lit(1.0)) * 0.5)

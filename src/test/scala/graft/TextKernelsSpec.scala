@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+import graft.text.TextAnalysis
+
+/** The codegen'd text kernels must agree byte-for-byte with the
+  * split/filter formulations they replace — on the real corpus AND on
+  * the split-semantics edge cases (empty string, leading/trailing/
+  * adjacent delimiters, unicode, null). */
+class TextKernelsSpec extends SparkTestBase {
+
+  private lazy val edges = {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq("", " ", "a", "a b", "a  b", " a b ", "the", "the the  the",
+      "thé the", "한국어 the 텍스트", "a,b the", "la le la")
+      .toDF("text")
+  }
+
+  test("token_count == size(split) on corpus and edges") {
+    GraftFunctions.register(spark)
+    val corpus = Tables.documents(spark, sfTest)
+      .select(expr("token_count(text)").as("k"),
+        size(split(col("text"), " ")).as("h"))
+    assert(corpus.filter(col("k") =!= col("h")).count() == 0)
+    val edge = edges.select(expr("token_count(text)").as("k"),
+      size(split(col("text"), " ")).as("h"))
+    assert(edge.filter(col("k") =!= col("h")).count() == 0)
+    // null propagates
+    import spark.implicits._
+    val nulls = Seq[Option[String]](None).toDF("text")
+      .select(expr("token_count(text)").as("k"))
+    assert(nulls.head().isNullAt(0))
+  }
+
+  test("stopword_count == size(filter(split)) on corpus and edges") {
+    GraftFunctions.register(spark)
+    def hof(ws: Seq[String]) = expr(
+      s"size(filter(split(text, ' '), t -> t IN " +
+        ws.map(w => s"'$w'").mkString("(", ", ", ")") + "))")
+    val lists = Seq(
+      Seq("the", "a", "and", "of", "to", "in", "is", "on"),
+      Seq("le", "la", "les", "et", "un", "une"))
+    for (ws <- lists) {
+      val kernel = expr(s"stopword_count(text, '${ws.mkString(",")}')")
+      val corpus = Tables.documents(spark, sfTest)
+        .select(kernel.as("k"), hof(ws).as("h"))
+      assert(corpus.filter(col("k") =!= col("h")).count() == 0,
+        s"corpus mismatch for $ws")
+      val edge = edges.select(kernel.as("k"), hof(ws).as("h"))
+      assert(edge.filter(col("k") =!= col("h")).count() == 0,
+        s"edge mismatch for $ws")
+    }
+  }
+
+  test("x2 projection stays inside WholeStageCodegen with the kernels") {
+    val plan = TextAnalysis.x2TextQuality(spark, sfTest)
+      .queryExecution.executedPlan.toString
+    // a CodegenFallback HOF would print the Project without the
+    // WholeStageCodegen '*(n)' marker (as n0's aggregate-HOF plan does)
+    assert(plan.contains("*(1) Project"), s"expected codegen'd plan:\n$plan")
+  }
+}
