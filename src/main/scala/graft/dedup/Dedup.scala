@@ -83,6 +83,55 @@ object Dedup {
   def d2DedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     d2Impl(s, dir, cap = Int.MaxValue)
 
+  /** D6 — near-dup CLUSTERS: connected components over the d2 pair
+    * graph via min-label propagation, emitting every document's
+    * canonical representative (its component's minimum doc_id) — the
+    * keep-list stage that turns pairwise near-dup evidence into an
+    * actual dedup decision (keep `doc_id == rep`, drop the rest).
+    *
+    * rep ← min(rep, min of neighbors' rep) until fixpoint:
+    * O(component diameter) rounds, each ONE keyed join + hash agg —
+    * the standard Spark shape for iterative graph algorithms. Eager
+    * `localCheckpoint` pins the edge set (so d2 runs ONCE) and each
+    * round's labels (so lineage doesn't grow with iterations — an
+    * unbounded iterative plan is its own scale-killer). Near-dup
+    * components are overwhelmingly tiny (pairs/triangles → 2–3
+    * rounds); for adversarial long chains this loop is where the
+    * large-star/small-star contraction (Kiveris et al. 2014,
+    * "Connected components in MapReduce and beyond") would slot in.
+    * Oracle: DuckDB recursive-CTE reachability closure + min. */
+  def d6DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d2DedupNgramJaccard(s, dir).select("doc_a", "doc_b")
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = Tables.documents(s, dir)
+      .select(col("doc_id"), col("doc_id").as("rep"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("rep")), "dst")
+        .groupBy("src").agg(min("rep").as("nbr_rep"))
+        .withColumnRenamed("src", "doc_id")
+      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("nbr_rep"), col("rep")))
+            .as("rep"))
+        .localCheckpoint(true)
+      converged = updated
+        .join(labels.withColumnRenamed("rep", "prev"), "doc_id")
+        .filter(col("rep") =!= col("prev")).isEmpty
+      labels = updated
+      rounds += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"d6 label propagation did not converge in $rounds rounds")
+    labels
+  }
+
   /** D2b — d2 with the hot-shingle guard on (see above). */
   def d2bDedupNgramCapped(s: SparkSession, dir: String): DataFrame =
     d2Impl(s, dir, cap = 1000)
@@ -330,9 +379,27 @@ object Dedup {
     "d1_dedup_exact" -> d1DedupExact,
     "d2_dedup_ngram_jaccard" -> d2DedupNgramJaccard,
     "d2b_dedup_ngram_capped" -> d2bDedupNgramCapped,
+    "d6_dedup_clusters" -> d6DedupClusters,
     "d3_dedup_minhash_lsh" -> d3DedupMinhashLsh,
     "d4_dedup_simhash" -> d4DedupSimhash,
     "d5_dedup_embedding" -> d5DedupEmbedding)
+
+  /** Shared d2 shingle/pair CTEs (reused verbatim by the d6 cluster
+    * oracle so both gates derive from the identical pair graph). */
+  private val d2PairCtes =
+    """w AS (
+           SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i+1] || ' ' ||
+                  string_split(text, ' ')[i+2])) AS sh
+           FROM documents),
+         sh_e AS (SELECT doc_id, unnest(sh) AS s FROM w),
+         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 count(*) AS shared
+               FROM sh_e a JOIN sh_e b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2),
+         n AS (SELECT doc_id, len(sh) AS n FROM w)"""
 
   /** DuckDB mirrors. d3/d4 are hash-scheme-specific → rows-only. */
   val oracle: Map[String, String] = Map(
@@ -343,24 +410,26 @@ object Dedup {
          count(DISTINCT md5(text)) AS n_exact_variants
          FROM documents GROUP BY 1""",
     "d2_dedup_ngram_jaccard" ->
-      s"""WITH w AS (
-           SELECT doc_id, list_distinct(list_transform(
-             range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
-             i -> string_split(text, ' ')[i] || ' ' ||
-                  string_split(text, ' ')[i+1] || ' ' ||
-                  string_split(text, ' ')[i+2])) AS sh
-           FROM documents),
-         e AS (SELECT doc_id, unnest(sh) AS s FROM w),
-         p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 count(*) AS shared
-               FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
-               GROUP BY 1, 2),
-         n AS (SELECT doc_id, len(sh) AS n FROM w)
+      s"""WITH $d2PairCtes
          SELECT doc_a, doc_b,
            ${Det.sql("shared / (na.n + nb.n - shared)", 4)} AS jaccard
          FROM p JOIN n na ON na.doc_id = doc_a
                 JOIN n nb ON nb.doc_id = doc_b
          WHERE shared / (na.n + nb.n - shared) >= 0.4""",
+    "d6_dedup_clusters" ->
+      s"""WITH RECURSIVE $d2PairCtes,
+         dup AS (SELECT doc_a, doc_b
+                 FROM p JOIN n na ON na.doc_id = doc_a
+                        JOIN n nb ON nb.doc_id = doc_b
+                 WHERE shared / (na.n + nb.n - shared) >= 0.4),
+         ed AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+                UNION ALL
+                SELECT doc_b AS src, doc_a AS dst FROM dup),
+         reach AS (SELECT doc_id AS a, doc_id AS b FROM documents
+                   UNION
+                   SELECT r.a, ed.dst AS b
+                   FROM reach r JOIN ed ON r.b = ed.src)
+         SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY 1""",
     "d5_dedup_embedding" ->
       s"""WITH e AS (
            SELECT vec_id, embedding,

@@ -34,6 +34,29 @@ class DedupSimSpec extends SparkTestBase {
     assert(joined.filter(col("jaccard") =!= col("j_exact")).count() == 0)
   }
 
+  test("d6 clusters: paired docs share a rep, reps are component minima") {
+    val labels = Dedup.d6DedupClusters(spark, sfTest)
+    val docs = Tables.documents(spark, sfTest).count()
+    assert(labels.count() == docs)
+    val rep = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every near-dup pair landed in one component
+    val pairs = pairSet(Dedup.d2DedupNgramJaccard(spark, sfTest),
+      "doc_a", "doc_b")
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(rep(a) == rep(b), s"pair ($a,$b) split across components")
+    }
+    // a rep is a member of its own component and is its minimum
+    rep.groupBy(_._2).foreach { case (r, members) =>
+      assert(members.keys.min == r, s"component $r has smaller member")
+    }
+    // keep-list: docs untouched by any pair keep themselves
+    val inPairs = pairs.flatMap(p => Seq(p._1, p._2))
+    rep.foreach { case (d, r) =>
+      if (!inPairs.contains(d)) assert(r == d)
+    }
+  }
+
   test("d4 simhash finds near-identical documents") {
     val pairs = Dedup.d4DedupSimhash(spark, sfTest)
     assert(pairs.count() > 0)
