@@ -386,6 +386,45 @@ object Aggregates {
         element_at(zArr, col("i") + 1).as("theoretical_q"))
   }
 
+  /** G14 — hierarchical rollup totals: the (status, priority) lattice
+    * with subtotals and a grand total in ONE pass (`rollup` expands to
+    * grouping sets inside a single Expand + hash aggregate — no
+    * N-query union). Sums accumulate in exact decimal (order-free);
+    * `grouping_id` disambiguates levels with the same bit convention
+    * both engines use (first listed column = MSB). */
+  def g14Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.dsum2(col("o_totalprice")).as("sum_total"),
+        grouping_id().cast("bigint").as("level"))
+
+  /** W1 — per-key running window analytics (the reference's
+    * grouped-mutate shape, R:417–429 `group_by %>% mutate`): per
+    * customer, order sequence number, running revenue total, and a
+    * 3-order trailing mean, all over ONE window sort (a single
+    * shuffle on o_custkey; frames differ, sort is shared). Running
+    * decimal sums are exact at every prefix, and the frame order
+    * (date, orderkey) is a total order — so every row is
+    * deterministic despite being a running (not global) aggregate.
+    * The trailing mean divides explicit sum/count (decimal `avg`
+    * result types differ between engines). */
+  def w1RunningWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val run = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val last3 = w.rowsBetween(-2, 0)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        row_number().over(w).as("order_seq"),
+        sum(Det.d2(col("o_totalprice"))).over(run)
+          .cast("double").as("running_total"),
+        Det.r4(sum(Det.d2(col("o_totalprice"))).over(last3)
+            .cast("double")
+          / count(lit(1)).over(last3).cast("double")).as("trailing_avg3"))
+  }
+
   /** G13 — the 100 TB approximate path, surfaced explicitly: HLL
     * distinct counts and t-digest quantiles next to their exact
     * counterparts. Exact variants answer the oracle; THESE are what a
@@ -410,6 +449,8 @@ object Aggregates {
     "m9_breusch_pagan" -> m9BreuschPagan,
     "m9_anova" -> m9Anova,
     "m9_qq" -> m9Qq,
+    "g14_rollup" -> g14Rollup,
+    "w1_running_window" -> w1RunningWindow,
     "g1_agg_sum" -> g1AggSum,
     "g2_group_count" -> g2GroupCount,
     "g3_count_of_counts" -> g3CountOfCounts,
@@ -638,6 +679,31 @@ object Aggregates {
            cast(v.z AS double) AS theoretical_q
          FROM a CROSS JOIN (VALUES $values) v(i, p, z)"""
     },
+    "g14_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         ${Det.sqlDsum2("o_totalprice")} AS sum_total,
+         cast(GROUPING(o_orderstatus, o_orderpriority) AS bigint) AS level
+         FROM orders
+         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "w1_running_window" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderdate,
+         cast(row_number() OVER w AS int) AS order_seq,
+         cast(sum(cast(o_totalprice AS decimal(12,2))) OVER wrun
+           AS double) AS running_total,
+         ${Det.sql(
+          "cast(sum(cast(o_totalprice AS decimal(12,2))) OVER w3 " +
+            "AS double) / cast(count(*) OVER w3 AS double)", 4)}
+           AS trailing_avg3
+         FROM orders
+         WINDOW
+           w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey),
+           wrun AS (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w3 AS (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
     "g11_median" ->
       s"""SELECT ${Det.sql("quantile_cont(o_totalprice, 0.25)", 2)} AS p25,
          ${Det.sql("quantile_cont(o_totalprice, 0.5)", 2)} AS p50,
