@@ -47,9 +47,14 @@ object GraftFunctions {
 /** SparkSessionExtensions entry point (spark.sql.extensions=
   * graft.functions.GraftExtensions). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private val infoClass: Map[String, String] = Map(
+    "float_cosine" -> classOf[FloatCosine].getName,
+    "token_count" -> classOf[TokenCount].getName,
+    "stopword_count" -> classOf[StopwordCount].getName)
+
   override def apply(e: SparkSessionExtensions): Unit =
     GraftFunctions.functions.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(classOf[FloatCosine].getName, name), builder))
+        new ExpressionInfo(infoClass(name), name), builder))
     }
 }

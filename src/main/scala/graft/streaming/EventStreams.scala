@@ -90,6 +90,35 @@ object EventStreams {
     es.union(es).dropDuplicatesWithinWatermark("event_id")
   }
 
+  /** Stream-stream interval join — the streaming twin of the
+    * TemporalJoins.j6 trailing-window semantics: each 'error' joins
+    * the same user's 'click's from the preceding 10 minutes. The
+    * watermarks on BOTH sides plus the event-time range condition are
+    * what make the join state BOUNDED: Spark evicts buffered rows
+    * once the watermark passes the range — without them a
+    * stream-stream join would buffer both streams forever. Inner
+    * join → matches emit immediately (append mode), no
+    * watermark-delayed output. ScalaTest asserts exact pair parity
+    * with the batch inequality join. */
+  def intervalJoinStream(s: SparkSession, dir: String): DataFrame = {
+    val clicks = Tables.eventsStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val errors = Tables.eventsStream(s, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"),
+        col("user_id").as("e_user"), col("ts").as("error_ts"))
+      .withWatermark("error_ts", "1 hour")
+    errors.join(clicks,
+        col("e_user") === col("c_user") &&
+          col("click_ts") > col("error_ts") - expr("INTERVAL 10 MINUTES") &&
+          col("click_ts") <= col("error_ts"))
+      .select(col("error_id"), col("click_id"),
+        col("e_user").as("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_stream_tumbling" -> e1StreamTumbling,
     "e2_stream_sliding" -> e2StreamSliding,

@@ -13,7 +13,9 @@ object ExplainAudit {
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("f1_filter_eq", "g1_agg_sum", "j1_join_facts",
         "j2_join_dims", "j3_anti_join", "v1_pivot", "o2_limit",
-        "e1_stream_tumbling", "d2_dedup_ngram_jaccard")
+        "e1_stream_tumbling", "d2_dedup_ngram_jaccard",
+        "j5_asof_join", "j6_range_join", "x6_corpus_curation",
+        "x7_token_vocab", "g14_rollup", "w1_running_window")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
