@@ -54,6 +54,33 @@ class TextKernelsSpec extends SparkTestBase {
     }
   }
 
+  test("kernels == HOF on 200 seeded random strings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.apply(Gen.Parameters.default.withSize(40), Seed(seed))
+        .getOrElse(sys.error(s"gen failed for seed $seed"))
+    val tokenGen = Gen.oneOf("the", "a", "la", "le", "und", "한국어",
+      "thé", "x1", "", "on", "que", "theon", "a,b")
+    val textGen = for {
+      toks <- Gen.listOf(tokenGen)
+      lead <- Gen.oneOf("", " ", "  ")
+      trail <- Gen.oneOf("", " ")
+    } yield lead + toks.mkString(" ") + trail
+    val texts = (1L to 200L).map(s => sample(textGen, s))
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val en = Seq("the", "a", "and", "of", "to", "in", "is", "on")
+    val cmp = texts.toDF("text").select(
+      expr("token_count(text)").as("tk"),
+      size(split(col("text"), " ")).as("th"),
+      expr(s"stopword_count(text, '${en.mkString(",")}')").as("sk"),
+      expr(s"size(filter(split(text, ' '), t -> t IN " +
+        en.map(w => s"'$w'").mkString("(", ", ", ")") + "))").as("sh"))
+    assert(cmp.filter(col("tk") =!= col("th")
+      || col("sk") =!= col("sh")).count() == 0)
+  }
+
   test("x2 projection stays inside WholeStageCodegen with the kernels") {
     val plan = TextAnalysis.x2TextQuality(spark, sfTest)
       .queryExecution.executedPlan.toString
