@@ -27,4 +27,23 @@ object CsvIO {
 
   def readParquet(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
+
+  /** Hive-partitioned parquet sink — the dominant I/O lever at
+    * 100 TB: a scan with a partition-key predicate reads ONLY the
+    * matching directories (partition pruning, visible as
+    * `PartitionFilters` in the scan node), so a day query over a
+    * day-partitioned fact table touches one directory instead of the
+    * whole table. Optional `sortCols` sorts within each output file
+    * so parquet row-group min/max stats additionally skip pages for
+    * range predicates on those columns (data skipping below the
+    * partition grain). Partition columns should be low-cardinality —
+    * one directory (and at least one file) per value. */
+  def writePartitioned(df: DataFrame, path: String,
+      partCols: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    val sorted =
+      if (sortCols.isEmpty) df
+      else df.sortWithinPartitions(sortCols.map(df.col): _*)
+    sorted.write.mode("overwrite")
+      .partitionBy(partCols: _*).parquet(path)
+  }
 }

@@ -29,6 +29,29 @@ class SourcesSessionSpec extends SparkTestBase {
     assert(src.exceptAll(back).count() == 0)
   }
 
+  test("s7: partitioned write prunes partitions on read") {
+    val src = Tables.orders(spark, sfSmoke)
+    val dir = Files.createTempDirectory("graft_part").toString
+    CsvIO.writePartitioned(src, dir,
+      partCols = Seq("o_orderstatus"), sortCols = Seq("o_orderdate"))
+    // hive layout: one directory per status value
+    val subdirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(subdirs.exists(_.startsWith("o_orderstatus=")))
+    // round trip (partition col comes back, possibly reordered)
+    val back = CsvIO.readParquet(spark, dir)
+      .select(src.columns.map(col).toIndexedSeq: _*)
+    assert(back.exceptAll(src).count() == 0)
+    assert(src.exceptAll(back).count() == 0)
+    // a partition-key predicate must prune at the scan, not filter rows
+    val pruned = CsvIO.readParquet(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+    val scanLine = pruned.queryExecution.executedPlan.toString
+    assert(scanLine.contains("PartitionFilters"), scanLine)
+    assert(pruned.count() ==
+      src.filter(col("o_orderstatus") === "F").count())
+  }
+
   test("merge(): gap splits, accumulation, and open-session carry") {
     val ev = (ts: Long) => SessionEvent(1L, ts, ts, 1.0)
     val (closed, open) = Sessionize.merge(1L,
