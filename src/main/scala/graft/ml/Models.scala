@@ -121,7 +121,19 @@ object Models {
     val coefRows = lrm.coefficients.toArray.zipWithIndex.map {
       case (c, i) => (s"coef_$i", c)
     }.toSeq :+ ("intercept" -> lrm.intercept)
-    kv(s, coefRows ++ metricsOf(pred))
+    // summary(lm)'s inference columns (reference prints them at every
+    // model checkpoint, R:593–619): exact std errors / t-values from
+    // the normal-equation solver's (X'X)⁻¹ (intercept LAST in
+    // spark.ml's convention).
+    val ses = lrm.summary.coefficientStandardErrors
+    val ts = lrm.summary.tValues
+    val seRows = ses.dropRight(1).zipWithIndex.map {
+      case (v, i) => (s"se_$i", v)
+    }.toSeq :+ ("se_intercept" -> ses.last)
+    val tRows = ts.dropRight(1).zipWithIndex.map {
+      case (v, i) => (s"t_$i", v)
+    }.toSeq :+ ("t_intercept" -> ts.last)
+    kv(s, coefRows ++ seRows ++ tRows ++ metricsOf(pred))
   }
 
   /** M4+M10 — LASSO with cross-validated regularization path

@@ -399,6 +399,16 @@ object Aggregates {
         Det.dsum2(col("o_totalprice")).as("sum_total"),
         grouping_id().cast("bigint").as("level"))
 
+  /** G15 — full cube over (status, priority): all four grouping sets
+    * (detail, each one-way margin, grand total) in the same
+    * single-pass Expand + hash-aggregate shape as g14's rollup. */
+  def g15Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        Det.dsum2(col("o_totalprice")).as("sum_total"),
+        grouping_id().cast("bigint").as("level"))
+
   /** W1 — per-key running window analytics (the reference's
     * grouped-mutate shape, R:417–429 `group_by %>% mutate`): per
     * customer, order sequence number, running revenue total, and a
@@ -450,6 +460,7 @@ object Aggregates {
     "m9_anova" -> m9Anova,
     "m9_qq" -> m9Qq,
     "g14_rollup" -> g14Rollup,
+    "g15_cube" -> g15Cube,
     "w1_running_window" -> w1RunningWindow,
     "g1_agg_sum" -> g1AggSum,
     "g2_group_count" -> g2GroupCount,
@@ -685,6 +696,12 @@ object Aggregates {
          cast(GROUPING(o_orderstatus, o_orderpriority) AS bigint) AS level
          FROM orders
          GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "g15_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+         ${Det.sqlDsum2("o_totalprice")} AS sum_total,
+         cast(GROUPING(o_orderstatus, o_orderpriority) AS bigint) AS level
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
     "w1_running_window" ->
       s"""SELECT o_orderkey, o_custkey, o_orderdate,
          cast(row_number() OVER w AS int) AS order_seq,

@@ -16,6 +16,17 @@ class MlMultimodalSpec extends SparkTestBase {
     assert(out("rmse") >= 0 && !out("rmse").isNaN)
     assert(out("r2") <= 1.0 + 1e-9)
     assert(out("mape") >= 0)
+    // inference columns: t must equal coef/se (summary(lm) contract)
+    out.keys.filter(_.startsWith("coef_")).foreach { k =>
+      val i = k.stripPrefix("coef_")
+      val (se, t) = (out(s"se_$i"), out(s"t_$i"))
+      assert(se > 0, s"se_$i not positive")
+      // summary's tValues come from the solver's internal precision —
+      // consistent with coef/se to ~1e-5 relative, not bit-equal
+      assert(math.abs(t - out(k) / se) < 1e-4 * math.max(1.0, math.abs(t)),
+        s"t_$i inconsistent with coef/se")
+    }
+    assert(out("se_intercept") > 0 && !out("t_intercept").isNaN)
   }
 
   test("m1 PCA explains decreasing variance over 3 components") {
