@@ -25,6 +25,18 @@ class OperatorSpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracle entries without queries: $missing")
   }
 
+  test("rollup/cube plans: one Expand + one exchange, never a union") {
+    for (q <- Seq("g14_rollup", "g15_cube")) {
+      val plan = SparkEntry.queries(q)(spark, sfSmoke)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Expand"), s"$q missing Expand:\n$plan")
+      assert("Exchange".r.findAllIn(plan).size == 1,
+        s"$q should shuffle exactly once:\n$plan")
+      assert(!plan.contains("Union"),
+        s"$q grouping sets must not plan as a union:\n$plan")
+    }
+  }
+
   test("entry (flagship) returns the 6 returnflag×linestatus groups") {
     val rows = SparkEntry.entry(spark).collect()
     assert(rows.length > 0 && rows.length <= 6)
