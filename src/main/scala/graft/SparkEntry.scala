@@ -6,6 +6,7 @@ import graft.ml.Models
 import graft.multimodal.Multimodal
 import graft.ops.{Aggregates, Joins, Ordering, Relational, Reshape,
   SqlSurface, TemporalJoins}
+import graft.plans.TopK
 import graft.sim.Similarity
 import graft.streaming.EventStreams
 import graft.text.TextAnalysis
@@ -30,7 +31,8 @@ object SparkEntry {
       TemporalJoins.queries ++
       Reshape.queries ++ Ordering.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ EventStreams.queries ++
-      Models.queries ++ Multimodal.queries ++ SqlSurface.queries
+      Models.queries ++ Multimodal.queries ++ SqlSurface.queries ++
+      TopK.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +41,6 @@ object SparkEntry {
       TemporalJoins.oracle ++
       Reshape.oracle ++ Ordering.oracle ++ TextAnalysis.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ EventStreams.oracle ++
-      Models.oracle ++ Multimodal.oracle ++ SqlSurface.oracle
+      Models.oracle ++ Multimodal.oracle ++ SqlSurface.oracle ++
+      TopK.oracle
 }
