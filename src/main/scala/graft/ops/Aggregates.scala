@@ -171,6 +171,25 @@ object Aggregates {
       .select("r.var_a", "r.var_b", "r.pearson_r", "r.t_stat")
   }
 
+  /** G10b — the full cor.test surface (R:739): Pearson r, t statistic
+    * AND two-sided p-value. The p needs the Student-t CDF — a special
+    * function neither engine has built in, so it runs as a scalar UDF
+    * over graft.ml.Stats (justified per the §7 ladder: no expression
+    * composes an incomplete beta) applied to the 3-row aggregate
+    * output, and the query is rows-only-gated with StatsSpec pinning
+    * the CDF against closed forms. Plan cost over g10: one extra
+    * projection on 3 rows. */
+  def g10bCorrTest(s: SparkSession, dir: String): DataFrame = {
+    val p = udf((t: Double, n: Double) =>
+      graft.ml.Stats.tTwoSidedP(t, n - 2.0))
+    g10Corr(s, dir)
+      .join(
+        Tables.lineitem(s, dir).agg(
+          count(lit(1)).cast("double").as("n_obs")))
+      .withColumn("p_value", p(col("t_stat"), col("n_obs")))
+      .select("var_a", "var_b", "pearson_r", "t_stat", "p_value")
+  }
+
   /** M9 — variance inflation factors (R:527–531 `vif(model)`,
     * R:613–614): VIF_j = 1/(1−R²_j) of the auxiliary regression of
     * feature j on the remaining features. For the 3-feature surface
@@ -472,6 +491,7 @@ object Aggregates {
     "g8_describe" -> g8Describe,
     "g9_weighted_mean" -> g9WeightedMean,
     "g10_corr" -> g10Corr,
+    "g10b_corr_test" -> g10bCorrTest,
     "g11_median" -> g11Median)
 
   private val ordersCols =

@@ -1,0 +1,71 @@
+package graft
+
+import graft.ml.Stats
+
+/** Pins the special-function kernels against exact closed forms —
+  * self-contained ground truth, no external stats library needed. */
+class StatsSpec extends SparkTestBase {
+
+  private def rel(a: Double, b: Double) =
+    math.abs(a - b) / math.max(1e-300, math.abs(b))
+
+  test("lnGamma matches factorials and the half-integer closed form") {
+    // Γ(n) = (n−1)!
+    assert(rel(math.exp(Stats.lnGamma(5.0)), 24.0) < 1e-12)
+    assert(rel(math.exp(Stats.lnGamma(10.0)), 362880.0) < 1e-12)
+    // Γ(1/2) = √π
+    assert(rel(math.exp(Stats.lnGamma(0.5)), math.sqrt(math.Pi)) < 1e-12)
+    // Γ(3/2) = √π/2
+    assert(rel(math.exp(Stats.lnGamma(1.5)), math.sqrt(math.Pi) / 2) < 1e-12)
+  }
+
+  test("I_x(1/2,1/2) equals the arcsine law") {
+    for (x <- Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)) {
+      val exact = 2.0 / math.Pi * math.asin(math.sqrt(x))
+      assert(rel(Stats.regIncompleteBeta(0.5, 0.5, x), exact) < 1e-12,
+        s"x=$x")
+    }
+  }
+
+  test("t p-value matches the df=1 Cauchy closed form") {
+    // P(|T|>t) = 1 − (2/π)·atan(t) for t ≥ 0
+    for (t <- Seq(0.1, 0.5, 1.0, 2.0, 5.0, 20.0)) {
+      val exact = 1.0 - 2.0 / math.Pi * math.atan(t)
+      assert(rel(Stats.tTwoSidedP(t, 1.0), exact) < 1e-12, s"t=$t")
+    }
+  }
+
+  test("t p-value matches the df=2 closed form") {
+    // P(|T|>t) = 1 − t/√(2+t²)
+    for (t <- Seq(0.1, 0.5, 1.0, 2.0, 5.0, 20.0)) {
+      val exact = 1.0 - t / math.sqrt(2.0 + t * t)
+      assert(rel(Stats.tTwoSidedP(t, 2.0), exact) < 1e-12, s"t=$t")
+    }
+  }
+
+  test("t p-value approaches the normal limit at large df") {
+    // two-sided normal p at z=1.96 ≈ 0.05 (and t(1e7) ≈ normal)
+    val p = Stats.tTwoSidedP(1.959963984540054, 1e7)
+    assert(math.abs(p - 0.05) < 1e-6, s"p=$p")
+  }
+
+  test("p-value is symmetric, monotone in |t|, and handles edges") {
+    assert(Stats.tTwoSidedP(2.5, 10.0) == Stats.tTwoSidedP(-2.5, 10.0))
+    assert(Stats.tTwoSidedP(0.0, 10.0) == 1.0)
+    val ps = Seq(0.5, 1.0, 2.0, 4.0, 8.0).map(Stats.tTwoSidedP(_, 7.0))
+    assert(ps == ps.sorted.reverse, s"not monotone: $ps")
+    assert(Stats.tTwoSidedP(Double.PositiveInfinity, 3.0) == 0.0)
+    assert(Stats.corTestP(0.9999999999, 30) > 0.0 || Stats.corTestP(1.0, 30) == 0.0)
+  }
+
+  test("g10b cor.test query emits finite p-values consistent with t") {
+    val rows = ops.Aggregates.g10bCorrTest(spark, sfSmoke).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (t, p) = (r.getDouble(3), r.getDouble(4))
+      assert(p >= 0.0 && p <= 1.0)
+      // big |t| ↔ small p
+      if (math.abs(t) > 10) assert(p < 1e-4)
+    }
+  }
+}
