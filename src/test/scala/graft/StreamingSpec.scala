@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.streaming.EventStreams
+import graft.streaming.{EventStreams, IdempotentSink}
 
 /** Batch-parity of the Structured Streaming window aggregations: the
   * streaming twin over the same parquet must produce exactly the rows
@@ -81,6 +81,40 @@ class StreamingSpec extends SparkTestBase {
         col("e_user").as("user_id"))
     assert(batch.count() > 0)
     assert(asSet(spark.table("ssjoin_out")) == asSet(batch))
+  }
+
+  test("foreachBatch sink: replaying a batch id overwrites, never duplicates") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_sink_replay").toString
+    val batch = Tables.events(spark, sfSmoke)
+      .select("event_id", "user_id", "event_type").limit(100)
+    // the replay contract: same batchId, same data, invoked twice
+    IdempotentSink.writeBatch(batch, 7L, tmp)
+    IdempotentSink.writeBatch(batch, 7L, tmp)
+    val out = IdempotentSink.readOutput(spark, tmp)
+    assert(out.count() == 100, "replay must overwrite its own partition")
+    assert(out.select(countDistinct("event_id")).head().getLong(0) == 100)
+  }
+
+  test("foreachBatch sink: end-to-end stream lands once; restart adds nothing") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sink_e2e").toString
+    val (outDir, ckpt) = (s"$base/out", s"$base/ckpt")
+    def run(): Unit = {
+      val q = IdempotentSink.start(
+        Tables.eventsStream(spark, sfSmoke)
+          .select("event_id", "user_id", "event_type"), outDir, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val expected = Tables.events(spark, sfSmoke).count()
+    assert(IdempotentSink.readOutput(spark, outDir).count() == expected)
+    // restart on the same checkpoint: source is exhausted, no new
+    // batches, output unchanged
+    run()
+    val out = IdempotentSink.readOutput(spark, outDir)
+    assert(out.count() == expected)
+    assert(out.select(countDistinct("event_id")).head().getLong(0) == expected)
   }
 
   test("session windows: gaps over 30min split sessions") {
