@@ -106,8 +106,13 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true)
-    var labels = Tables.documents(s, dir)
-      .select(col("doc_id"), col("doc_id").as("rep"))
+    // Iterate ONLY over docs that have at least one near-dup edge —
+    // isolated docs (the overwhelming majority of a real corpus) can
+    // never change label, so they skip the loop entirely and rejoin
+    // at the end with rep = doc_id. Edges are symmetrized, so `src`
+    // alone covers the connected vertex set.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id"))
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
@@ -116,20 +121,24 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("rep")), "dst")
         .groupBy("src").agg(min("rep").as("nbr_rep"))
         .withColumnRenamed("src", "doc_id")
+      // fold the convergence test into the update pass: `changed` is
+      // computed alongside the new label and read off the SAME
+      // checkpointed result, so each round is one join+agg, not two
       val updated = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("rep"), coalesce(col("nbr_rep"), col("rep")))
-            .as("rep"))
+            .as("rep"),
+          (col("nbr_rep") < col("rep")).as("changed"))
         .localCheckpoint(true)
-      converged = updated
-        .join(labels.withColumnRenamed("rep", "prev"), "doc_id")
-        .filter(col("rep") =!= col("prev")).isEmpty
-      labels = updated
+      converged = updated.filter(col("changed")).isEmpty
+      labels = updated.drop("changed")
       rounds += 1
     }
     if (!converged) throw new IllegalStateException(
       s"d6 label propagation did not converge in $rounds rounds")
-    labels
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
   }
 
   /** D2b — d2 with the hot-shingle guard on (see above). */
