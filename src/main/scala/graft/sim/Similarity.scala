@@ -19,6 +19,25 @@ import graft.ops.Det
   */
 object Similarity {
 
+  /** Shared ranking tail for n1/n2/n3: heap-reduce to the top-k
+    * neighbors per query via the custom TopKPerKey operator — the
+    * exchange moves ≤ k·partitions candidates per query instead of
+    * EVERY scored pair (at 100 TB the scored set is queries×corpus;
+    * the window formulation shuffles and sorts all of it) — then
+    * derive the oracle's `rank` column with a row_number over the
+    * already-reduced k-row groups. The final TopKPerKeyExec's output
+    * partitioning IS hashpartitioning(q_id), so the small window
+    * reuses it: no extra exchange, a sort of k rows per group. */
+  private def topKRanked(scored: DataFrame, k: Int): DataFrame = {
+    val top = graft.plans.TopK.topKPerKey(scored,
+      Seq(col("q_id")), Seq(col("cosine").desc, col("neighbor_id").asc), k)
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("q_id"), col("neighbor_id"), col("rank"),
+        Det.r6(col("cosine")).as("cosine"))
+  }
+
   /** N1 — brute-force cosine top-k: every 50th vector is a query;
     * rank all other vectors by cosine, keep top 5. Deterministic
     * tiebreak on neighbor id. Cosine is graft's native codegen'd
@@ -35,12 +54,7 @@ object Similarity {
       .select(col("q.q_id"), col("v.vec_id").as("neighbor_id"),
         GraftFunctions.floatCosine("q.embedding", "v.embedding")
           .as("cosine"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("neighbor_id"), col("rank"),
-        Det.r6(col("cosine")).as("cosine"))
+    topKRanked(scored, 5)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane j,
@@ -112,12 +126,7 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"),
         GraftFunctions.floatCosine("q_embedding", "v_embedding")
           .as("cosine"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("neighbor_id"), col("rank"),
-        Det.r6(col("cosine")).as("cosine"))
+    topKRanked(scored, 5)
   }
 
   private val IvfCells = 16
@@ -203,12 +212,7 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         GraftFunctions.floatCosine("q_embedding", "embedding")
           .as("cosine"))
-    val w = Window.partitionBy("q_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
-      .select(col("q_id"), col("neighbor_id"), col("rank"),
-        Det.r6(col("cosine")).as("cosine"))
+    topKRanked(scored, 5)
   }
 
   /** N0 — embedding QA: per-vector dimensionality and L2 norm, the

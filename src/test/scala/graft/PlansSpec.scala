@@ -84,6 +84,12 @@ class PlansSpec extends SparkTestBase {
       TopK.o4TopKPerKey(spark, sfTest).collect().toSet)
   }
 
+  test("n1 brute-force top-k runs through the custom operator") {
+    val s = physicalString(sim.Similarity.n1SimTopkBruteforce(spark, sfSmoke))
+    assert(s.contains(", 5, true") && s.contains(", 5, false"),
+      s"n1's ranking tail should heap-reduce via TopKPerKey:\n$s")
+  }
+
   test("rule leaves the plan alone when the rank column is kept") {
     TopK.register(spark)
     val w = Window.partitionBy("o_orderpriority")
