@@ -454,6 +454,28 @@ object Aggregates {
           / count(lit(1)).over(last3).cast("double")).as("trailing_avg3"))
   }
 
+  /** W2 — the analytic window family in ONE pass: lag/lead offsets,
+    * rank/dense_rank, ntile quartiles and the distribution functions
+    * (percent_rank, cume_dist) all share a single window spec, so the
+    * plan is one exchange on the partition key + one sort + ONE
+    * Window operator evaluating all seven functions — the shape that
+    * matters at scale (N analytic columns must not mean N sorts).
+    * Deterministic because the order key ends in unique o_orderkey. */
+  def w2WindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("dense_rnk"),
+        ntile(4).over(w).as("quartile"),
+        Det.r6(percent_rank().over(w)).as("pct_rank"),
+        Det.r6(cume_dist().over(w)).as("cume"))
+  }
+
   /** G13 — the 100 TB approximate path, surfaced explicitly: HLL
     * distinct counts and t-digest quantiles next to their exact
     * counterparts. Exact variants answer the oracle; THESE are what a
@@ -481,6 +503,7 @@ object Aggregates {
     "g14_rollup" -> g14Rollup,
     "g15_cube" -> g15Cube,
     "w1_running_window" -> w1RunningWindow,
+    "w2_window_funcs" -> w2WindowFuncs,
     "g1_agg_sum" -> g1AggSum,
     "g2_group_count" -> g2GroupCount,
     "g3_count_of_counts" -> g3CountOfCounts,
@@ -741,6 +764,18 @@ object Aggregates {
            w3 AS (PARTITION BY o_custkey
                   ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+    "w2_window_funcs" ->
+      s"""SELECT o_orderkey, o_orderpriority, o_totalprice,
+         lag(o_totalprice, 1) OVER w AS prev_price,
+         lead(o_totalprice, 1) OVER w AS next_price,
+         cast(rank() OVER w AS int) AS rnk,
+         cast(dense_rank() OVER w AS int) AS dense_rnk,
+         cast(ntile(4) OVER w AS int) AS quartile,
+         ${Det.sql("percent_rank() OVER w", 6)} AS pct_rank,
+         ${Det.sql("cume_dist() OVER w", 6)} AS cume
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey)""",
     "g11_median" ->
       s"""SELECT ${Det.sql("quantile_cont(o_totalprice, 0.25)", 2)} AS p25,
          ${Det.sql("quantile_cont(o_totalprice, 0.5)", 2)} AS p50,
