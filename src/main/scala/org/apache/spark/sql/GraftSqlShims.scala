@@ -26,6 +26,19 @@ object GraftSqlShims {
   def experimental(spark: SparkSession): ExperimentalMethods =
     spark.asInstanceOf[ClassicSparkSession].experimental
 
+  /** Materialize the planner strategies an extensions object would
+    * inject at session build time (`buildPlannerStrategies` is
+    * `private[sql]`) — lets tests assert builder-time registration
+    * without tearing down the shared test SparkContext. */
+  def plannerStrategies(ext: SparkSessionExtensions,
+      spark: SparkSession): Seq[org.apache.spark.sql.execution.SparkStrategy] =
+    ext.buildPlannerStrategies(spark)
+
+  /** Same for injected optimizer rules. */
+  def optimizerRules(ext: SparkSessionExtensions, spark: SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
+
   /** Column → catalyst Expression, EAGERLY converted (Spark 4 Columns
     * wrap ColumnNodes; `ExpressionUtils.expression` only wraps lazily
     * in a non-serializable `ColumnNodeExpression`, so a hand-built

@@ -90,6 +90,16 @@ class PlansSpec extends SparkTestBase {
       s"n1's ranking tail should heap-reduce via TopKPerKey:\n$s")
   }
 
+  test("GraftExtensions injects the strategy and rule at builder time") {
+    import org.apache.spark.sql.{GraftSqlShims, SparkSessionExtensions}
+    val ext = new SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+    assert(GraftSqlShims.plannerStrategies(ext, spark)
+      .contains(graft.plans.TopKStrategy))
+    assert(GraftSqlShims.optimizerRules(ext, spark)
+      .contains(graft.plans.RewriteRankFilterToTopK))
+  }
+
   test("rule leaves the plan alone when the rank column is kept") {
     TopK.register(spark)
     val w = Window.partitionBy("o_orderpriority")
