@@ -133,7 +133,17 @@ object Models {
     val tRows = ts.dropRight(1).zipWithIndex.map {
       case (v, i) => (s"t_$i", v)
     }.toSeq :+ ("t_intercept" -> ts.last)
-    kv(s, coefRows ++ seRows ++ tRows ++ metricsOf(pred))
+    // summary(lm)'s Pr(>|t|) column — spark.ml derives these from the
+    // t distribution internally; StatsSpec independently cross-checks
+    // them against graft.ml.Stats' incomplete-beta CDF at the emitted
+    // df_residual, so the two implementations gate each other.
+    val ps = lrm.summary.pValues
+    val pRows = ps.dropRight(1).zipWithIndex.map {
+      case (v, i) => (s"p_$i", v)
+    }.toSeq :+ ("p_intercept" -> ps.last)
+    val dfRow = Seq("df_residual" ->
+      lrm.summary.degreesOfFreedom.toDouble)
+    kv(s, coefRows ++ seRows ++ tRows ++ pRows ++ dfRow ++ metricsOf(pred))
   }
 
   /** M4+M10 — LASSO with cross-validated regularization path

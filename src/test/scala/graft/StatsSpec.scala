@@ -58,6 +58,24 @@ class StatsSpec extends SparkTestBase {
     assert(Stats.corTestP(0.9999999999, 30) > 0.0 || Stats.corTestP(1.0, 30) == 0.0)
   }
 
+  test("Stats t CDF agrees with spark.ml's OLS p-values") {
+    // independent implementations: spark.ml derives Pr(>|t|) via
+    // breeze's t distribution; Stats via the incomplete beta. m2's
+    // emitted (t_i, p_i, df_residual) triples must reconcile (values
+    // are Det.r6-rounded → loose absolute tolerance).
+    val m = ml.Models.m2Linreg(spark, sfSmoke).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val dof = m("df_residual")
+    assert(dof > 0)
+    val names = m.keys.filter(_.startsWith("t_")).map(_.stripPrefix("t_"))
+    assert(names.nonEmpty)
+    names.foreach { nm =>
+      val expected = Stats.tTwoSidedP(m(s"t_$nm"), dof)
+      assert(math.abs(m(s"p_$nm") - expected) < 5e-5,
+        s"$nm: p=${m(s"p_$nm")} vs Stats=$expected")
+    }
+  }
+
   test("g10b cor.test query emits finite p-values consistent with t") {
     val rows = ops.Aggregates.g10bCorrTest(spark, sfSmoke).collect()
     assert(rows.length == 3)
