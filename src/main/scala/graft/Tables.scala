@@ -50,6 +50,16 @@ object Tables {
         "timestamp_micros(ts div 1000)"))
   }
 
+  /** Streaming twin of `documents` (same directory-with-glob pattern
+    * as `eventsStream`; no timestamp rewrite needed). */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

@@ -117,6 +117,14 @@ object TextAnalysis {
     * At 100 TB: one scan + one shuffle, nothing else. */
   def x6CorpusCuration(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
+    fingerprintDedup(curationGates(Tables.documents(s, dir)))
+  }
+
+  /** The STATELESS half of x6 — per-row gates (length, quality,
+    * language), safe in a streaming query with no watermark; also the
+    * per-row stage of the batch curation. Caller must have run
+    * `GraftFunctions.register` on the session. */
+  private[graft] def curationGates(docs: DataFrame): DataFrame = {
     val n = nTokens.cast("double")
     val stopRatio = stopCount(stopEn).cast("double") / n
     val quality = Det.r4(least(n / 200.0, lit(1.0)) * 0.5
@@ -131,12 +139,19 @@ object TextAnalysis {
         .otherwise("fr")
     val fp = md5(array_join(array_sort(array_distinct(tokens)), " ")
       .cast("binary"))
-    Tables.documents(s, dir)
+    docs
       .select(col("doc_id"), n.cast("bigint").as("n_tokens"),
         quality.as("quality_score"), predicted.as("predicted_lang"),
         fp.as("fingerprint"))
       .filter(col("predicted_lang") === "en" &&
         col("n_tokens") >= 10 && col("quality_score") >= 0.3)
+  }
+
+  /** The STATEFUL half of x6 — keep the min-doc_id representative per
+    * content fingerprint. One hash aggregate; in the streaming twin it
+    * runs per micro-batch inside foreachBatch. */
+  private[graft] def fingerprintDedup(gated: DataFrame): DataFrame =
+    gated
       .groupBy("fingerprint")
       .agg(min_by(struct(col("doc_id"), col("n_tokens"),
           col("quality_score")), col("doc_id")).as("k"),
@@ -145,7 +160,6 @@ object TextAnalysis {
         col("k.n_tokens").as("n_tokens"),
         col("k.quality_score").as("quality_score"),
         col("fingerprint"), col("n_dupes"))
-  }
 
   /** X7 — vocabulary stats: top-50 tokens by corpus frequency, the
     * vocab/frequency pass of a tokenizer-training pipeline. explode →

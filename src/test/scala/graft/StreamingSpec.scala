@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.streaming.{EventStreams, IdempotentSink}
+import graft.streaming.{CurationStream, EventStreams, IdempotentSink}
 
 /** Batch-parity of the Structured Streaming window aggregations: the
   * streaming twin over the same parquet must produce exactly the rows
@@ -115,6 +115,21 @@ class StreamingSpec extends SparkTestBase {
     val out = IdempotentSink.readOutput(spark, outDir)
     assert(out.count() == expected)
     assert(out.select(countDistinct("event_id")).head().getLong(0) == expected)
+  }
+
+  test("streaming curation == batch x6 when the corpus arrives in one batch") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_curation").toString
+    val (outDir, ckpt) = (s"$base/out", s"$base/ckpt")
+    val q = CurationStream.start(spark, sfSmoke, outDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    // one parquet file → one micro-batch → per-batch dedup is global
+    // dedup, so the streamed output must equal the batch query exactly
+    val streamed = IdempotentSink.readOutput(spark, outDir)
+      .drop("batch_id")
+    val batch = text.TextAnalysis.x6CorpusCuration(spark, sfSmoke)
+    assert(batch.count() > 0)
+    assert(asSet(streamed) == asSet(batch))
   }
 
   test("session windows: gaps over 30min split sessions") {
