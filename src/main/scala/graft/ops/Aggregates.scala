@@ -476,6 +476,21 @@ object Aggregates {
         Det.r6(cume_dist().over(w)).as("cume"))
   }
 
+  /** G16 — exact weighted median per group via the custom typed
+    * Aggregator (graft.functions.WeightedMedian, SURVEY §2.10's
+    * declared UDAF extension): revenue-weighted... here, the
+    * quantity-weighted median extended price per return flag. The
+    * oracle re-derives the same weighted LOWER median as window SQL
+    * (RANGE-frame cumulative weight so tied values accumulate as
+    * peers, then the minimum value crossing half the total). Weights
+    * are integral doubles, so every cumulative sum is exact and
+    * order-independent — no decimal accumulation needed. */
+  def g16WeightedMedian(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(graft.functions.WeightedMedian.weightedMedian(
+        col("l_extendedprice"), col("l_quantity")).as("w_median"))
+
   /** G13 — the 100 TB approximate path, surfaced explicitly: HLL
     * distinct counts and t-digest quantiles next to their exact
     * counterparts. Exact variants answer the oracle; THESE are what a
@@ -504,6 +519,7 @@ object Aggregates {
     "g15_cube" -> g15Cube,
     "w1_running_window" -> w1RunningWindow,
     "w2_window_funcs" -> w2WindowFuncs,
+    "g16_weighted_median" -> g16WeightedMedian,
     "g1_agg_sum" -> g1AggSum,
     "g2_group_count" -> g2GroupCount,
     "g3_count_of_counts" -> g3CountOfCounts,
@@ -776,6 +792,16 @@ object Aggregates {
          FROM orders
          WINDOW w AS (PARTITION BY o_orderpriority
                       ORDER BY o_totalprice DESC, o_orderkey)""",
+    "g16_weighted_median" ->
+      """SELECT l_returnflag, min(val) AS w_median FROM (
+           SELECT l_returnflag, l_extendedprice AS val,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+           FROM lineitem)
+         WHERE cumw >= totw / 2.0
+         GROUP BY 1""",
     "g11_median" ->
       s"""SELECT ${Det.sql("quantile_cont(o_totalprice, 0.25)", 2)} AS p25,
          ${Det.sql("quantile_cont(o_totalprice, 0.5)", 2)} AS p50,

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, WeightedMedian}
 
 /** The native FloatCosine expression: codegen path must agree exactly
   * with the interpreted HOF formulation (same IEEE op order), SQL
@@ -63,5 +63,47 @@ class FunctionsSpec extends SparkTestBase {
     val r = df.head()
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
     assert(r.getDouble(3) == 1.0)
+  }
+
+  test("weighted median: hand-computed fixtures, unit weights, skewed weights") {
+    import spark.implicits._
+    def wm(rows: Seq[(String, Double, Double)]): Map[String, Double] =
+      rows.toDF("g", "v", "w")
+        .repartition(3) // force a real partial/final merge across partitions
+        .groupBy("g")
+        .agg(WeightedMedian.weightedMedian($"v", $"w").as("m"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // unit weights over 1..5: half = 2.5, cum at 3 is 3 → lower median 3
+    val unit = wm((1 to 5).map(i => ("a", i.toDouble, 1.0)))
+    assert(unit("a") == 3.0)
+    // a heavy weight drags the median to its value
+    val skew = wm(Seq(("b", 1.0, 1.0), ("b", 2.0, 1.0), ("b", 3.0, 10.0)))
+    assert(skew("b") == 3.0)
+    // duplicate values collapse: (5 w=1)×4 + (1 w=5) → tot 9, half 4.5 ≤ 5 → 1
+    val dup = wm(Seq.fill(4)(("c", 5.0, 1.0)) :+ ("c", 1.0, 5.0))
+    assert(dup("c") == 1.0)
+    // two groups stay independent
+    val multi = wm(Seq(("x", 1.0, 1.0), ("x", 9.0, 1.0), ("y", 7.0, 2.0)))
+    assert(multi("x") == 1.0 && multi("y") == 7.0)
+  }
+
+  test("weighted median with unit weights equals the exact lower median") {
+    val df = Tables.orders(spark, sfSmoke)
+    val custom = df.groupBy("o_orderpriority")
+      .agg(WeightedMedian.weightedMedian(col("o_totalprice"), lit(1.0))
+        .as("m"))
+    // lower median = smallest value whose rank reaches ceil(n/2)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority").orderBy("o_totalprice")
+    val expected = df
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority")))
+      .filter(col("rn") === ceil(col("n") / 2.0))
+      .select(col("o_orderpriority"), col("o_totalprice").as("m"))
+    val a = custom.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val b = expected.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a == b)
   }
 }
