@@ -28,6 +28,20 @@ object CsvIO {
   def readParquet(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
 
+  /** Schema-evolution read — a long-lived 100 TB dataset is written
+    * by many pipeline versions, and later versions ADD columns. A
+    * plain parquet read takes the schema from one random footer, so a
+    * scan can silently miss newer columns (or fail on older files
+    * depending on which footer wins). `mergeSchema` unions every
+    * file's footer schema: old files surface the new columns as NULL,
+    * which is exactly the semantics an append-only evolving dataset
+    * wants. Footer merging costs one metadata pass (not a data scan);
+    * turn it on per-read here rather than globally. Type WIDENING or
+    * renames are NOT handled — that is a rewrite, not a merge, and
+    * the reader fails loudly on conflicting types rather than guess. */
+  def readParquetMerged(s: SparkSession, path: String): DataFrame =
+    s.read.option("mergeSchema", true).parquet(path)
+
   /** Hive-partitioned parquet sink — the dominant I/O lever at
     * 100 TB: a scan with a partition-key predicate reads ONLY the
     * matching directories (partition pruning, visible as

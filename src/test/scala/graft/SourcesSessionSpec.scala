@@ -102,4 +102,27 @@ class SourcesSessionSpec extends SparkTestBase {
     assert(streamed.exceptAll(closedBatch).count() == 0)
     assert(closedBatch.exceptAll(streamed).count() == 0)
   }
+
+  test("schema evolution: mergeSchema unions footers, old files read new cols as null") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_evolve").toString
+    // pipeline v1 writes two columns; v2 adds a third
+    Tables.nation(spark, sfSmoke).select("n_nationkey", "n_name")
+      .write.parquet(s"$dir/part=v1")
+    Tables.nation(spark, sfSmoke)
+      .select(col("n_nationkey"), col("n_name"),
+        lit("added").as("n_comment2"))
+      .write.parquet(s"$dir/part=v2")
+    val merged = sources.CsvIO.readParquetMerged(spark, dir)
+    assert(merged.columns.toSet ==
+      Set("n_nationkey", "n_name", "n_comment2", "part"))
+    val n = Tables.nation(spark, sfSmoke).count()
+    assert(merged.count() == 2 * n)
+    // v1 rows surface the v2-only column as NULL; v2 rows carry it
+    assert(merged.filter(col("part") === "v1" &&
+      col("n_comment2").isNull).count() == n)
+    assert(merged.filter(col("part") === "v2" &&
+      col("n_comment2") === "added").count() == n)
+  }
 }
