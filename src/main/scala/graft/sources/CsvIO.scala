@@ -28,6 +28,36 @@ object CsvIO {
   def readParquet(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
 
+  /** JSONL (one JSON object per line) — the dominant interchange
+    * format for document corpora. Schema is DECLARED, same rationale
+    * as CSV: inference costs a full extra pass and silently unifies
+    * dirty rows to string. Lines that fail to parse land in the
+    * `_corrupt_record` column when it is present in the schema
+    * (PERMISSIVE mode) instead of killing a 100 TB job. */
+  def readJsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).json(path)
+
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Small-file compaction — an append-heavy partitioned dataset
+    * accretes one-file-per-micro-batch until scan planning is
+    * dominated by file-open overhead (the classic small-files
+    * problem). Rewrite to `targetFiles` with a round-robin
+    * repartition (even sizes, full parallelism while writing).
+    * Two-phase: write to a sibling temp dir, then swap — compaction
+    * must never destroy the only copy mid-rewrite. */
+  def compact(s: SparkSession, path: String, targetFiles: Int): Unit = {
+    val tmp = path + "_compacting"
+    s.read.parquet(path).repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
   /** Schema-evolution read — a long-lived 100 TB dataset is written
     * by many pipeline versions, and later versions ADD columns. A
     * plain parquet read takes the schema from one random footer, so a

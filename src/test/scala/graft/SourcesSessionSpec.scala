@@ -103,6 +103,48 @@ class SourcesSessionSpec extends SparkTestBase {
     assert(closedBatch.exceptAll(streamed).count() == 0)
   }
 
+  test("jsonl round-trip preserves the documents table; corrupt lines quarantine") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_jsonl").toString
+    val docs = Tables.documents(spark, sfSmoke)
+    sources.CsvIO.writeJsonl(docs, s"$dir/docs")
+    val back = sources.CsvIO.readJsonl(spark, s"$dir/docs", docs.schema)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).count() == 0)
+    // a corrupt line quarantines into _corrupt_record, not a job kill
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/bad.jsonl"),
+      "{\"doc_id\": 1, \"text\": \"ok\"}\nnot json at all\n".getBytes)
+    // Spark disallows querying only _corrupt_record straight off raw
+    // files (SPARK-21610) — materialize the parse first
+    val lenient = sources.CsvIO.readJsonl(spark, s"$dir/bad.jsonl",
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("_corrupt_record", StringType)))).cache()
+    try {
+      assert(lenient.filter(col("_corrupt_record").isNotNull).count() == 1)
+      assert(lenient.filter(col("doc_id") === 1).count() == 1)
+    } finally lenient.unpersist()
+  }
+
+  test("compaction rewrites many small files into few, data unchanged") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString + "/t"
+    val docs = Tables.documents(spark, sfSmoke)
+      .select("doc_id", "n_chars")
+    docs.repartition(24).write.parquet(dir) // simulate micro-batch accretion
+    def parquetFiles() = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles() >= 24)
+    sources.CsvIO.compact(spark, dir, 2)
+    assert(parquetFiles() <= 2)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).count() == 0)
+  }
+
   test("schema evolution: mergeSchema unions footers, old files read new cols as null") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files
