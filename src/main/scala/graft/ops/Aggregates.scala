@@ -491,6 +491,24 @@ object Aggregates {
       .agg(graft.functions.WeightedMedian.weightedMedian(
         col("l_extendedprice"), col("l_quantity")).as("w_median"))
 
+  /** G17 — per-group exact quantiles: the grouped companion of G11
+    * (R:942–943 computes medians per slice of the parking table; G11
+    * covers the global form). The array form of `percentile` shares
+    * ONE sort buffer per group across the three evaluation points —
+    * three scalar percentile calls would buffer every group three
+    * times. Exact percentile is the oracle surface;
+    * `approx_percentile` (g13) is the mergeable constant-memory
+    * variant the same query would use at 100 TB. */
+  def g17GroupedQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))")
+        .as("qs"))
+      .select(col("o_orderpriority"),
+        Det.r2(element_at(col("qs"), 1)).as("p25"),
+        Det.r2(element_at(col("qs"), 2)).as("p50"),
+        Det.r2(element_at(col("qs"), 3)).as("p75"))
+
   /** G13 — the 100 TB approximate path, surfaced explicitly: HLL
     * distinct counts and t-digest quantiles next to their exact
     * counterparts. Exact variants answer the oracle; THESE are what a
@@ -531,7 +549,8 @@ object Aggregates {
     "g9_weighted_mean" -> g9WeightedMean,
     "g10_corr" -> g10Corr,
     "g10b_corr_test" -> g10bCorrTest,
-    "g11_median" -> g11Median)
+    "g11_median" -> g11Median,
+    "g17_grouped_quantiles" -> g17GroupedQuantiles)
 
   private val ordersCols =
     Seq("o_orderdate", "o_orderkey", "o_orderpriority", "o_orderstatus",
@@ -806,5 +825,11 @@ object Aggregates {
       s"""SELECT ${Det.sql("quantile_cont(o_totalprice, 0.25)", 2)} AS p25,
          ${Det.sql("quantile_cont(o_totalprice, 0.5)", 2)} AS p50,
          ${Det.sql("quantile_cont(o_totalprice, 0.75)", 2)} AS p75
-         FROM orders""")
+         FROM orders""",
+    "g17_grouped_quantiles" ->
+      s"""SELECT o_orderpriority,
+         ${Det.sql("quantile_cont(o_totalprice, 0.25)", 2)} AS p25,
+         ${Det.sql("quantile_cont(o_totalprice, 0.5)", 2)} AS p50,
+         ${Det.sql("quantile_cont(o_totalprice, 0.75)", 2)} AS p75
+         FROM orders GROUP BY 1""")
 }
