@@ -4,10 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.ml.Models
 import graft.multimodal.Multimodal
-import graft.ops.{Aggregates, Joins, Ordering, Relational, Reshape,
-  SqlSurface, TemporalJoins}
+import graft.ops.{Aggregates, BloomJoin, Joins, Ordering, Relational,
+  Reshape, SqlSurface, TemporalJoins}
 import graft.plans.TopK
 import graft.sim.Similarity
+import graft.sources.ZOrder
 import graft.streaming.EventStreams
 import graft.text.TextAnalysis
 
@@ -32,7 +33,7 @@ object SparkEntry {
       Reshape.queries ++ Ordering.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ EventStreams.queries ++
       Models.queries ++ Multimodal.queries ++ SqlSurface.queries ++
-      TopK.queries
+      TopK.queries ++ ZOrder.queries ++ BloomJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +43,5 @@ object SparkEntry {
       Reshape.oracle ++ Ordering.oracle ++ TextAnalysis.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ EventStreams.oracle ++
       Models.oracle ++ Multimodal.oracle ++ SqlSurface.oracle ++
-      TopK.oracle
+      TopK.oracle ++ ZOrder.oracle ++ BloomJoin.oracle
 }
