@@ -215,6 +215,173 @@ object Similarity {
     topKRanked(scored, 5)
   }
 
+  private val PqM = 8       // subspaces (64 dims → 8 × 8)
+  private val PqSubDim = 8  // dims per subspace
+  private val PqK = 32      // centroids per subspace → 5-bit codes
+  private val PqRerank = 25 // exact re-rank depth before top-5
+
+  /** Plain Lloyd iterations over one PQ subspace, run locally on the
+    * driver over the (capped, sorted — collect order must not change
+    * the model) training sample. Deterministic: strided init over the
+    * vec_id-sorted sample, fixed iteration count, empty clusters keep
+    * their previous center. A distributed k-means per subspace would
+    * cost 8 × the n3 fit for a model of 8 × 32 × 8 doubles — the
+    * sample bound (not the corpus) is what pays for training. */
+  private def lloyd(points: Array[Array[Float]], k: Int, iters: Int)
+      : Array[Array[Double]] = {
+    val n = points.length
+    val d = points(0).length
+    val centers = Array.tabulate(math.min(k, n))(i =>
+      points((i.toLong * n / math.min(k, n)).toInt).map(_.toDouble))
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(centers.length, d)(0.0)
+      val counts = new Array[Long](centers.length)
+      var p = 0
+      while (p < n) {
+        val v = points(p)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < centers.length) {
+          var dist = 0.0; var i = 0
+          while (i < d) {
+            val df = v(i) - centers(c)(i); dist += df * df; i += 1
+          }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        var i = 0; while (i < d) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+        p += 1
+      }
+      var c = 0
+      while (c < centers.length) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < d) { centers(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** N4 — product-quantized ANN (Jégou, Douze, Schmid 2011, §III:
+    * PQ codes + asymmetric distance). The missing compression leg of
+    * the ANN family: n2/n3 cut which vectors a query TOUCHES; PQ cuts
+    * what each touched vector COSTS. Each 64-dim float vector (256 B)
+    * becomes 8 one-byte subspace codes plus its true norm (12 B —
+    * ~20× smaller): the compressed-domain scan reads codes only, and
+    * one approximate dot product is 8 table lookups instead of 64
+    * multiplies. At 100 TB that is the difference between an index
+    * that fits in cluster memory and one that doesn't.
+    *
+    * Shape: (a) codebooks train driver-locally on the same capped
+    * key-hash sample n3 uses — the model is 8×32×8 doubles, the
+    * sample bound pays for training; (b) encoding is a zero-shuffle
+    * broadcast kernel; (c) the scan streams codes once per partition
+    * against the broadcast query LUTs (each query precomputes
+    * dot(q_sub, centroid) for all 8×32 centroids — 2 KB/query; the
+    * query set is the WORKLOAD, bounded by definition, not the
+    * corpus); (d) approximate cosine = ADC dot / (‖q‖·true ‖v‖);
+    * (e) the TopKPerKey heaps reduce the stream map-side to 25
+    * candidates per query, which re-rank EXACTLY via float_cosine —
+    * PQ error only costs recall inside the candidate set, never a
+    * wrong final cosine. Rows-only + recall gate in ScalaTest (the
+    * codebook is not SQL-expressible). */
+  def n4SimPqTopk(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val total = emb.count()
+    val sampleCap = 16384L
+    val mod = math.max(1L, total / sampleCap)
+    val sample: Array[(Long, Array[Float])] = emb
+      .filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(PqM) { m =>
+      lloyd(sample.map { case (_, v) =>
+        java.util.Arrays.copyOfRange(v, m * PqSubDim, (m + 1) * PqSubDim)
+      }, PqK, iters = 10)
+    }
+    val bcCb = s.sparkContext.broadcast(codebooks)
+    val codes = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cb = bcCb.value
+        it.map { case (id, v) =>
+          var nv = 0.0
+          var i = 0; while (i < v.length) { nv += v(i).toDouble * v(i); i += 1 }
+          val code = new Array[Byte](PqM)
+          var m = 0
+          while (m < PqM) {
+            val cents = cb(m)
+            var best = 0; var bestD = Double.MaxValue; var c = 0
+            while (c < cents.length) {
+              var dist = 0.0; var j = 0
+              while (j < PqSubDim) {
+                val df = v(m * PqSubDim + j) - cents(c)(j)
+                dist += df * df; j += 1
+              }
+              if (dist < bestD) { bestD = dist; best = c }
+              c += 1
+            }
+            code(m) = best.toByte
+            m += 1
+          }
+          (id, code, math.sqrt(nv))
+        }
+      }.toDF("vec_id", "code", "norm")
+    val queryLuts: Array[(Long, Array[Double], Double)] = emb
+      .filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+      .map { case (id, q) =>
+        var qn = 0.0
+        var i = 0; while (i < q.length) { qn += q(i).toDouble * q(i); i += 1 }
+        val lut = new Array[Double](PqM * PqK)
+        var m = 0
+        while (m < PqM) {
+          val cents = codebooks(m)
+          var c = 0
+          while (c < cents.length) {
+            var dot = 0.0; var j = 0
+            while (j < PqSubDim) {
+              dot += q(m * PqSubDim + j).toDouble * cents(c)(j); j += 1
+            }
+            lut(m * PqK + c) = dot
+            c += 1
+          }
+          m += 1
+        }
+        (id, lut, math.sqrt(qn))
+      }
+    val bcQ = s.sparkContext.broadcast(queryLuts)
+    val approx = codes.as[(Long, Array[Byte], Double)]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        it.flatMap { case (vid, code, nv) =>
+          qs.iterator.filter(_._1 != vid).map { case (qid, lut, qn) =>
+            var adc = 0.0; var m = 0
+            while (m < PqM) { adc += lut(m * PqK + (code(m) & 0xff)); m += 1 }
+            (qid, vid, adc / (qn * nv))
+          }
+        }
+      }.toDF("q_id", "neighbor_id", "approx_cosine")
+    val cand = graft.plans.TopK.topKPerKey(approx, Seq(col("q_id")),
+      Seq(col("approx_cosine").desc, col("neighbor_id").asc), PqRerank)
+    val scored = cand.select("q_id", "neighbor_id")
+      .join(emb.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_embedding")), "q_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("v_embedding")), "neighbor_id")
+      .select(col("q_id"), col("neighbor_id"),
+        GraftFunctions.floatCosine("q_embedding", "v_embedding")
+          .as("cosine"))
+    topKRanked(scored, 5)
+  }
+
   /** N0 — embedding QA: per-vector dimensionality and L2 norm, the
     * sanity pass a pipeline runs before any ANN indexing (zero-norm
     * or wrong-dim vectors break cosine math downstream — FloatCosine
@@ -235,7 +402,8 @@ object Similarity {
     "n0_embedding_norms" -> n0EmbeddingNorms,
     "n1_sim_topk_bruteforce" -> n1SimTopkBruteforce,
     "n2_sim_lsh_topk" -> n2SimLshTopk,
-    "n3_sim_ivf_topk" -> n3SimIvfTopk)
+    "n3_sim_ivf_topk" -> n3SimIvfTopk,
+    "n4_sim_pq_topk" -> n4SimPqTopk)
 
   val oracle: Map[String, String] = Map(
     "n0_embedding_norms" ->

@@ -36,6 +36,8 @@ object RecallProbe {
     }
     val ivf = pairs(Similarity.n3SimIvfTopk(spark, dir))
     println(f"n3 ivf recall=${(ivf & truth).size.toDouble / truth.size}%.3f")
+    val pq = pairs(Similarity.n4SimPqTopk(spark, dir))
+    println(f"n4 pq recall=${(pq & truth).size.toDouble / truth.size}%.3f")
     spark.stop()
   }
 }

@@ -96,6 +96,21 @@ class DedupSimSpec extends SparkTestBase {
     assert(recall >= 0.6, s"IVF recall@5 too low: $recall")
   }
 
+  test("n4 PQ top-k: exact re-rank cosines agree with n1; recall holds") {
+    val brute = Similarity.n1SimTopkBruteforce(spark, sfTest)
+      .withColumnRenamed("cosine", "c1").withColumnRenamed("rank", "r1")
+    val pq = Similarity.n4SimPqTopk(spark, sfTest)
+    assert(pq.count() > 0)
+    val joined = pq.join(brute, Seq("q_id", "neighbor_id"))
+    // the final cosine is exact (re-ranked via float_cosine), so any
+    // pair both paths emit must carry the identical score
+    assert(joined.filter(col("cosine") =!= col("c1")).count() == 0)
+    // 8×8-dim subspaces at 32 centroids, 25-deep exact re-rank:
+    // PQ error only moves the candidate boundary, not final scores
+    val recall = joined.count().toDouble / brute.count()
+    assert(recall >= 0.6, s"PQ recall@5 too low: $recall")
+  }
+
   test("n2 recall@5 vs n1, and the planes/tables recall↔bucket-size dials") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       pairSet(df, "q_id", "neighbor_id")
