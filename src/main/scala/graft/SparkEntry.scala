@@ -10,7 +10,7 @@ import graft.plans.TopK
 import graft.sim.Similarity
 import graft.sources.ZOrder
 import graft.streaming.EventStreams
-import graft.text.TextAnalysis
+import graft.text.{SequencePacking, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,7 +33,8 @@ object SparkEntry {
       Reshape.queries ++ Ordering.queries ++ TextAnalysis.queries ++
       Dedup.queries ++ Similarity.queries ++ EventStreams.queries ++
       Models.queries ++ Multimodal.queries ++ SqlSurface.queries ++
-      TopK.queries ++ ZOrder.queries ++ BloomJoin.queries
+      TopK.queries ++ ZOrder.queries ++ BloomJoin.queries ++
+      SequencePacking.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       Reshape.oracle ++ Ordering.oracle ++ TextAnalysis.oracle ++
       Dedup.oracle ++ Similarity.oracle ++ EventStreams.oracle ++
       Models.oracle ++ Multimodal.oracle ++ SqlSurface.oracle ++
-      TopK.oracle ++ ZOrder.oracle ++ BloomJoin.oracle
+      TopK.oracle ++ ZOrder.oracle ++ BloomJoin.oracle ++
+      SequencePacking.oracle
 }
