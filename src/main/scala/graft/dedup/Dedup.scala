@@ -24,7 +24,7 @@ object Dedup {
     * higher-order expression (no explode until the blocking join).
     * NOTE: Spark `sequence(1, 0)` DESCENDS ([1,0]) rather than being
     * empty, so short docs need the explicit CASE guard. */
-  private val shingles = array_distinct(expr(
+  private[graft] val shingles = array_distinct(expr(
     """CASE WHEN size(split(text, ' ')) < 3 THEN array()
        ELSE transform(sequence(1, size(split(text, ' ')) - 2),
          i -> concat_ws(' ', slice(split(text, ' '), i, 3))) END"""))
@@ -190,6 +190,32 @@ object Dedup {
   private val NumHashes = 16
   private val BandSize = 4 // 4 bands × 4 rows
 
+  /** (doc_id, band_idx, band_hash) LSH band signatures for any
+    * (doc_id, text) frame — the d3 kernel factored out so the
+    * streaming near-dup gate indexes a static corpus and hashes
+    * incoming micro-batches with the IDENTICAL scheme (signatures
+    * are only comparable when seeds, hash count, and banding all
+    * match). Shape notes in [[d3DedupMinhashLsh]]. */
+  private[graft] def bandedSignatures(docsDf: DataFrame): DataFrame = {
+    val s = docsDf.sparkSession
+    import s.implicits._
+    val hashed = docsDf
+      .select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) => shingleSet(text).map((id, _)) }
+      .toDF("doc_id", "s")
+      .select(col("doc_id") +: (0 until NumHashes).map(j =>
+        xxhash64(lit(j), col("s")).as(s"h$j")): _*)
+    val sigs = hashed.groupBy("doc_id")
+      .agg(min("h0").as("m0"),
+        (1 until NumHashes).map(j => min(s"h$j").as(s"m$j")): _*)
+    val bandCols = (0 until NumHashes / BandSize).map { b =>
+      xxhash64(lit(b) +: (0 until BandSize).map(i =>
+        col(s"m${b * BandSize + i}")): _*)
+    }
+    sigs.select(col("doc_id"), posexplode(array(bandCols: _*))
+      .as(Seq("band_idx", "band_hash")))
+  }
+
   /** D3 — MinHash + LSH banding near-dup candidates (Broder 1997,
     * "On the resemblance and containment of documents"; banding per
     * Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch. 3),
@@ -208,25 +234,9 @@ object Dedup {
     // ~100× slower, and Catalyst may inline them repeatedly across a
     // self-join. The explode+groupBy shape is also the scalable one:
     // one keyed shuffle on doc_id, partial min map-side.
-    import s.implicits._
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), shingles.as("sh"))
-    val hashed = Tables.documents(s, dir)
-      .select("doc_id", "text").as[(Long, String)]
-      .flatMap { case (id, text) => shingleSet(text).map((id, _)) }
-      .toDF("doc_id", "s")
-      .select(col("doc_id") +: (0 until NumHashes).map(j =>
-        xxhash64(lit(j), col("s")).as(s"h$j")): _*)
-    val sigs = hashed.groupBy("doc_id")
-      .agg(min("h0").as("m0"),
-        (1 until NumHashes).map(j => min(s"h$j").as(s"m$j")): _*)
-    val bandCols = (0 until NumHashes / BandSize).map { b =>
-      xxhash64(lit(b) +: (0 until BandSize).map(i =>
-        col(s"m${b * BandSize + i}")): _*)
-    }
-    val banded = sigs
-      .select(col("doc_id"), posexplode(array(bandCols: _*))
-        .as(Seq("band_idx", "band_hash")))
+    val banded = bandedSignatures(Tables.documents(s, dir))
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.dedup.Dedup
+
+/** Streaming near-dup gate — the d3 MinHash+LSH pipeline as an ingest
+  * filter: documents arriving on a stream are dropped when they are a
+  * VERIFIED near-duplicate of a static reference corpus.
+  *
+  * Per micro-batch (inside `foreachBatch`, so plain batch semantics):
+  * band-hash the batch with the exact d3 scheme, equi-join against
+  * the corpus's precomputed band index (candidates only — never
+  * batch × corpus), verify candidates with exact shingle Jaccard, and
+  * anti-join the verified dup ids away. LSH false positives die at
+  * verification; false negatives are the standard banding miss odds
+  * (1-(1-s^4)^4 — ≥ 0.99 at s ≥ 0.9).
+  *
+  * The reference corpus is STATIC by design, mirroring
+  * [[CurationStream]]'s stance: a gate that also grew state per
+  * accepted document would hold unbounded streaming state with no
+  * event-time to watermark it by. Batch-ingest pipelines stage it the
+  * same way — gate new data against the published corpus snapshot at
+  * ingest, fold accepted data into the next snapshot in batch. The
+  * corpus band index is computed once at query start and reused every
+  * batch (at scale: persist it bucketed by band_hash so each batch's
+  * candidate join is shuffle-free on the corpus side).
+  */
+object NearDupStream {
+
+  /** Batch form of the gate (the streaming query applies exactly this
+    * per micro-batch): rows of `newDocs` whose exact Jaccard against
+    * some LSH band candidate in `corpus` reaches `threshold` are
+    * dropped. */
+  def nearDupGate(newDocs: DataFrame, corpus: DataFrame,
+      threshold: Double = 0.4): DataFrame = {
+    val newBands = Dedup.bandedSignatures(newDocs)
+    val corpusBands = Dedup.bandedSignatures(corpus)
+    val candidates = newBands.as("a").join(corpusBands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("old_id"))
+      .distinct()
+    val dupIds = candidates
+      .join(newDocs.select(col("doc_id").as("new_id"),
+        Dedup.shingles.as("sh_a")), "new_id")
+      .join(corpus.select(col("doc_id").as("old_id"),
+        Dedup.shingles.as("sh_b")), "old_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id").as("doc_id")).distinct()
+    newDocs.join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
+  /** Gate `streamPath`'s arriving parquet documents against the
+    * corpus at `corpusPath`; accepted docs land exactly-once via
+    * [[IdempotentSink]]. */
+  def start(s: SparkSession, corpusPath: String, streamPath: String,
+      outDir: String, checkpointDir: String,
+      threshold: Double = 0.4): StreamingQuery = {
+    val corpus = s.read.parquet(corpusPath).select("doc_id", "text")
+    val stream = s.readStream.schema(corpus.schema).parquet(streamPath)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        IdempotentSink.writeBatch(
+          nearDupGate(batch, corpus, threshold), id, outDir)
+      }
+      .start()
+  }
+}
