@@ -476,6 +476,31 @@ object Aggregates {
         Det.r6(cume_dist().over(w)).as("cume"))
   }
 
+  /** W3 — RANGE-frame sliding window over event time: per customer,
+    * the trailing-7-day order count and spend. A ROWS frame (w1)
+    * counts a fixed number of rows; a RANGE frame covers every peer
+    * within a VALUE distance of the current row — the correct
+    * semantics for time windows over irregular events, and a
+    * different physical evaluation (frame bounds move by value, and
+    * same-day peers enter/leave together). Ordering key is the
+    * integer day offset — numeric RANGE frames are the dialect
+    * intersection (interval-literal frames are not), and integer
+    * arithmetic sidesteps timestamp-comparison edge cases. One
+    * shuffle on o_custkey, one sort — same cost shape as w1. */
+  def w3RangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("day"))
+      .rangeBetween(-6, 0)
+    Tables.orders(s, dir)
+      .withColumn("day",
+        datediff(to_date(col("o_orderdate")), lit("1992-01-01"))
+          .cast("bigint"))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"),
+        count(lit(1)).over(w).as("n_7d"),
+        sum(Det.d2(col("o_totalprice"))).over(w)
+          .cast("double").as("spend_7d"))
+  }
+
   /** G16 — exact weighted median per group via the custom typed
     * Aggregator (graft.functions.WeightedMedian, SURVEY §2.10's
     * declared UDAF extension): revenue-weighted... here, the
@@ -537,6 +562,7 @@ object Aggregates {
     "g15_cube" -> g15Cube,
     "w1_running_window" -> w1RunningWindow,
     "w2_window_funcs" -> w2WindowFuncs,
+    "w3_range_window" -> w3RangeWindow,
     "g16_weighted_median" -> g16WeightedMedian,
     "g1_agg_sum" -> g1AggSum,
     "g2_group_count" -> g2GroupCount,
@@ -826,6 +852,18 @@ object Aggregates {
          ${Det.sql("quantile_cont(o_totalprice, 0.5)", 2)} AS p50,
          ${Det.sql("quantile_cont(o_totalprice, 0.75)", 2)} AS p75
          FROM orders""",
+    "w3_range_window" ->
+      """SELECT o_orderkey, o_custkey,
+         datediff('day', DATE '1992-01-01', cast(o_orderdate AS date))
+           AS day,
+         count(*) OVER w AS n_7d,
+         cast(sum(cast(o_totalprice AS decimal(12,2))) OVER w AS double)
+           AS spend_7d
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY datediff('day', DATE '1992-01-01',
+                                        cast(o_orderdate AS date))
+                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""",
     "g17_grouped_quantiles" ->
       s"""SELECT o_orderpriority,
          ${Det.sql("quantile_cont(o_totalprice, 0.25)", 2)} AS p25,

@@ -38,9 +38,52 @@ object SqlSurface {
     s.sql(starJoinSql)
   }
 
+  /** Correlated EXISTS (TPC-H Q4 shape) — Catalyst must DECORRELATE:
+    * the subquery cannot execute per outer row at any scale, so the
+    * optimizer rewrites it to one left-semi hash join on l_orderkey
+    * (RewritePredicateSubquery; visible as LeftSemi in the plan, and
+    * gated by SqlSurfaceSpec). DuckDB performs the same flattening —
+    * one SQL text, two engines, both planning the join form. */
+  val existsSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+       FROM orders
+       WHERE EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+       GROUP BY 1"""
+
+  def q2SqlExists(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(existsSql)
+  }
+
+  /** Correlated SCALAR subquery (TPC-H Q17 shape): each lineitem
+    * compares against a per-part aggregate — decorrelated into an
+    * aggregate-then-join on l_partkey, NOT a per-row re-scan.
+    * Determinism note: l_quantity is integral, so the per-part
+    * double avg is an exact sum / exact count — associative in both
+    * engines; the 1.3× threshold is then one identical IEEE multiply.
+    * The price sum accumulates in decimal per Det's rule. */
+  val scalarSubSql: String =
+    """SELECT cast(count(*) AS bigint) AS n_heavy,
+       cast(sum(cast(l_extendedprice AS decimal(12,2))) AS double)
+         AS price_sum
+       FROM lineitem l1
+       WHERE l_quantity > (SELECT 1.3 * avg(l_quantity)
+                           FROM lineitem l2
+                           WHERE l2.l_partkey = l1.l_partkey)"""
+
+  def q3SqlScalarSub(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(scalarSubSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_sql_star_join" -> q1SqlStarJoin)
+    "q1_sql_star_join" -> q1SqlStarJoin,
+    "q2_sql_exists" -> q2SqlExists,
+    "q3_sql_scalar_subquery" -> q3SqlScalarSub)
 
   val oracle: Map[String, String] = Map(
-    "q1_sql_star_join" -> starJoinSql)
+    "q1_sql_star_join" -> starJoinSql,
+    "q2_sql_exists" -> existsSql,
+    "q3_sql_scalar_subquery" -> scalarSubSql)
 }

