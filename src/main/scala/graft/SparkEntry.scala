@@ -8,7 +8,7 @@ import graft.ops.{Aggregates, BloomJoin, Joins, Ordering, Relational,
   Reshape, SqlSurface, TemporalJoins}
 import graft.plans.TopK
 import graft.sim.Similarity
-import graft.sources.ZOrder
+import graft.sources.{MergeInto, ZOrder}
 import graft.streaming.EventStreams
 import graft.text.{SequencePacking, TextAnalysis}
 
@@ -34,7 +34,7 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ EventStreams.queries ++
       Models.queries ++ Multimodal.queries ++ SqlSurface.queries ++
       TopK.queries ++ ZOrder.queries ++ BloomJoin.queries ++
-      SequencePacking.queries
+      SequencePacking.queries ++ MergeInto.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +45,5 @@ object SparkEntry {
       Dedup.oracle ++ Similarity.oracle ++ EventStreams.oracle ++
       Models.oracle ++ Multimodal.oracle ++ SqlSurface.oracle ++
       TopK.oracle ++ ZOrder.oracle ++ BloomJoin.oracle ++
-      SequencePacking.oracle
+      SequencePacking.oracle ++ MergeInto.oracle
 }

@@ -145,6 +145,33 @@ class SourcesSessionSpec extends SparkTestBase {
     assert(back.exceptAll(docs).count() == 0)
   }
 
+  test("mergeInto upserts in place: updates win, inserts land, rest persists") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_merge").toString + "/t"
+    val target = Tables.customer(spark, sfSmoke)
+      .select("c_custkey", "c_name", "c_acctbal")
+    target.write.parquet(dir)
+    val source = target.filter(col("c_custkey") <= 10)
+      .withColumn("c_acctbal", lit(0.0))
+      .union(target.filter(col("c_custkey") === 1)
+        .withColumn("c_custkey", lit(999999L)))
+    sources.MergeInto.mergeInto(spark, dir, source, "c_custkey")
+    val back = spark.read.parquet(dir).cache()
+    try {
+      assert(back.count() == target.count() + 1)
+      assert(back.filter(col("c_custkey") === 999999L).count() == 1)
+      // all matched keys carry the source's zeroed balance
+      assert(back.filter(col("c_custkey") <= 10 &&
+        col("c_acctbal") =!= 0.0).count() == 0)
+      // unmatched target rows are bit-identical to before the merge
+      val untouched = back.filter(col("c_custkey") > 10 &&
+        col("c_custkey") =!= 999999L)
+      assert(untouched.exceptAll(
+        target.filter(col("c_custkey") > 10)).count() == 0)
+    } finally back.unpersist()
+  }
+
   test("schema evolution: mergeSchema unions footers, old files read new cols as null") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files
