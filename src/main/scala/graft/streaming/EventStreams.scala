@@ -69,6 +69,31 @@ object EventStreams {
         Det.dsum2(col("value")).as("sum_value"))
   }
 
+  /** E4 — the BATCH form of [[intervalJoinStream]]'s event-time
+    * interval join, oracle-gated: each 'error' pairs with the same
+    * user's 'click's from the preceding 10 minutes (blame-window
+    * attribution). One equi-join on user_id with the time band as a
+    * residual predicate — the shuffle is keyed, never a cross join;
+    * the band only bounds the per-user pair fan-out. Epoch-micros
+    * output for cross-engine parity (see header). The streaming twin
+    * below runs the IDENTICAL condition watermarked; StreamingSpec
+    * asserts pair parity between the two. */
+  def e4IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"),
+        unix_micros(col("ts")).as("error_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("click_us"))
+    val bandUs = 10L * 60 * 1000000
+    errors.join(clicks, Seq("user_id"))
+      .filter(col("click_us") > col("error_us") - bandUs &&
+        col("click_us") <= col("error_us"))
+      .select(col("user_id"), col("error_id"), col("click_id"),
+        (col("error_us") - col("click_us")).as("lag_us"))
+  }
+
   /** Structured Streaming twins — same aggregation bodies over a
     * file stream with a 1-hour watermark. Driven by ScalaTest with a
     * memory sink (complete/append) and asserted equal to e1/e2. */
@@ -122,7 +147,8 @@ object EventStreams {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_stream_tumbling" -> e1StreamTumbling,
     "e2_stream_sliding" -> e2StreamSliding,
-    "e3_stream_session" -> e3StreamSession)
+    "e3_stream_session" -> e3StreamSession,
+    "e4_interval_join" -> e4IntervalJoin)
 
   val oracle: Map[String, String] = Map(
     "e1_stream_tumbling" ->
@@ -158,5 +184,13 @@ object EventStreams {
            count(*) AS n_events,
            cast(max(ts_us) - min(ts_us) AS bigint) AS duration_us,
            ${Det.sqlDsum2("value")} AS sum_value
-         FROM sessions GROUP BY 1, 2""")
+         FROM sessions GROUP BY 1, 2""",
+    "e4_interval_join" ->
+      """SELECT e.user_id,
+         e.event_id AS error_id, c.event_id AS click_id,
+         epoch_us(e.ts) - epoch_us(c.ts) AS lag_us
+         FROM events e JOIN events c ON e.user_id = c.user_id
+         WHERE e.event_type = 'error' AND c.event_type = 'click'
+           AND c.ts > e.ts - INTERVAL 10 MINUTE
+           AND c.ts <= e.ts""")
 }

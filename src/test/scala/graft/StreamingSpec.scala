@@ -64,21 +64,9 @@ class StreamingSpec extends SparkTestBase {
       .queryName("ssjoin_out")
       .start()
     try q.processAllAvailable() finally q.stop()
-    val ev = Tables.events(spark, sfSmoke).select(col("event_id"),
-      col("user_id"), unix_micros(col("ts")).as("ts_us"),
-      col("event_type"))
-    val errors = ev.filter(col("event_type") === "error")
-      .select(col("event_id").as("error_id"),
-        col("user_id").as("e_user"), col("ts_us").as("e_ts"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"),
-        col("user_id").as("c_user"), col("ts_us").as("c_ts"))
-    val batch = errors.join(clicks,
-        col("e_user") === col("c_user") &&
-          col("c_ts") > col("e_ts") - 600000000L &&
-          col("c_ts") <= col("e_ts"))
-      .select(col("error_id"), col("click_id"),
-        col("e_user").as("user_id"))
+    // the canonical batch form is the oracle-gated e4 query
+    val batch = EventStreams.e4IntervalJoin(spark, sfSmoke)
+      .select("error_id", "click_id", "user_id")
     assert(batch.count() > 0)
     assert(asSet(spark.table("ssjoin_out")) == asSet(batch))
   }
