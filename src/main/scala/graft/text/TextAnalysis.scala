@@ -175,13 +175,33 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(50)
 
+  /** X9 — approximate heavy hitters over the token stream: the
+    * Misra–Gries mergeable summary ([[graft.functions.HeavyHitters]],
+    * k=64) next to x7's exact top-k, the way g13's sketches sit next
+    * to the exact aggregates. x7 shuffles one row per DISTINCT token
+    * per partition; this shuffles one 64-entry map per partition
+    * regardless of vocabulary size — the constant-memory path when
+    * the token space itself is huge (URLs, n-grams, ids). Reported
+    * counts are lower bounds short by ≤ n/65; HeavyHittersSpec pins
+    * the envelope against exact counts. Rows-only (sketch contents
+    * are order-sensitive; only the guarantees are portable). */
+  def x9HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens).as("token"))
+      .agg(graft.functions.HeavyHitters.heavyHitters(64)(col("token"))
+        .as("hh"))
+      .select(explode(col("hh")).as(Seq("token", "count_lb")))
+      .orderBy(col("count_lb").desc, col("token"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_text_tokens" -> x1TextTokens,
     "x2_text_quality" -> x2TextQuality,
     "x3_text_langid" -> x3TextLangid,
     "x4_text_fingerprint" -> x4TextFingerprint,
     "x6_corpus_curation" -> x6CorpusCuration,
-    "x7_token_vocab" -> x7TokenVocab)
+    "x7_token_vocab" -> x7TokenVocab,
+    "x9_heavy_hitters" -> x9HeavyHitters)
 
   val oracle: Map[String, String] = Map(
     "x1_text_tokens" ->
