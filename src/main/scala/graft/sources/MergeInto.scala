@@ -64,8 +64,77 @@ object MergeInto {
     mergedView(target, updates.union(inserts), "c_custkey")
   }
 
+  /** SCD Type 2 — history-preserving dimension maintenance: instead
+    * of overwriting a changed row (s9), CLOSE the current version
+    * (valid_to = change time) and insert the new one, so every fact
+    * can still join the attribute values that were true at ITS time
+    * (via j5/j6's as-of machinery). One full-outer join between the
+    * current slice and the change-set; four row fates, decided with
+    * null-safe attribute comparison (`<=>`) so a no-op change-set row
+    * creates NO new version:
+    *   target-only → unchanged; match+identical → unchanged;
+    *   match+differs → closed copy AND a new current version;
+    *   source-only → brand-new current row.
+    * Closed history rows never join anything — at scale, partition
+    * the table by is_current so maintenance touches only the current
+    * slice. */
+  def scd2Apply(history: DataFrame, changes: DataFrame, key: String,
+      changeTs: Long): DataFrame = {
+    val meta = Set(key, "valid_from", "valid_to", "is_current")
+    val attrs = history.columns.filterNot(meta)
+    val histCols = history.columns
+    val closedPast = history.filter(!col("is_current"))
+    val cur = history.filter(col("is_current"))
+    val src = changes.select(col(key).as("s_key") +:
+      attrs.map(c => col(c).as(s"s_$c")): _*)
+    val j = cur.join(src, col(key) === col("s_key"), "full_outer")
+    val differs = attrs.map(c => !(col(c) <=> col(s"s_$c")))
+      .reduce(_ || _)
+    val keep = j.filter(col(key).isNotNull &&
+        (col("s_key").isNull || !differs))
+      .select(histCols.map(col).toIndexedSeq: _*)
+    val closedNow = j.filter(col(key).isNotNull &&
+        col("s_key").isNotNull && differs)
+      .select(histCols.map {
+        case "valid_to" => lit(changeTs).as("valid_to")
+        case "is_current" => lit(false).as("is_current")
+        case c => col(c)
+      }.toIndexedSeq: _*)
+    val newVersions = j.filter(col("s_key").isNotNull &&
+        (col(key).isNull || differs))
+      .select(histCols.map {
+        case `key` => col("s_key").as(key)
+        case "valid_from" => lit(changeTs).as("valid_from")
+        case "valid_to" => lit(null).cast("bigint").as("valid_to")
+        case "is_current" => lit(true).as("is_current")
+        case c => col(s"s_$c").as(c)
+      }.toIndexedSeq: _*)
+    closedPast.unionByName(keep).unionByName(closedNow)
+      .unionByName(newVersions)
+  }
+
+  /** S10 — one SCD2 maintenance round over a deterministic
+    * change-set: every 10th customer changes balance (new version),
+    * every (30k+5)th arrives UNCHANGED (must create nothing), every
+    * 100th inserts under an offset key. */
+  def s10Scd2(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val history = base
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("bigint"))
+      .withColumn("is_current", lit(true))
+    val changes = base.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 500.0)
+      .union(base.filter(col("c_custkey") % 30 === 5))
+      .union(base.filter(col("c_custkey") % 100 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 2000000L))
+    scd2Apply(history, changes, "c_custkey", changeTs = 100L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s9_merge_upsert" -> s9MergeUpsert)
+    "s9_merge_upsert" -> s9MergeUpsert,
+    "s10_scd2" -> s10Scd2)
 
   val oracle: Map[String, String] = Map(
     "s9_merge_upsert" ->
@@ -84,5 +153,38 @@ object MergeInto {
            CASE WHEN s.c_custkey IS NOT NULL
                 THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal
          FROM tgt t FULL OUTER JOIN src s
-           ON t.c_custkey = s.c_custkey""")
+           ON t.c_custkey = s.c_custkey""",
+    "s10_scd2" ->
+      """WITH base AS (
+           SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+         chg AS (
+           SELECT c_custkey, c_mktsegment, c_acctbal + 500.0 AS c_acctbal
+           FROM base WHERE c_custkey % 10 = 0
+           UNION ALL
+           SELECT c_custkey, c_mktsegment, c_acctbal
+           FROM base WHERE c_custkey % 30 = 5
+           UNION ALL
+           SELECT c_custkey + 2000000, c_mktsegment, c_acctbal
+           FROM base WHERE c_custkey % 100 = 0),
+         j AS (
+           SELECT t.c_custkey AS t_key, t.c_mktsegment, t.c_acctbal,
+             s.c_custkey AS s_key, s.c_mktsegment AS s_seg,
+             s.c_acctbal AS s_bal,
+             (NOT (t.c_mktsegment IS NOT DISTINCT FROM s.c_mktsegment)
+              OR NOT (t.c_acctbal IS NOT DISTINCT FROM s.c_acctbal))
+               AS differs
+           FROM base t FULL OUTER JOIN chg s
+             ON t.c_custkey = s.c_custkey)
+         SELECT t_key AS c_custkey, c_mktsegment, c_acctbal,
+           cast(0 AS bigint) AS valid_from,
+           cast(NULL AS bigint) AS valid_to, true AS is_current
+         FROM j WHERE t_key IS NOT NULL AND (s_key IS NULL OR NOT differs)
+         UNION ALL
+         SELECT t_key, c_mktsegment, c_acctbal,
+           cast(0 AS bigint), cast(100 AS bigint), false
+         FROM j WHERE t_key IS NOT NULL AND s_key IS NOT NULL AND differs
+         UNION ALL
+         SELECT s_key, s_seg, s_bal,
+           cast(100 AS bigint), cast(NULL AS bigint), true
+         FROM j WHERE s_key IS NOT NULL AND (t_key IS NULL OR differs)""")
 }

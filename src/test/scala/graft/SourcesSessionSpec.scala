@@ -172,6 +172,36 @@ class SourcesSessionSpec extends SparkTestBase {
     } finally back.unpersist()
   }
 
+  test("scd2: changed keys version, no-op changes create nothing") {
+    import org.apache.spark.sql.functions._
+    val out = sources.MergeInto.s10Scd2(spark, sfSmoke).cache()
+    try {
+      // invariant: every key has exactly one current version
+      assert(out.filter(col("is_current")).groupBy("c_custkey").count()
+        .filter(col("count") =!= 1).count() == 0)
+      // only balance-changed keys (%10) may carry two versions
+      assert(out.groupBy("c_custkey").count()
+        .filter(col("count") === 2)
+        .filter(col("c_custkey") % 10 =!= 0).count() == 0)
+      // a changed key's closed row ends exactly where the new begins
+      val versions = out.filter(col("c_custkey") % 10 === 0 &&
+        col("c_custkey") <= 2000000)
+      assert(versions.filter(!col("is_current") &&
+        col("valid_to") =!= 100L).count() == 0)
+      assert(versions.filter(col("is_current") &&
+        col("valid_from") =!= 100L).count() == 0)
+      // the no-op slice (%30==5, disjoint from %10==0) stays 1 row
+      assert(out.filter(col("c_custkey") % 30 === 5)
+        .groupBy("c_custkey").count()
+        .filter(col("count") =!= 1).count() == 0)
+      // inserts arrive current, opening at the change time
+      val ins = out.filter(col("c_custkey") > 2000000)
+      assert(ins.count() > 0)
+      assert(ins.filter(!col("is_current") ||
+        col("valid_from") =!= 100L).count() == 0)
+    } finally out.unpersist()
+  }
+
   test("schema evolution: mergeSchema unions footers, old files read new cols as null") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files
