@@ -73,4 +73,76 @@ class PropertySpec extends SparkTestBase {
       assert(r.getDouble(0) == r.getDouble(1),
         s"Det.r2(${r.getDouble(0)}) = ${r.getDouble(1)}"))
   }
+
+  test("z-value is a bijection on 16-bit pairs and preserves box locality") {
+    import spark.implicits._
+    val pairGen = Gen.listOfN(200, for {
+      x <- Gen.choose(0L, 65535L)
+      y <- Gen.choose(0L, 65535L)
+    } yield (x, y))
+    (1L to 5L).foreach { seed =>
+      val pairs = sample(pairGen, seed).distinct
+      val df = pairs.toDF("x", "y")
+        .select(col("x"), col("y"),
+          graft.sources.ZOrder.zValue(col("x"), col("y")).as("z"))
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      // injective: distinct pairs → distinct curve positions
+      assert(df.map(_._2).distinct.length == pairs.length, s"seed $seed")
+      // invertible: de-interleaving the bits recovers (x, y)
+      df.foreach { case ((x, y), z) =>
+        var rx = 0L; var ry = 0L
+        (0 until 16).foreach { b =>
+          rx |= ((z >>> (2 * b)) & 1L) << b
+          ry |= ((z >>> (2 * b + 1)) & 1L) << b
+        }
+        assert(rx == x && ry == y, s"seed $seed: z=$z")
+      }
+    }
+  }
+
+  test("packing invariants hold for arbitrary token-count distributions") {
+    import spark.implicits._
+    val docsGen = Gen.nonEmptyListOf(Gen.choose(1L, 700L))
+    (1L to 10L).foreach { seed =>
+      val tokens = sample(docsGen, seed)
+      val docs = tokens.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "n_tokens")
+      val packed = graft.text.SequencePacking
+        .packSequences(docs, maxTokens = 512, numParts = 3).collect()
+      // every doc exactly once
+      assert(packed.map(_.getLong(0)).sorted.toSeq ==
+        (0L until tokens.length).toSeq, s"seed $seed")
+      // bins respect the budget unless flagged oversize
+      packed.groupBy(_.getLong(2)).foreach { case (binId, rows) =>
+        val oversize = rows.exists(_.getBoolean(3))
+        val fill = rows.map(_.getLong(1)).sum
+        if (oversize)
+          assert(rows.length == 1, s"seed $seed bin $binId mixes oversize")
+        else
+          assert(fill <= 512, s"seed $seed bin $binId overflows: $fill")
+      }
+    }
+  }
+
+  test("merge algebra: empty source is identity; same source is idempotent") {
+    import spark.implicits._
+    val srcGen = Gen.listOfN(20, for {
+      k <- Gen.choose(1L, 30L)
+      v <- Gen.choose(0, 1000).map(_ / 10.0)
+    } yield (k, v))
+    (1L to 5L).foreach { seed =>
+      val target = (1L to 25L).map(k => (k, k * 1.5)).toDF("k", "v")
+      val srcRows = sample(srcGen, seed)
+        .groupBy(_._1).map(_._2.head).toSeq // unique keys per side
+      val source = srcRows.toDF("k", "v")
+      val empty = spark.emptyDataset[(Long, Double)].toDF("k", "v")
+      val m0 = graft.sources.MergeInto.mergedView(target, empty, "k")
+      assert(m0.exceptAll(target).count() == 0 &&
+        target.exceptAll(m0).count() == 0, s"seed $seed: identity")
+      val m1 = graft.sources.MergeInto.mergedView(target, source, "k")
+      val m2 = graft.sources.MergeInto.mergedView(m1, source, "k")
+      assert(m1.exceptAll(m2).count() == 0 &&
+        m2.exceptAll(m1).count() == 0, s"seed $seed: idempotence")
+    }
+  }
 }
