@@ -48,7 +48,7 @@ object Dedup {
     * Catalyst HOF form (`transform` over `sequence`) evaluates
     * interpreted per element — a flatMap kernel tokenizes and builds
     * the distinct set in one pass. */
-  private[dedup] def shingleSet(text: String): Iterator[String] = {
+  private[graft] def shingleSet(text: String): Iterator[String] = {
     val toks = text.split(' ')
     if (toks.length < 3) Iterator.empty
     else {

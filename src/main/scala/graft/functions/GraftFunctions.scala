@@ -26,11 +26,19 @@ object GraftFunctions {
         s"stopword_count expects a foldable string word list, got $other")
     }
 
+  private def literalInt(e: Expression): Int =
+    e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"expected a foldable int literal, got $other")
+    }
+
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "float_cosine" -> (exprs => FloatCosine(exprs(0), exprs(1))),
     "token_count" -> (exprs => TokenCount(exprs(0))),
     "stopword_count" ->
-      (exprs => StopwordCount(exprs(0), literalWords(exprs(1)))))
+      (exprs => StopwordCount(exprs(0), literalWords(exprs(1)))),
+    "ngrams" -> (exprs => NGramGenerator(exprs(0), literalInt(exprs(1)))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>
@@ -50,7 +58,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private val infoClass: Map[String, String] = Map(
     "float_cosine" -> classOf[FloatCosine].getName,
     "token_count" -> classOf[TokenCount].getName,
-    "stopword_count" -> classOf[StopwordCount].getName)
+    "stopword_count" -> classOf[StopwordCount].getName,
+    "ngrams" -> classOf[NGramGenerator].getName)
 
   override def apply(e: SparkSessionExtensions): Unit =
     GraftFunctions.functions.foreach { case (name, builder) =>

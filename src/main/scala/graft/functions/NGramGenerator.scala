@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator,
+  UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField,
+  StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `ngrams(text, n)` — a native Catalyst table-generating function
+  * (UDTF): one input row fans out to one output row per n-token
+  * window, WITHOUT materializing an intermediate array column. The
+  * `split → transform(sequence(...)) → explode` composition that d2/d3
+  * avoid builds the whole shingle array per row before exploding it
+  * (and runs the lambda interpreted); a Generator streams windows
+  * straight into `GenerateExec`, which is also where Spark's own
+  * explode/posexplode/stack live — this is the missing UDTF leg of the
+  * extension trio next to the Aggregators (WeightedMedian,
+  * HeavyHitters) and scalar expressions (FloatCosine, TokenCount).
+  *
+  * Emits (ngram string, pos int), pos 0-based; docs shorter than n
+  * tokens emit nothing; NULL text emits nothing. Tokenization is the
+  * engine-wide single-space split (SURVEY §2.8). `CodegenFallback` is
+  * deliberate: GenerateExec drives generators through `eval` — only
+  * the explode family has a fused codegen path, and row expansion
+  * never fuses into the parent WSCG stage anyway. */
+case class NGramGenerator(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  require(n >= 1, s"ngrams window must be >= 1, got $n")
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("ngram", StringType, nullable = false),
+    StructField("pos", IntegerType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val raw = child.eval(input)
+    if (raw == null) Iterator.empty
+    else {
+      val tokens = raw.asInstanceOf[UTF8String].toString.split(" ")
+      if (tokens.length < n) Iterator.empty
+      else (0 to tokens.length - n).iterator.map { i =>
+        val sb = new java.lang.StringBuilder(tokens(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(tokens(i + j)); j += 1 }
+        InternalRow(UTF8String.fromString(sb.toString), i)
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : NGramGenerator = copy(child = c)
+}

@@ -194,6 +194,18 @@ object TextAnalysis {
       .orderBy(col("count_lb").desc, col("token"))
       .limit(20)
 
+  /** X10 — the native `ngrams` UDTF ([[graft.functions.NGramGenerator]])
+    * in anger: every 3-token window of every document with its
+    * position, streamed through GenerateExec with no intermediate
+    * array column. Oracle re-derives the windows with a lateral
+    * unnest over generate_series. */
+  def x10Ngrams(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr("ngrams(text, 3)"))
+      .select(col("doc_id"), col("ngram"), col("pos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_text_tokens" -> x1TextTokens,
     "x2_text_quality" -> x2TextQuality,
@@ -201,7 +213,8 @@ object TextAnalysis {
     "x4_text_fingerprint" -> x4TextFingerprint,
     "x6_corpus_curation" -> x6CorpusCuration,
     "x7_token_vocab" -> x7TokenVocab,
-    "x9_heavy_hitters" -> x9HeavyHitters)
+    "x9_heavy_hitters" -> x9HeavyHitters,
+    "x10_ngrams" -> x10Ngrams)
 
   val oracle: Map[String, String] = Map(
     "x1_text_tokens" ->
@@ -282,5 +295,12 @@ object TextAnalysis {
                FROM documents)
          GROUP BY 1
          ORDER BY 2 DESC, 1
-         LIMIT 50""")
+         LIMIT 50""",
+    "x10_ngrams" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         SELECT doc_id,
+           concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS ngram,
+           cast(i - 1 AS int) AS pos
+         FROM t, unnest(generate_series(1, len(toks) - 2)) AS g(i)""")
 }

@@ -1,4 +1,5 @@
 package graft
+// (NGramGenerator UDTF tests live at the bottom of this suite)
 
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions
@@ -87,5 +88,30 @@ class TextKernelsSpec extends SparkTestBase {
     // a CodegenFallback HOF would print the Project without the
     // WholeStageCodegen '*(n)' marker (as n0's aggregate-HOF plan does)
     assert(plan.contains("*(1) Project"), s"expected codegen'd plan:\n$plan")
+  }
+
+  test("ngrams UDTF plans a Generate and matches the shingle kernel") {
+    import spark.implicits._
+    functions.GraftFunctions.register(spark)
+    val df = TextAnalysis.x10Ngrams(spark, sfSmoke)
+    assert(df.queryExecution.executedPlan.toString.contains("Generate"),
+      "a Generator must plan through GenerateExec")
+    // positions are a dense 0..k-1 range per doc
+    val badPos = df.groupBy("doc_id")
+      .agg(min("pos").as("lo"), max("pos").as("hi"),
+        count(lit(1)).as("n"))
+      .filter(col("lo") =!= 0 || col("hi") =!= col("n") - 1)
+    assert(badPos.count() == 0)
+    // the DISTINCT ngram set per doc equals d2/d3's shingle kernel
+    val viaGen = df.select("doc_id", "ngram").distinct()
+    val viaKernel = Tables.documents(spark, sfSmoke)
+      .select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, t) => dedup.Dedup.shingleSet(t).map((id, _)) }
+      .toDF("doc_id", "ngram")
+    assert(viaGen.exceptAll(viaKernel).count() == 0)
+    assert(viaKernel.exceptAll(viaGen).count() == 0)
+    // short docs emit nothing, never a partial window
+    val two = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(two.select(expr("ngrams(text, 3)")).count() == 0)
   }
 }
