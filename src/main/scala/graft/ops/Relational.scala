@@ -175,8 +175,26 @@ object Relational {
           .as("size_tag"),
         split(col("p_type"), " ").getItem(0).as("type_stem"))
 
+  /** C10 — the date/time scalar inventory (SURVEY §2.8's temporal
+    * functions, exercised in one gated query): calendar parts,
+    * month truncation, calendar-aware month addition (both engines
+    * clamp Jan 31 + 3m to Apr 30), and last-day. The one convention
+    * gap is day-of-week — Spark numbers Sunday=1, DuckDB Sunday=0 —
+    * normalized here rather than hidden in the oracle. */
+  def c10Datetime(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      quarter(col("o_orderdate")).as("q"),
+      month(col("o_orderdate")).as("m"),
+      (dayofweek(col("o_orderdate")) - 1).as("dow"),
+      trunc(col("o_orderdate"), "month").as("month_start"),
+      add_months(col("o_orderdate"), 3).as("plus3m"),
+      last_day(col("o_orderdate")).as("eom"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_scan_catalog" -> s1ScanCatalog,
+    "c10_datetime" -> c10Datetime,
     "p1_project" -> p1Project,
     "p2_project_sorted" -> p2ProjectSorted,
     "p3_project_typed" -> p3ProjectTyped,
@@ -199,6 +217,17 @@ object Relational {
       Tables.names.map(n =>
         s"SELECT '$n' AS table_name, count(*) AS n_rows FROM $n")
         .mkString(" UNION ALL "),
+    "c10_datetime" ->
+      """SELECT o_orderkey,
+         cast(year(o_orderdate) AS int) AS y,
+         cast(quarter(o_orderdate) AS int) AS q,
+         cast(month(o_orderdate) AS int) AS m,
+         cast(dayofweek(o_orderdate) AS int) AS dow,
+         cast(date_trunc('month', o_orderdate) AS date) AS month_start,
+         cast(cast(o_orderdate AS date) + INTERVAL 3 MONTH AS date)
+           AS plus3m,
+         last_day(cast(o_orderdate AS date)) AS eom
+         FROM orders""",
     "p1_project" ->
       "SELECT c_custkey, c_name, c_acctbal FROM customer",
     "p2_project_sorted" ->
