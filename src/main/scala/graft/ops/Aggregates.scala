@@ -548,8 +548,26 @@ object Aggregates {
       expr("approx_percentile(l_extendedprice, 0.5, 10000)")
         .as("approx_p50"))
 
+  /** G18 — the grouped 100 TB twin of G17/G4: HLL distinct counts and
+    * t-digest quantiles PER GROUP. Exact grouped percentile buffers
+    * every group's values; these sketches are constant-memory and
+    * mergeable, so the shuffle carries one small sketch per
+    * partition × group no matter how large the groups get. Rows-only
+    * (sketch results are engine-specific); the error envelope vs the
+    * exact twins is asserted in BucketingSpec. */
+  def g18GroupedApproxStats(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct("o_custkey").as("exact_custs"),
+        approx_count_distinct("o_custkey", 0.02).as("approx_custs"),
+        expr("percentile(o_totalprice, 0.5)").as("exact_p50"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)")
+          .as("approx_p50"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g13_approx_stats" -> g13ApproxStats,
+    "g18_grouped_approx_stats" -> g18GroupedApproxStats,
     "g12_histogram" -> g12Histogram,
     "m9_durbin_watson" -> m9DurbinWatson,
     "m9_jarque_bera" -> m9JarqueBera,

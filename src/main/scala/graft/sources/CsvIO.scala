@@ -72,6 +72,25 @@ object CsvIO {
   def readParquetMerged(s: SparkSession, path: String): DataFrame =
     s.read.option("mergeSchema", true).parquet(path)
 
+  /** Point-lookup parquet write — per-column PARQUET BLOOM FILTERS
+    * for equality predicates on high-cardinality keys, the fourth
+    * data-skipping lever beside partition pruning (low-cardinality
+    * dirs), row-group min/max (range predicates on SORTED columns)
+    * and z-order (multi-column boxes). A random key (uuid, doc id)
+    * spans nearly the full value range in EVERY row group, so min/max
+    * can never skip — a bloom filter answers "definitely not in this
+    * row group" in one probe, and Spark's vectorized reader consults
+    * it during pushdown automatically. Cost: ~1.2 bytes/NDV per row
+    * group in the footer; size it with `expectedNdv` per row group,
+    * not per table. */
+  def writeWithBloomFilters(df: DataFrame, path: String,
+      cols: Seq[String], expectedNdv: Long = 100000L): Unit =
+    cols.foldLeft(df.write.mode("overwrite")) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c",
+          expectedNdv.toString)
+    }.parquet(path)
+
   /** Hive-partitioned parquet sink — the dominant I/O lever at
     * 100 TB: a scan with a partition-key predicate reads ONLY the
     * matching directories (partition pruning, visible as

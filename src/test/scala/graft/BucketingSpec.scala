@@ -63,4 +63,19 @@ class BucketingSpec extends SparkTestBase {
     assert(math.abs(approxP - exactP) / exactP < 0.02,
       s"approx p50: $approxP vs $exactP")
   }
+
+  test("grouped sketches stay inside the envelope in every group") {
+    val rows = ops.Aggregates.g18GroupedApproxStats(spark, sfTest)
+      .collect()
+    assert(rows.length == 5) // one per order priority
+    rows.foreach { r =>
+      val grp = r.getString(0)
+      val (exactN, approxN) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approxN - exactN).toDouble / exactN < 0.05,
+        s"$grp HLL err: $approxN vs $exactN")
+      val (exactP, approxP) = (r.getDouble(3), r.getDouble(4))
+      assert(math.abs(approxP - exactP) / exactP < 0.02,
+        s"$grp approx p50: $approxP vs $exactP")
+    }
+  }
 }

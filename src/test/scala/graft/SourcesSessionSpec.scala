@@ -172,6 +172,36 @@ class SourcesSessionSpec extends SparkTestBase {
     } finally back.unpersist()
   }
 
+  test("bloom-filter parquet write: footer carries the filter, reads stay exact") {
+    import org.apache.spark.sql.functions._
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pqbloom").toString + "/t"
+    val docs = Tables.documents(spark, sfSmoke).select("doc_id", "n_chars")
+    sources.CsvIO.writeWithBloomFilters(docs.coalesce(1), dir,
+      Seq("doc_id"), expectedNdv = 1000L)
+    // the footer must carry a bloom filter for doc_id and none for
+    // the unlisted column
+    val pq = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(pq.getAbsolutePath),
+      spark.sessionState.newHadoopConf())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val chunks = reader.getFooter.getBlocks.get(0).getColumns.asScala
+      val byName = chunks.map(c => c.getPath.toDotString -> c).toMap
+      assert(byName("doc_id").getBloomFilterOffset > 0,
+        "doc_id chunk should carry a bloom filter")
+      assert(byName("n_chars").getBloomFilterOffset < 0,
+        "unlisted column should carry none")
+    } finally reader.close()
+    // functional: a point lookup through the filtered scan is exact
+    val id = docs.agg(min("doc_id")).head().getLong(0)
+    val hit = spark.read.parquet(dir).filter(col("doc_id") === id)
+    assert(hit.count() == 1)
+  }
+
   test("scd2: changed keys version, no-op changes create nothing") {
     import org.apache.spark.sql.functions._
     val out = sources.MergeInto.s10Scd2(spark, sfSmoke).cache()
