@@ -206,6 +206,47 @@ object TextAnalysis {
       .select(col("doc_id"), col("ngram"), col("pos"))
   }
 
+  /** X11 — BM25 ranked retrieval (Robertson & Walker 1994; the
+    * Okapi weighting every lexical search stack still runs): top-20
+    * documents for a fixed conjunctive term set. One exploded
+    * hash-aggregate computes per-doc length AND per-term tf in the
+    * same pass (CASE-sums — no per-term scan); corpus stats (N,
+    * avgdl, per-term df) reduce to ONE broadcast row; scoring is a
+    * scan-side expression and the tail is TakeOrderedAndProject.
+    * Parity note: the three term scores add in WRITTEN order — a
+    * `sum()` over an exploded term table would accumulate in
+    * engine-specific order, and a ULP can cross the rounding
+    * boundary (the q1 round-1 lesson, applied to floats-by-design
+    * scores instead of money). */
+  def x11Bm25(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("scan", "window", "join")
+    // k1=1.2, b=0.75 — every constant appears as the SAME literal in
+    // the oracle SQL (k1+1 pre-folded to 2.2, 1-b to 0.25): a
+    // Scala-side fold could land one ulp off the parsed SQL literal
+    val perDoc = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens).as("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("double").as("dl"),
+        terms.map(t => sum(when(col("token") === t, 1).otherwise(0))
+          .cast("double").as(s"tf_$t")): _*)
+    val stats = perDoc.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl") +:
+        terms.map(t => sum(when(col(s"tf_$t") > 0, 1).otherwise(0))
+          .cast("double").as(s"df_$t")): _*)
+    val scored = perDoc.crossJoin(broadcast(stats))
+    val termScore = terms.map { t =>
+      val idf = log((col("n_docs") - col(s"df_$t") + lit(0.5))
+        / (col(s"df_$t") + lit(0.5)) + lit(1.0))
+      idf * (col(s"tf_$t") * lit(2.2)) /
+        (col(s"tf_$t") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    }.reduce(_ + _) // written order: scan + window + join
+    scored.select(col("doc_id"), Det.r6(termScore).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_text_tokens" -> x1TextTokens,
     "x2_text_quality" -> x2TextQuality,
@@ -214,7 +255,8 @@ object TextAnalysis {
     "x6_corpus_curation" -> x6CorpusCuration,
     "x7_token_vocab" -> x7TokenVocab,
     "x9_heavy_hitters" -> x9HeavyHitters,
-    "x10_ngrams" -> x10Ngrams)
+    "x10_ngrams" -> x10Ngrams,
+    "x11_bm25" -> x11Bm25)
 
   val oracle: Map[String, String] = Map(
     "x1_text_tokens" ->
@@ -302,5 +344,39 @@ object TextAnalysis {
          SELECT doc_id,
            concat_ws(' ', toks[i], toks[i+1], toks[i+2]) AS ngram,
            cast(i - 1 AS int) AS pos
-         FROM t, unnest(generate_series(1, len(toks) - 2)) AS g(i)""")
+         FROM t, unnest(generate_series(1, len(toks) - 2)) AS g(i)""",
+    "x11_bm25" -> {
+      def score(t: String) =
+        s"""ln((n_docs - df_$t + 0.5) / (df_$t + 0.5) + 1.0)
+            * (tf_$t * 2.2)
+            / (tf_$t + 1.2 * (0.25 + 0.75 * dl / avgdl))"""
+      s"""WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         perdoc AS (
+           SELECT doc_id, cast(count(*) AS double) AS dl,
+             cast(sum(CASE WHEN token = 'scan' THEN 1 ELSE 0 END)
+               AS double) AS tf_scan,
+             cast(sum(CASE WHEN token = 'window' THEN 1 ELSE 0 END)
+               AS double) AS tf_window,
+             cast(sum(CASE WHEN token = 'join' THEN 1 ELSE 0 END)
+               AS double) AS tf_join
+           FROM tok GROUP BY 1),
+         st AS (
+           SELECT cast(count(*) AS double) AS n_docs, avg(dl) AS avgdl,
+             cast(sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END)
+               AS double) AS df_scan,
+             cast(sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END)
+               AS double) AS df_window,
+             cast(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)
+               AS double) AS df_join
+           FROM perdoc)
+         SELECT doc_id,
+           ${Det.sql(
+        s"${score("scan")} + ${score("window")} + ${score("join")}", 6)}
+             AS bm25
+         FROM perdoc, st
+         ORDER BY bm25 DESC, doc_id
+         LIMIT 20"""
+    })
 }
