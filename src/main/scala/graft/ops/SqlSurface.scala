@@ -77,13 +77,36 @@ object SqlSurface {
     s.sql(scalarSubSql)
   }
 
+  /** Explicit GROUPING SETS with grouping() markers — the general
+    * lattice form whose fixed shapes are g14 (rollup) and g15
+    * (cube). Same execution: ONE Expand over the input (4 replicas
+    * here), one hash aggregate, one exchange — never a union of
+    * per-set scans. grouping() disambiguates a NULL group value from
+    * a super-aggregate row, which matters on nullable keys. */
+  val groupingSetsSql: String =
+    """SELECT o_orderpriority, o_orderstatus,
+       cast(grouping(o_orderpriority) AS int) AS g_pri,
+       cast(grouping(o_orderstatus) AS int) AS g_st,
+       count(*) AS n,
+       cast(sum(cast(o_totalprice AS decimal(12,2))) AS double) AS total
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+         (o_orderpriority), (o_orderstatus), ())"""
+
+  def q4SqlGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(groupingSetsSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_sql_star_join" -> q1SqlStarJoin,
     "q2_sql_exists" -> q2SqlExists,
-    "q3_sql_scalar_subquery" -> q3SqlScalarSub)
+    "q3_sql_scalar_subquery" -> q3SqlScalarSub,
+    "q4_sql_grouping_sets" -> q4SqlGroupingSets)
 
   val oracle: Map[String, String] = Map(
     "q1_sql_star_join" -> starJoinSql,
     "q2_sql_exists" -> existsSql,
-    "q3_sql_scalar_subquery" -> scalarSubSql)
+    "q3_sql_scalar_subquery" -> scalarSubSql,
+    "q4_sql_grouping_sets" -> groupingSetsSql)
 }
