@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -90,27 +90,34 @@ object MergeInto {
     val j = cur.join(src, col(key) === col("s_key"), "full_outer")
     val differs = attrs.map(c => !(col(c) <=> col(s"s_$c")))
       .reduce(_ || _)
-    val keep = j.filter(col(key).isNotNull &&
-        (col("s_key").isNull || !differs))
-      .select(histCols.map(col).toIndexedSeq: _*)
-    val closedNow = j.filter(col(key).isNotNull &&
-        col("s_key").isNotNull && differs)
-      .select(histCols.map {
-        case "valid_to" => lit(changeTs).as("valid_to")
-        case "is_current" => lit(false).as("is_current")
-        case c => col(c)
-      }.toIndexedSeq: _*)
-    val newVersions = j.filter(col("s_key").isNotNull &&
-        (col(key).isNull || differs))
-      .select(histCols.map {
-        case `key` => col("s_key").as(key)
-        case "valid_from" => lit(changeTs).as("valid_from")
-        case "valid_to" => lit(null).cast("bigint").as("valid_to")
-        case "is_current" => lit(true).as("is_current")
-        case c => col(s"s_$c").as(c)
-      }.toIndexedSeq: _*)
-    closedPast.unionByName(keep).unionByName(closedNow)
-      .unionByName(newVersions)
+    // every joined row resolves to 1 or 2 output rows in ONE pass:
+    // an explode over a per-row fate array, NOT a union of filtered
+    // re-selections of the join — Catalyst does not share common
+    // subplans across union branches, so the union form executes the
+    // full-outer join once per branch (3× the shuffle at scale)
+    def asStruct(f: String => Column): Column =
+      struct(histCols.map(c => f(c).as(c)).toIndexedSeq: _*)
+    val keepRow = asStruct(col)
+    val closedRow = asStruct {
+      case "valid_to" => lit(changeTs).cast("bigint")
+      case "is_current" => lit(false)
+      case c => col(c)
+    }
+    val newRow = asStruct {
+      case `key` => col("s_key")
+      case "valid_from" => lit(changeTs).cast("bigint")
+      case "valid_to" => lit(null).cast("bigint")
+      case "is_current" => lit(true)
+      case c => col(s"s_$c")
+    }
+    val fate = when(col(key).isNotNull &&
+        (col("s_key").isNull || !differs), array(keepRow))
+      .when(col(key).isNotNull && col("s_key").isNotNull && differs,
+        array(closedRow, newRow))
+      .otherwise(array(newRow)) // source-only insert
+    val resolved = j.select(explode(fate).as("r"))
+      .select(histCols.map(c => col(s"r.$c")).toIndexedSeq: _*)
+    closedPast.unionByName(resolved)
   }
 
   /** S10 — one SCD2 maintenance round over a deterministic
