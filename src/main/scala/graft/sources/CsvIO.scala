@@ -55,7 +55,10 @@ object CsvIO {
       new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
     fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // rename reports failure via its RETURN VALUE — swallowing a
+    // false here after the delete would silently lose the dataset
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"compaction swap failed: $tmp still holds the data")
   }
 
   /** Schema-evolution read — a long-lived 100 TB dataset is written

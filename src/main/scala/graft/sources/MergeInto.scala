@@ -47,7 +47,9 @@ object MergeInto {
       new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
     fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    // see CsvIO.compact: a false return after the delete is data loss
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"merge swap failed: $tmp still holds the data")
   }
 
   /** S9 — the merge result over a deterministic change-set: every
