@@ -98,14 +98,41 @@ object SqlSurface {
     s.sql(groupingSetsSql)
   }
 
+  /** Five-table snowflake join (TPC-H Q5 shape): one selective fact
+    * filter, a fact⋈fact join, then a broadcastable dim chain
+    * supplier→nation→region. The planner test here is JOIN ORDERING
+    * and build-side choice — at this shape Catalyst/AQE should
+    * broadcast every dim and leave one shuffled join (lineitem ⋈
+    * orders); revenue accumulates in decimal per Det's rule. */
+  val snowflakeSql: String =
+    """SELECT r_name, n_name,
+       cast(sum(cast(l_extendedprice AS decimal(12,2))
+                * (1 - cast(l_discount AS decimal(12,2)))) AS double)
+         AS revenue,
+       count(*) AS n_lines
+       FROM lineitem
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE o_orderpriority = '1-URGENT'
+       GROUP BY 1, 2"""
+
+  def q5SqlSnowflake(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(snowflakeSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_sql_star_join" -> q1SqlStarJoin,
+    "q5_sql_snowflake" -> q5SqlSnowflake,
     "q2_sql_exists" -> q2SqlExists,
     "q3_sql_scalar_subquery" -> q3SqlScalarSub,
     "q4_sql_grouping_sets" -> q4SqlGroupingSets)
 
   val oracle: Map[String, String] = Map(
     "q1_sql_star_join" -> starJoinSql,
+    "q5_sql_snowflake" -> snowflakeSql,
     "q2_sql_exists" -> existsSql,
     "q3_sql_scalar_subquery" -> scalarSubSql,
     "q4_sql_grouping_sets" -> groupingSetsSql)

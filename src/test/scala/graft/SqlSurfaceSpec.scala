@@ -25,6 +25,15 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(df.count() == 1)
   }
 
+  test("snowflake join broadcasts every dim; only the fact join shuffles") {
+    val df = SqlSurface.q5SqlSnowflake(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 3,
+      s"supplier/nation/region should broadcast, got $broadcasts:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("w3 evaluates a RANGE frame with one keyed sort") {
     val df = Aggregates.w3RangeWindow(spark, sfSmoke)
     val plan = df.queryExecution.executedPlan.toString
