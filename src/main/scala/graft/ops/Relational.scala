@@ -192,9 +192,27 @@ object Relational {
       add_months(col("o_orderdate"), 3).as("plus3m"),
       last_day(col("o_orderdate")).as("eom"))
 
+  /** C11 — the array/list scalar inventory (SURVEY §2.8): size,
+    * slice, sort, membership, negative indexing, distinct — the
+    * collection half of the function surface, gated in one query.
+    * Array-valued OUTPUTS are deliberately flattened to strings/ints
+    * (array_join / size): the hash gate stringifies engine-side, and
+    * list renderings differ even when the values match. */
+  def c11Arrays(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(toks).cast("bigint").as("n_tokens"),
+      array_join(array_sort(slice(toks, 1, 3)), "-").as("first3_sorted"),
+      array_contains(toks, "scan").cast("int").as("has_scan"),
+      element_at(toks, -1).as("last_token"),
+      size(array_distinct(toks)).cast("bigint").as("n_distinct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_scan_catalog" -> s1ScanCatalog,
     "c10_datetime" -> c10Datetime,
+    "c11_arrays" -> c11Arrays,
     "p1_project" -> p1Project,
     "p2_project_sorted" -> p2ProjectSorted,
     "p3_project_typed" -> p3ProjectTyped,
@@ -217,6 +235,16 @@ object Relational {
       Tables.names.map(n =>
         s"SELECT '$n' AS table_name, count(*) AS n_rows FROM $n")
         .mkString(" UNION ALL "),
+    "c11_arrays" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+         SELECT doc_id,
+           cast(len(toks) AS bigint) AS n_tokens,
+           array_to_string(list_sort(toks[1:3]), '-') AS first3_sorted,
+           cast(list_contains(toks, 'scan') AS int) AS has_scan,
+           toks[-1] AS last_token,
+           cast(len(list_distinct(toks)) AS bigint) AS n_distinct
+         FROM t""",
     "c10_datetime" ->
       """SELECT o_orderkey,
          cast(year(o_orderdate) AS int) AS y,
