@@ -209,10 +209,29 @@ object Relational {
       size(array_distinct(toks)).cast("bigint").as("n_distinct"))
   }
 
+  /** C12 — semi-structured JSON extraction (the events table's
+    * `props` payload): pull a typed field out of a JSON string column
+    * and aggregate it — the op every lake runs on event payloads
+    * before they earn real columns. `get_json_object` evaluates
+    * per-row with no schema inference pass; at 100 TB the follow-up
+    * move is materializing hot fields into real columns (schema
+    * evolution via readParquetMerged) so the scan prunes instead of
+    * parsing. k is integral, so sums are exact and avg rounds
+    * deterministically. */
+  def c12Json(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        Det.r4(avg("k")).as("avg_k"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_scan_catalog" -> s1ScanCatalog,
     "c10_datetime" -> c10Datetime,
     "c11_arrays" -> c11Arrays,
+    "c12_json" -> c12Json,
     "p1_project" -> p1Project,
     "p2_project_sorted" -> p2ProjectSorted,
     "p3_project_typed" -> p3ProjectTyped,
@@ -235,6 +254,12 @@ object Relational {
       Tables.names.map(n =>
         s"SELECT '$n' AS table_name, count(*) AS n_rows FROM $n")
         .mkString(" UNION ALL "),
+    "c12_json" -> {
+      s"""SELECT event_type, count(*) AS n,
+         cast(sum(cast(props->>'$$.k' AS bigint)) AS bigint) AS sum_k,
+         ${Det.sql("avg(cast(props->>'$.k' AS bigint))", 4)} AS avg_k
+         FROM events GROUP BY 1"""
+    },
     "c11_arrays" ->
       """WITH t AS (
            SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
