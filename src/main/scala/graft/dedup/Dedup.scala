@@ -83,11 +83,17 @@ object Dedup {
   def d2DedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     d2Impl(s, dir, cap = Int.MaxValue)
 
-  /** D6 — near-dup CLUSTERS: connected components over the d2 pair
-    * graph via min-label propagation, emitting every document's
+  /** D6 — near-dup CLUSTERS: connected components over a near-dup
+    * pair graph via min-label propagation, emitting every document's
     * canonical representative (its component's minimum doc_id) — the
     * keep-list stage that turns pairwise near-dup evidence into an
     * actual dedup decision (keep `doc_id == rep`, drop the rest).
+    *
+    * The pair source is a PARAMETER: the production default is the
+    * capped d2b graph (per-task pair expansion bounded by cap², so
+    * the whole keep-list path is scale-safe end to end); the banded
+    * d3 graph drops in for the fully approximate route, and the
+    * uncapped d2 graph remains available as the exact oracle twin.
     *
     * rep ← min(rep, min of neighbors' rep) until fixpoint:
     * O(component diameter) rounds, each ONE keyed join + hash agg —
@@ -100,8 +106,13 @@ object Dedup {
     * large-star/small-star contraction (Kiveris et al. 2014,
     * "Connected components in MapReduce and beyond") would slot in.
     * Oracle: DuckDB recursive-CTE reachability closure + min. */
-  def d6DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = d2DedupNgramJaccard(s, dir).select("doc_a", "doc_b")
+  def d6DedupClusters(s: SparkSession, dir: String): DataFrame =
+    d6ClustersOf(s, dir, d2bDedupNgramCapped)
+
+  /** D6 body over an arbitrary (doc_a, doc_b) pair source. */
+  def d6ClustersOf(s: SparkSession, dir: String,
+      pairSource: (SparkSession, String) => DataFrame): DataFrame = {
+    val pairs = pairSource(s, dir).select("doc_a", "doc_b")
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -141,9 +152,13 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
   }
 
+  /** The production stop-shingle cap — shared by the Scala kernel and
+    * the DuckDB oracle CTE so both gates express identical semantics. */
+  val StopShingleCap = 1000
+
   /** D2b — d2 with the hot-shingle guard on (see above). */
   def d2bDedupNgramCapped(s: SparkSession, dir: String): DataFrame =
-    d2Impl(s, dir, cap = 1000)
+    d2Impl(s, dir, cap = StopShingleCap)
 
   private[graft] def d2Impl(s: SparkSession, dir: String,
       cap: Int): DataFrame = {
@@ -403,10 +418,18 @@ object Dedup {
     "d4_dedup_simhash" -> d4DedupSimhash,
     "d5_dedup_embedding" -> d5DedupEmbedding)
 
-  /** Shared d2 shingle/pair CTEs (reused verbatim by the d6 cluster
-    * oracle so both gates derive from the identical pair graph). */
-  private val d2PairCtes =
-    """w AS (
+  /** Shared d2 shingle/pair CTEs, parameterized by the stop-shingle
+    * cap (None = exact/uncapped). Reused by the d2, d2b and d6 oracles
+    * so every gate derives from the identical pair graph. The cap is
+    * the SQL twin of the kernel's overflow guard: a shingle shared by
+    * more than `cap` docs never enters the pair expansion, while the
+    * per-doc set sizes in `n` stay uncapped (jaccard only decreases). */
+  private def d2PairCtes(cap: Option[Int]): String = {
+    val capFilter = cap.fold("")(c =>
+      s"""WHERE a.s IN (SELECT s FROM sh_e
+                        GROUP BY s HAVING count(*) <= $c)
+         """)
+    s"""w AS (
            SELECT doc_id, list_distinct(list_transform(
              range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
              i -> string_split(text, ' ')[i] || ' ' ||
@@ -417,8 +440,10 @@ object Dedup {
          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  count(*) AS shared
                FROM sh_e a JOIN sh_e b ON a.s = b.s AND a.doc_id < b.doc_id
+               $capFilter
                GROUP BY 1, 2),
          n AS (SELECT doc_id, len(sh) AS n FROM w)"""
+  }
 
   /** DuckDB mirrors. d3/d4 are hash-scheme-specific → rows-only. */
   val oracle: Map[String, String] = Map(
@@ -429,14 +454,21 @@ object Dedup {
          count(DISTINCT md5(text)) AS n_exact_variants
          FROM documents GROUP BY 1""",
     "d2_dedup_ngram_jaccard" ->
-      s"""WITH $d2PairCtes
+      s"""WITH ${d2PairCtes(None)}
+         SELECT doc_a, doc_b,
+           ${Det.sql("shared / (na.n + nb.n - shared)", 4)} AS jaccard
+         FROM p JOIN n na ON na.doc_id = doc_a
+                JOIN n nb ON nb.doc_id = doc_b
+         WHERE shared / (na.n + nb.n - shared) >= 0.4""",
+    "d2b_dedup_ngram_capped" ->
+      s"""WITH ${d2PairCtes(Some(StopShingleCap))}
          SELECT doc_a, doc_b,
            ${Det.sql("shared / (na.n + nb.n - shared)", 4)} AS jaccard
          FROM p JOIN n na ON na.doc_id = doc_a
                 JOIN n nb ON nb.doc_id = doc_b
          WHERE shared / (na.n + nb.n - shared) >= 0.4""",
     "d6_dedup_clusters" ->
-      s"""WITH RECURSIVE $d2PairCtes,
+      s"""WITH RECURSIVE ${d2PairCtes(Some(StopShingleCap))},
          dup AS (SELECT doc_a, doc_b
                  FROM p JOIN n na ON na.doc_id = doc_a
                         JOIN n nb ON nb.doc_id = doc_b

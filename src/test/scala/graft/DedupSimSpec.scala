@@ -174,6 +174,26 @@ class DedupSimSpec extends SparkTestBase {
     val exact = pairSet(Dedup.d2Impl(spark, dir, cap = Int.MaxValue),
       "doc_a", "doc_b")
     assert(cappedPairs.subsetOf(exact))
+
+    // d6 over the capped source (the production default's shape):
+    // converges without the hot-shingle pair blow-up and still merges
+    // the genuine near-dup component.
+    val labels = Dedup.d6ClustersOf(spark, dir,
+        (s, d) => Dedup.d2Impl(s, d, cap = 50))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 62)
+    assert(labels(1001L) == 1001L && labels(1002L) == 1001L)
+    // hot-shingle-only docs were never paired → each keeps itself
+    (1 to 60).foreach(i => assert(labels(i.toLong) == i.toLong))
+  }
+
+  test("d6 default (capped) equals d6 over the exact pair graph when " +
+      "no shingle is hot") {
+    val capped = Dedup.d6DedupClusters(spark, sfTest).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.d6ClustersOf(spark, sfTest, Dedup.d2DedupNgramJaccard)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == exact)
   }
 
   test("n1 emits exactly top-5 per query with contiguous ranks") {
