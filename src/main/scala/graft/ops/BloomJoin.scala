@@ -60,11 +60,20 @@ object BloomJoin {
   }
 
   /** `fact ⋈ dim` with the fact side bloom-pruned before its shuffle.
-    * Row-identical to the plain join for any `fpp`. */
+    * Row-identical to the plain join for any `fpp` — which is exactly
+    * why only fact-side-REMOVING join types are accepted: the filter
+    * drops fact rows before the join, so under left_outer/full_outer
+    * an unmatched fact row the plain join would preserve with NULLs
+    * would silently vanish. inner and left_semi are the types where a
+    * pruned fact row was dead weight by definition. */
   def bloomPruneJoin(fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String,
       expectedItems: Long, fpp: Double = 0.01,
       joinType: String = "inner"): DataFrame = {
+    val normalized = joinType.toLowerCase.replaceAll("[_ ]", "")
+    require(Set("inner", "leftsemi", "semi").contains(normalized),
+      s"bloomPruneJoin supports inner/left_semi, got '$joinType' " +
+        "(pre-join pruning drops fact rows outer joins must preserve)")
     val blob = buildBloom(dim, dimKey, expectedItems, fpp)
     fact.filter(call_function(MightFn, lit(blob),
         xxhash64(col(factKey))))

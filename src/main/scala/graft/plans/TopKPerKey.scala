@@ -52,6 +52,15 @@ object TopKStrategy extends SparkStrategy {
   * inserts a pre-filter below the Window; the Sort+Window pair still
   * runs over the shuffled survivors. This rule removes the pair
   * entirely and shuffles ≤ k·partitions rows per key.
+  *
+  * Tie behavior: `row_number()` over a NON-unique ordering is
+  * nondeterministic by SQL semantics — which peer gets rank k is an
+  * implementation accident — and the heap-based exec may keep a
+  * different k-subset of tied rows than the Window formulation
+  * happened to. Both answers are equally valid, but enabling the rule
+  * can change previously-observed outputs for such queries; append a
+  * unique tie-break column to the ORDER BY (as every gated query here
+  * does) to make the result unique and the rewrite exact.
   */
 object RewriteRankFilterToTopK extends Rule[LogicalPlan] {
 

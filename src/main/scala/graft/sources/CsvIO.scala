@@ -40,25 +40,45 @@ object CsvIO {
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Swap a freshly-written `tmp` directory into place at `path` so
+    * that SOME directory holds the data at every instant: the old
+    * copy is renamed ASIDE (`path + "_old"`) rather than deleted
+    * first — a crash between steps leaves the data discoverable under
+    * `_old` (and the new copy under `tmp`), never a window where the
+    * dataset path's only copy is gone. On HDFS-like stores each
+    * rename is an atomic metadata op; the final `_old` delete is the
+    * only destructive step and runs after the new copy is live.
+    * Recovery rule after a crash: `_old` present + `path` present →
+    * delete `_old`; `_old` present + `path` absent → rename back. */
+  private[sources] def swapInto(s: SparkSession, tmp: String,
+      path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "_old")
+    fs.delete(old, true) // stale leftover from an earlier crashed swap
+    // rename reports failure via its RETURN VALUE — swallowing a
+    // false would silently strand or lose the dataset
+    if (fs.exists(dst))
+      require(fs.rename(dst, old),
+        s"swap failed moving $path aside; dataset untouched at $path")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
+      s"swap failed: new data at $tmp, previous data at $old")
+    fs.delete(old, true)
+  }
+
   /** Small-file compaction — an append-heavy partitioned dataset
     * accretes one-file-per-micro-batch until scan planning is
     * dominated by file-open overhead (the classic small-files
     * problem). Rewrite to `targetFiles` with a round-robin
     * repartition (even sizes, full parallelism while writing).
-    * Two-phase: write to a sibling temp dir, then swap — compaction
-    * must never destroy the only copy mid-rewrite. */
+    * Two-phase: write to a sibling temp dir, then [[swapInto]] —
+    * compaction must never destroy the only copy mid-rewrite. */
   def compact(s: SparkSession, path: String, targetFiles: Int): Unit = {
     val tmp = path + "_compacting"
     s.read.parquet(path).repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    // rename reports failure via its RETURN VALUE — swallowing a
-    // false here after the delete would silently lose the dataset
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
-      s"compaction swap failed: $tmp still holds the data")
+    swapInto(s, tmp, path)
   }
 
   /** Schema-evolution read — a long-lived 100 TB dataset is written

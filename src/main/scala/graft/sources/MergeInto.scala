@@ -37,19 +37,16 @@ object MergeInto {
       .select(cols.toIndexedSeq: _*)
   }
 
-  /** Merge `source` into the parquet dataset at `path`, crash-safe. */
+  /** Merge `source` into the parquet dataset at `path`, crash-safe:
+    * the rewrite lands in a temp dir, then [[CsvIO.swapInto]] swaps it
+    * live via rename-aside (some directory holds the data at every
+    * instant — see the swap's recovery rule). */
   def mergeInto(s: SparkSession, path: String, source: DataFrame,
       key: String): Unit = {
     val tmp = path + "_merging"
     mergedView(s.read.parquet(path), source, key)
       .write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    // see CsvIO.compact: a false return after the delete is data loss
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), dst),
-      s"merge swap failed: $tmp still holds the data")
+    CsvIO.swapInto(s, tmp, path)
   }
 
   /** S9 — the merge result over a deterministic change-set: every

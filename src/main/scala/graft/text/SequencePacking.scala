@@ -41,21 +41,25 @@ object SequencePacking {
       .as[(Long, Long)]
       .mapPartitions { it =>
         val pid = TaskContext.getPartitionId().toLong
-        var localBin = 0L
+        var nextBin = 1L // bin 0 is the initial running bin
+        var curBin = 0L
         var fill = 0L
         it.map { case (id, t) =>
           val oversize = t > maxTokens
           if (oversize) {
-            // a bin of its own; the running bin continues after it
-            localBin += 1
-            val out = (id, t, (pid << 32) | localBin, true)
-            localBin += 1
-            fill = 0L
-            out
+            // a bin of its own; curBin/fill untouched, so the running
+            // bin GENUINELY continues across interspersed oversize
+            // docs — the ≤-one-underfull-trailing-bin waste bound
+            // depends on never abandoning a partial bin
+            val b = nextBin
+            nextBin += 1
+            (id, t, (pid << 32) | b, true)
           } else {
-            if (fill + t > maxTokens) { localBin += 1; fill = 0L }
+            if (fill + t > maxTokens) {
+              curBin = nextBin; nextBin += 1; fill = 0L
+            }
             fill += t
-            (id, t, (pid << 32) | localBin, false)
+            (id, t, (pid << 32) | curBin, false)
           }
         }
       }.toDF("doc_id", "n_tokens", "seq_id", "oversize")

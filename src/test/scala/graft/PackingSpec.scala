@@ -46,6 +46,20 @@ class PackingSpec extends SparkTestBase {
     assert(byDoc(4L)._2 != byDoc(1L)._2)
   }
 
+  test("the running bin continues across an interspersed oversize doc") {
+    // docs 1 and 3 fit together (200 ≤ 250); the oversize doc 2
+    // between them must NOT abandon the partially-filled running bin
+    val docs = Seq((1L, 100L), (2L, 9999L), (3L, 100L))
+      .toDF("doc_id", "n_tokens")
+    val packed = SequencePacking
+      .packSequences(docs, maxTokens = 250, numParts = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    val byDoc = packed.map(p => p._1 -> p).toMap
+    assert(byDoc(2L)._3 && packed.count(_._2 == byDoc(2L)._2) == 1)
+    assert(byDoc(1L)._2 == byDoc(3L)._2,
+      "running bin must survive the oversize interruption")
+  }
+
   test("bins never span partitions: seq_id carries the partition id") {
     val docs = (1L to 400L).map(i => (i, 50L)).toDF("doc_id", "n_tokens")
     val packed = SequencePacking
