@@ -5,7 +5,7 @@ import graft.dedup.Dedup
 import graft.ml.Models
 import graft.multimodal.Multimodal
 import graft.ops.{Aggregates, BloomJoin, Joins, Ordering, Relational,
-  Reshape, SqlSurface, TemporalJoins}
+  Reshape, SkewJoin, SqlSurface, TemporalJoins}
 import graft.plans.TopK
 import graft.sim.Similarity
 import graft.sources.{MergeInto, ZOrder}
@@ -34,7 +34,7 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ EventStreams.queries ++
       Models.queries ++ Multimodal.queries ++ SqlSurface.queries ++
       TopK.queries ++ ZOrder.queries ++ BloomJoin.queries ++
-      SequencePacking.queries ++ MergeInto.queries
+      SkewJoin.queries ++ SequencePacking.queries ++ MergeInto.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +45,5 @@ object SparkEntry {
       Dedup.oracle ++ Similarity.oracle ++ EventStreams.oracle ++
       Models.oracle ++ Multimodal.oracle ++ SqlSurface.oracle ++
       TopK.oracle ++ ZOrder.oracle ++ BloomJoin.oracle ++
-      SequencePacking.oracle ++ MergeInto.oracle
+      SkewJoin.oracle ++ SequencePacking.oracle ++ MergeInto.oracle
 }

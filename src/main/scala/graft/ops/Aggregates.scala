@@ -135,40 +135,47 @@ object Aggregates {
         count(lit(1)).as("n_lines"))
   }
 
-  /** G10 — pairwise Pearson correlation (R:386–392: `cor(use=
-    * 'pairwise.complete.obs')`) WITH the cor.test statistic (R:739):
+  /** The g10 correlation surface: every numeric lineitem column —
+    * the full-width analog of the reference's ~15×15 `cor()` matrix
+    * over all numeric features (R:386–392). */
+  private[ops] val corrVars = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+  private[ops] val corrPairs = for {
+    i <- corrVars.indices; j <- corrVars.indices if i < j
+  } yield (corrVars(i), corrVars(j))
+
+  /** G10 — the FULL pairwise Pearson correlation matrix (R:386–392:
+    * `cor(use='pairwise.complete.obs')` over label + all numeric
+    * columns) WITH the cor.test statistic (R:739):
     * t = r·√((n−2)/(1−r²)), the exact transform R's cor.test applies;
     * its p-value is 2·P(T_{n−2} > |t|) — the CDF isn't ANSI-SQL, so
     * the statistic is the emitted (and oracle-checked) surface. Long
-    * format (var_a, var_b, corr, t); all pairs computed in ONE
-    * aggregate pass (corr is an algebraic aggregate), not a job per
-    * pair. */
+    * format (var_a, var_b, n_pair, corr, t) — all k(k−1)/2 = 28 pairs
+    * computed in ONE aggregate pass (corr is algebraic, so the 56
+    * aggregate expressions share a single scan + partial agg), not a
+    * job per pair. n_pair is the per-pair complete-observation count,
+    * the df that pairwise.complete.obs semantics demand should either
+    * column carry NULLs (on the all-non-null columns it equals
+    * count(*)). */
   def g10Corr(s: SparkSession, dir: String): DataFrame = {
     val df = Tables.lineitem(s, dir)
-    val vars = Seq("l_quantity", "l_extendedprice", "l_discount")
-    val pairs = for {
-      i <- vars.indices; j <- vars.indices if i < j
-    } yield (vars(i), vars(j))
-    // n is the per-pair complete-observation count — the n that
-    // matches corr's pairwise.complete.obs semantics if either column
-    // ever carries NULLs (on the all-non-null TPC-H columns it equals
-    // count(*), so the oracle hash is unchanged).
-    val aggs = pairs.flatMap { case (a, b) =>
+    val aggs = corrPairs.flatMap { case (a, b) =>
       Seq(corr(col(a), col(b)).as(s"${a}__$b"),
         count(when(col(a).isNotNull && col(b).isNotNull, 1))
-          .cast("double").as(s"n__${a}__$b"))
+          .as(s"n__${a}__$b"))
     }
     val wide = df.agg(aggs.head, aggs.tail.toSeq: _*)
-    val longRows = pairs.map { case (a, b) =>
+    val longRows = corrPairs.map { case (a, b) =>
       val r = col(s"${a}__$b")
       val n = col(s"n__${a}__$b")
       struct(lit(a).as("var_a"), lit(b).as("var_b"),
+        n.as("n_pair"),
         Det.r6(r).as("pearson_r"),
-        Det.r6(r * sqrt((n - lit(2.0)) / (lit(1.0) - r * r)))
-          .as("t_stat"))
+        Det.r6(r * sqrt((n.cast("double") - lit(2.0))
+          / (lit(1.0) - r * r))).as("t_stat"))
     }
     wide.select(explode(array(longRows: _*)).as("r"))
-      .select("r.var_a", "r.var_b", "r.pearson_r", "r.t_stat")
+      .select("r.var_a", "r.var_b", "r.n_pair", "r.pearson_r", "r.t_stat")
   }
 
   /** G10b — the full cor.test surface (R:739): Pearson r, t statistic
@@ -182,11 +189,11 @@ object Aggregates {
   def g10bCorrTest(s: SparkSession, dir: String): DataFrame = {
     val p = udf((t: Double, n: Double) =>
       graft.ml.Stats.tTwoSidedP(t, n - 2.0))
+    // df comes from g10's per-pair complete-observation count, so the
+    // p-value's degrees of freedom always agree with the t it is
+    // paired with (a global count(*) would disagree under NULLs).
     g10Corr(s, dir)
-      .join(
-        Tables.lineitem(s, dir).agg(
-          count(lit(1)).cast("double").as("n_obs")))
-      .withColumn("p_value", p(col("t_stat"), col("n_obs")))
+      .withColumn("p_value", p(col("t_stat"), col("n_pair").cast("double")))
       .select("var_a", "var_b", "pearson_r", "t_stat", "p_value")
   }
 
@@ -476,6 +483,30 @@ object Aggregates {
         Det.r6(cume_dist().over(w)).as("cume"))
   }
 
+  /** W2b — the SAME analytic family as w2, partitioned on a
+    * HIGH-CARDINALITY key (o_custkey, ~n/10 groups) — the 100×-honest
+    * exemplar: w2's 5-value priority key means five window groups
+    * total, so at scale five tasks sort everything (fine as a
+    * semantics demo, dishonest as a scale demo). Here group count
+    * grows with the data, so the one exchange + one per-group sort
+    * parallelizes arbitrarily. Same single-Window plan shape: all
+    * seven functions share one spec, one sort (plan-asserted in
+    * OperatorSpec). */
+  def w2bWindowHighCard(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("dense_rnk"),
+        ntile(4).over(w).as("quartile"),
+        Det.r6(percent_rank().over(w)).as("pct_rank"),
+        Det.r6(cume_dist().over(w)).as("cume"))
+  }
+
   /** W3 — RANGE-frame sliding window over event time: per customer,
     * the trailing-7-day order count and spend. A ROWS frame (w1)
     * counts a fixed number of rows; a RANGE frame covers every peer
@@ -580,6 +611,7 @@ object Aggregates {
     "g15_cube" -> g15Cube,
     "w1_running_window" -> w1RunningWindow,
     "w2_window_funcs" -> w2WindowFuncs,
+    "w2b_window_highcard" -> w2bWindowHighCard,
     "w3_range_window" -> w3RangeWindow,
     "g16_weighted_median" -> g16WeightedMedian,
     "g1_agg_sum" -> g1AggSum,
@@ -718,21 +750,21 @@ object Aggregates {
            count(*) AS n_lines
          FROM x GROUP BY 1""",
     "g10_corr" -> {
-      def row(a: String, b: String, label: String) = {
-        val n = s"cast(count(CASE WHEN $a IS NOT NULL" +
-          s" AND $b IS NOT NULL THEN 1 END) AS double)"
-        val t = s"corr($a, $b) * sqrt(($n - 2.0)" +
-          s" / (1.0 - corr($a, $b) * corr($a, $b)))"
-        s"SELECT $label ${Det.sql(s"corr($a, $b)", 6)} AS pearson_r, " +
-          s"${Det.sql(t, 6)} AS t_stat FROM lineitem"
-      }
-      Seq(
-        row("l_quantity", "l_extendedprice",
-          "'l_quantity' AS var_a, 'l_extendedprice' AS var_b,"),
-        row("l_quantity", "l_discount", "'l_quantity', 'l_discount',"),
-        row("l_extendedprice", "l_discount",
-          "'l_extendedprice', 'l_discount',"))
-        .mkString(" UNION ALL ")
+      // Mirror of the single-pass shape: ONE aggregate CTE computes
+      // every pair's corr + complete-obs count, 28 projections read it.
+      val aggExprs = corrPairs.flatMap { case (a, b) =>
+        Seq(s"corr($a, $b) AS r_${a}__$b",
+          s"count(CASE WHEN $a IS NOT NULL AND $b IS NOT NULL THEN 1 END)" +
+            s" AS n_${a}__$b")
+      }.mkString(", ")
+      val rows = corrPairs.map { case (a, b) =>
+        val r = s"r_${a}__$b"
+        val n = s"n_${a}__$b"
+        val t = s"$r * sqrt((cast($n AS double) - 2.0) / (1.0 - $r * $r))"
+        s"SELECT '$a' AS var_a, '$b' AS var_b, $n AS n_pair, " +
+          s"${Det.sql(r, 6)} AS pearson_r, ${Det.sql(t, 6)} AS t_stat FROM w"
+      }.mkString(" UNION ALL ")
+      s"WITH w AS (SELECT $aggExprs FROM lineitem) $rows"
     },
     "m9_vif" -> {
       def vif(rxy: String, rxz: String, ryz: String) =
@@ -854,6 +886,18 @@ object Aggregates {
          ${Det.sql("cume_dist() OVER w", 6)} AS cume
          FROM orders
          WINDOW w AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC, o_orderkey)""",
+    "w2b_window_highcard" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice,
+         lag(o_totalprice, 1) OVER w AS prev_price,
+         lead(o_totalprice, 1) OVER w AS next_price,
+         cast(rank() OVER w AS int) AS rnk,
+         cast(dense_rank() OVER w AS int) AS dense_rnk,
+         cast(ntile(4) OVER w AS int) AS quartile,
+         ${Det.sql("percent_rank() OVER w", 6)} AS pct_rank,
+         ${Det.sql("cume_dist() OVER w", 6)} AS cume
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
                       ORDER BY o_totalprice DESC, o_orderkey)""",
     "g16_weighted_median" ->
       """SELECT l_returnflag, min(val) AS w_median FROM (

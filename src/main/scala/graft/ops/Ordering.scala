@@ -7,15 +7,13 @@ import graft.Tables
 
 /** Sorting / limiting / sampling operators (SURVEY.md §2.7).
   *
-  * The reference has no window functions; exact stratified sampling
-  * (O3) deliberately introduces `Window.partitionBy` as an
-  * implementation detail because the R seed-based `slice_sample`
-  * (R:962–992) is not reproducible cross-engine. Determinism rule
-  * (SURVEY §7.1): derive every sample from the KEY, never from RNG.
+  * Determinism rule (SURVEY §7.1): derive every sample from the KEY,
+  * never from RNG — the R seed-based `slice_sample` (R:962–992) is
+  * not reproducible cross-engine, a key-arithmetic filter is.
   *
   * Scale: a global orderBy is a range-partitioned shuffle — fine for
-  * top-k output; the stratified sample's window shuffles once on the
-  * stratum key, identical cost to a groupBy.
+  * top-k output; the stratified sample is a pure scan-level filter
+  * (no shuffle, no per-stratum sort).
   */
 object Ordering {
 
@@ -40,19 +38,24 @@ object Ordering {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .limit(10)
 
-  /** O3 — exact stratified 80% sample without replacement (R:962–992:
-    * `group_by(지역) %>% slice_sample(prop=0.8)` with seeds). Exact,
-    * deterministic variant: rank within stratum by key, keep
-    * rank <= ceil(0.8 * stratum size). One shuffle on the stratum. */
-  def o3StratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
-    val wAll = Window.partitionBy("c_mktsegment")
+  /** O3 — deterministic stratified 80% sample without replacement
+    * (R:962–992: `group_by(지역) %>% slice_sample(prop=0.8)` with
+    * seeds). KEY-DERIVED (SURVEY §7.1): membership is a pure function
+    * of the row key — `(k · 2654435761) % 10 < 8` (Knuth's
+    * multiplicative mix decorrelates the decision from sequential key
+    * ranges; the multiplier is odd and coprime to 10, so residues stay
+    * uniform) — which makes the sample a plain codegen'd FILTER at the
+    * scan: no window, no per-stratum sort, no shuffle at all. The
+    * earlier rank-within-stratum form guaranteed exact ceil(0.8·n) per
+    * stratum but globally sorted each stratum in ONE task (the ~5
+    * distinct strata here would each become a scale-killer straggler
+    * at 100×); per-stratum exactness is the price, and with uniform
+    * keys each stratum lands within O(1/√n) of 80%. Identical
+    * arithmetic runs in both engines → hash-gated. */
+  def o3StratifiedSample(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_stratum", count(lit(1)).over(wAll))
-      .filter(col("rn") <= ceil(col("n_stratum") * 0.8))
+      .filter((col("c_custkey") * 2654435761L) % 10 < 8)
       .select("c_custkey", "c_mktsegment")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o1_order_by" -> o1OrderBy,
@@ -71,11 +74,6 @@ object Ordering {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
     "o3_stratified_sample" ->
-      """SELECT c_custkey, c_mktsegment FROM
-         (SELECT c_custkey, c_mktsegment,
-            row_number() OVER (PARTITION BY c_mktsegment
-              ORDER BY c_custkey) AS rn,
-            count(*) OVER (PARTITION BY c_mktsegment) AS n_stratum
-          FROM customer)
-         WHERE rn <= ceil(n_stratum * 0.8)""")
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE (c_custkey * 2654435761) % 10 < 8""")
 }

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Salted equi-join for skewed keys (SURVEY §4 / the 100 TB design
   * note: "skewed keys → salting or AQE skew-join").
@@ -37,4 +38,42 @@ object SkewJoin {
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     salted.join(expanded, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** J8 — the gated skew demo: a fact side where ONE key carries 90%
+    * of the rows (the adversarial shape that hotspots a single task in
+    * a plain shuffle join — at 100 TB that task gets ~90 TB), joined
+    * to a 97-row dim through [[saltedJoin]]. The hot key's rows spread
+    * over `salts` tasks; per-task input drops from 0.9·n to 0.9·n/8.
+    * The oracle runs the PLAIN join — row-identical results are the
+    * point (salting is a physical rewrite, not a semantic one). AQE's
+    * skew-join handles the sort-merge case at runtime; explicit
+    * salting is the deterministic tool for streaming joins and for
+    * broadcast-ineligible dims. */
+  def j8SkewedSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.orders(s, dir).select(
+      when(col("o_orderkey") % 10 < 9, 0L)
+        .otherwise(pmod(col("o_orderkey"), lit(97L))).as("k"),
+      col("o_totalprice"))
+    val dim = s.range(0, 97).select(col("id").as("k"),
+      concat(lit("seg_"), col("id")).as("seg_name"))
+    saltedJoin(fact, dim, "k", salts = 8)
+      .groupBy("seg_name")
+      .agg(count(lit(1)).as("n_orders"),
+        Det.dsum2(col("o_totalprice")).as("sum_total"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j8_skew_salted_join" -> j8SkewedSaltedJoin)
+
+  val oracle: Map[String, String] = Map(
+    "j8_skew_salted_join" ->
+      s"""WITH f AS (SELECT CASE WHEN o_orderkey % 10 < 9 THEN 0
+                            ELSE o_orderkey % 97 END AS k,
+                     o_totalprice FROM orders),
+         d AS (SELECT range AS k, 'seg_' || range AS seg_name
+               FROM range(0, 97))
+         SELECT seg_name, count(*) AS n_orders,
+           ${Det.sqlDsum2("o_totalprice")} AS sum_total
+         FROM f JOIN d USING (k)
+         GROUP BY 1""")
 }

@@ -1,7 +1,6 @@
 package graft.parking
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -278,18 +277,17 @@ object ParkingPipeline {
     sub
   }
 
-  /** O3 — stratified 80/20 split by 지역 (R:962–992), exact and
-    * key-derived (no RNG): rank within stratum by 단지코드. */
+  /** O3 — deterministic 80/20 split (R:962–992's seeded stratified
+    * split), KEY-DERIVED per SURVEY §7.1: membership is
+    * `pmod(xxhash64(단지코드), 5) < 4`, a pure scan-level filter — no
+    * RNG, no per-stratum window sort (the earlier rank-within-region
+    * form sorted each of ~16 regions in a single task; at 100× that
+    * is a straggler by construction). The hash decorrelates the
+    * decision from the code's lexicographic structure, so each
+    * region's train share concentrates near 80% without any exact
+    * per-stratum guarantee — the scale-correct trade. */
   def stratifiedSplit(features: DataFrame): (DataFrame, DataFrame) = {
-    val w = Window.partitionBy("지역").orderBy("단지코드")
-    val wAll = Window.partitionBy("지역")
-    val ranked = features
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wAll))
-    val train = ranked.filter(col("rn") <= ceil(col("n") * 0.8))
-      .drop("rn", "n")
-    val test = ranked.filter(col("rn") > ceil(col("n") * 0.8))
-      .drop("rn", "n")
-    (train, test)
+    val inTrain = pmod(xxhash64(col("단지코드")), lit(5)) < 4
+    (features.filter(inTrain), features.filter(!inTrain))
   }
 }

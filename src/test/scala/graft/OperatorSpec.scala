@@ -86,18 +86,68 @@ class OperatorSpec extends SparkTestBase {
       Seq("l_suppkey", "qty_010", "qty_020", "qty_030", "qty_040", "qty_050"))
   }
 
-  test("o3 stratified sample: exact ceil(0.8n) per stratum, no RNG") {
-    val sampled = ops.Ordering.o3StratifiedSample(spark, sfTest)
-      .groupBy("c_mktsegment").count()
+  test("o3 stratified sample: ~80% per stratum, key-derived, no sort") {
+    val df = ops.Ordering.o3StratifiedSample(spark, sfTest)
+    val sampled = df.groupBy("c_mktsegment").count()
     val full = Tables.customer(spark, sfTest)
       .groupBy("c_mktsegment").count().withColumnRenamed("count", "total")
     val joined = sampled.join(full, "c_mktsegment").collect()
     assert(joined.nonEmpty)
     joined.foreach { r =>
-      val (got, total) = (r.getLong(1), r.getLong(2))
-      assert(got == math.ceil(total * 0.8).toLong,
-        s"${r.getString(0)}: $got != ceil(0.8*$total)")
+      val frac = r.getLong(1).toDouble / r.getLong(2)
+      assert(frac > 0.7 && frac < 0.9,
+        s"${r.getString(0)}: train fraction $frac outside [0.7, 0.9]")
     }
+    // the scale contract: a pure filter — no Window, no Sort anywhere
+    // in the optimized plan (the old rank-within-stratum form globally
+    // sorted each stratum in one task)
+    import org.apache.spark.sql.catalyst.plans.logical.{Sort, Window => LWindow}
+    val plan = df.queryExecution.optimizedPlan
+    assert(plan.collect { case w: LWindow => w }.isEmpty, "Window in plan")
+    assert(plan.collect { case s: Sort => s }.isEmpty, "Sort in plan")
+  }
+
+  test("j8 salted-join plan: small side replicated, join key salted") {
+    val df = ops.SkewJoin.j8SkewedSaltedJoin(spark, sfTest)
+    val plan = df.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join}
+    // the salt replication survives optimization as a Generate
+    // (explode) on the dim side...
+    assert(plan.collect { case g: Generate => g }.nonEmpty,
+      "salt-replication explode missing from plan")
+    // ...and the equi-join condition includes the salt column
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    assert(joins.exists(_.condition.exists(
+        _.references.exists(_.name == "__salt"))),
+      "join condition does not include __salt")
+    // row-identical to the plain join
+    val expected = {
+      val fact = Tables.orders(spark, sfTest).select(
+        when(col("o_orderkey") % 10 < 9, 0L)
+          .otherwise(pmod(col("o_orderkey"), lit(97L))).as("k"),
+        col("o_totalprice"))
+      val dim = spark.range(0, 97).select(col("id").as("k"),
+        concat(lit("seg_"), col("id")).as("seg_name"))
+      fact.join(dim, "k").groupBy("seg_name")
+        .agg(count(lit(1)).as("n_orders"),
+          ops.Det.dsum2(col("o_totalprice")).as("sum_total"))
+    }
+    assert(df.exceptAll(expected).count() == 0)
+    assert(expected.exceptAll(df).count() == 0)
+  }
+
+  test("w2b high-cardinality window: one Window node, rows preserved") {
+    val df = ops.Aggregates.w2bWindowHighCard(spark, sfTest)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }
+    assert(wins.size == 1,
+      s"seven analytic funcs must share ONE Window, got ${wins.size}")
+    assert(df.count() == Tables.orders(spark, sfTest).count())
+    // the partition key scales with the data (not a fixed enum)
+    val nKeys = df.select("o_custkey").distinct().count()
+    assert(nKeys > 100, s"only $nKeys window groups")
   }
 
   test("salted join equals plain join on a skewed key") {

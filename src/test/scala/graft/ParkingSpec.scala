@@ -136,18 +136,21 @@ class ParkingSpec extends SparkTestBase {
     assert(back.count() == 150)
   }
 
-  test("stratified split is exact 80/20 per region and disjoint") {
+  test("stratified split is key-derived ~80/20, disjoint, no sort") {
     val feats = featureTable(spark, trainCsv)
     val (tr, te) = stratifiedSplit(feats)
-    assert(tr.count() + te.count() == 423)
+    val (nTr, nTe) = (tr.count(), te.count())
+    assert(nTr + nTe == 423)
     assert(tr.join(te, Seq("단지코드"), "inner").count() == 0)
-    val sizes = feats.groupBy("지역").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val trSizes = tr.groupBy("지역").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    sizes.foreach { case (region, n) =>
-      assert(trSizes.getOrElse(region, 0L) ==
-        math.ceil(n * 0.8).toLong, s"region $region")
-    }
+    // overall share concentrates near 80% (hash-uniform over 423 keys)
+    val frac = nTr.toDouble / 423
+    assert(frac > 0.72 && frac < 0.88, s"train fraction $frac")
+    // deterministic: same membership on re-evaluation
+    val (tr2, _) = stratifiedSplit(feats)
+    assert(tr.select("단지코드").exceptAll(tr2.select("단지코드")).count() == 0)
+    // scale contract: membership is a filter, not a window sort
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    assert(tr.queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }.isEmpty, "Window in split plan")
   }
 }

@@ -78,7 +78,7 @@ class StatsSpec extends SparkTestBase {
 
   test("g10b cor.test query emits finite p-values consistent with t") {
     val rows = ops.Aggregates.g10bCorrTest(spark, sfSmoke).collect()
-    assert(rows.length == 3)
+    assert(rows.length == 28) // full 8-column matrix: k(k-1)/2
     rows.foreach { r =>
       val (t, p) = (r.getDouble(3), r.getDouble(4))
       assert(p >= 0.0 && p <= 1.0)
