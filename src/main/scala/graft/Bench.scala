@@ -38,12 +38,24 @@ object Bench {
           }
         name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
       }
-    val qs = results.map { case (k, v) =>
+    // Sorted keys: the artifact diffs cleanly round-over-round.
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
       s"\"" + k + "\":" + v.fold("null")(_.toString)
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.flatten.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":${failed.isEmpty},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"ok":${failed.isEmpty},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // The sbt-stdout tail the driver snapshots truncates long lines —
+    // r4 lost 34 of 101 per-query numbers that way. The full artifact
+    // (every per-query time + the explicit total) also lands in a repo
+    // file that survives the round.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    catch { case e: Throwable =>
+      System.err.println(s"BENCH_FULL write failed: ${e.getMessage}")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -146,11 +146,12 @@ object Models {
     kv(s, coefRows ++ seRows ++ tRows ++ pRows ++ dfRow ++ metricsOf(pred))
   }
 
-  /** M4+M10 — LASSO with cross-validated regularization path
+  /** M4 — LASSO with cross-validated regularization path
     * (R:1247–1254 `cv.glmnet(alpha=1, nfolds=10)`): elasticNet=1.0,
     * 5-fold CV (the reference's trainControl fold count,
     * R:1085–1086) over a small λ grid (CV cost = folds × grid fits).
-    * Outputs best λ and CV/fit metrics. */
+    * Outputs best λ and CV/fit metrics. The REPEATED form the
+    * reference declares is [[m10RepeatedCv]]. */
   def m4LassoCv(s: SparkSession, dir: String): DataFrame =
     lassoCvOf(s, featureTable(s, dir), numFeatures)
 
@@ -178,6 +179,51 @@ object Models {
       "n_nonzero_coefs" ->
         best.coefficients.toArray.count(_ != 0.0).toDouble)
       ++ metricsOf(pred))
+  }
+
+  /** M10 — REPEATED k-fold CV (R:1085–1088:
+    * `trainControl(method="repeatedcv", number=5)`): the single
+    * 5-fold CV of m4 re-run `repeats` times under different seeds
+    * (each seed re-randomizes the fold assignment), reporting the
+    * per-repeat best λ and CV-RMSE plus their mean and SD — the
+    * spread is the point of repeating: one fold split's RMSE is a
+    * noisy estimate, the across-repeat SD quantifies that noise.
+    * Cost = repeats × folds × grid fits over a CACHED table. */
+  def m10RepeatedCv(s: SparkSession, dir: String): DataFrame =
+    repeatedCvOf(s, featureTable(s, dir), numFeatures, repeats = 3)
+
+  private[graft] def repeatedCvOf(s: SparkSession, df0: DataFrame,
+      features: Array[String], repeats: Int): DataFrame = {
+    val df = df0.cache()
+    val lr = new LinearRegression().setLabelCol("label")
+      .setFeaturesCol("features").setElasticNetParam(1.0)
+      .setMaxIter(50)
+    val pipe = new Pipeline().setStages(Array[org.apache.spark.ml.PipelineStage](
+      new VectorAssembler().setInputCols(features).setOutputCol("features"))
+      :+ lr)
+    val grid = new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.01, 1.0, 100.0)).build()
+    val perRepeat = (1 to repeats).map { r =>
+      val cv = new CrossValidator().setEstimator(pipe)
+        .setEvaluator(new RegressionEvaluator().setLabelCol("label")
+          .setPredictionCol("prediction").setMetricName("rmse"))
+        .setEstimatorParamMaps(grid).setNumFolds(5).setSeed(r.toLong)
+      val m = cv.fit(df)
+      val (bestRmse, bestIdx) = m.avgMetrics.zipWithIndex.minBy(_._1)
+      val bestReg = grid(bestIdx)
+        .get(lr.regParam).getOrElse(Double.NaN)
+      (r, bestReg, bestRmse)
+    }
+    df.unpersist()
+    val rmses = perRepeat.map(_._3)
+    val mean = rmses.sum / repeats
+    val sd =
+      if (repeats < 2) 0.0
+      else math.sqrt(rmses.map(x => (x - mean) * (x - mean)).sum
+        / (repeats - 1))
+    kv(s, perRepeat.flatMap { case (r, reg, rmse) =>
+      Seq(s"repeat_${r}_best_reg" -> reg, s"repeat_${r}_cv_rmse" -> rmse)
+    } ++ Seq("cv_rmse_mean" -> mean, "cv_rmse_sd" -> sd))
   }
 
   /** M5 — random-forest regression + variable importance (R:1259–1267;
@@ -244,6 +290,7 @@ object Models {
     "m1_pca" -> m1Pca,
     "m2_linreg" -> m2Linreg,
     "m4_lasso_cv" -> m4LassoCv,
+    "m10_repeated_cv" -> m10RepeatedCv,
     "m5_random_forest" -> m5RandomForest,
     "m6_stepwise_aic" -> m6StepwiseAic)
 

@@ -21,13 +21,18 @@ case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
 
 /** Multimodal-column plumbing over opaque binary payloads.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
+  * Two decode tiers: x5b is a REAL format decode — byte-exact BMP and
+  * WAV files built to the public specs, parsed back by header
+  * (magic + little-endian fields at spec offsets) and hash-gated
+  * against a DuckDB oracle that recomputes the ground truth
+  * independently. The deeper content stage (`decodeStub`, x5) stays a
   * clearly-marked deterministic FAKE (byte-bucket histogram) standing
-  * in for a real decoder — the Spark-side plumbing is real: binary
-  * columns, typed metadata struct, partition-preserving batched
-  * `mapPartitions` over a `Dataset[MediaItem]` (the Scala analog of a
-  * Pandas-UDF/`mapInPandas` batch transform: one iterator per
-  * partition, amortizing per-batch decoder setup).
+  * in for a pixel/sample codec the container doesn't ship — around
+  * it, the Spark-side plumbing is real: binary columns, typed
+  * metadata struct, partition-preserving batched `mapPartitions` over
+  * a `Dataset[MediaItem]` (the Scala analog of a Pandas-UDF/
+  * `mapInPandas` batch transform: one iterator per partition,
+  * amortizing per-batch decoder setup).
   */
 object Multimodal {
 
@@ -98,8 +103,162 @@ object Multimodal {
     feats.toDF().select(cols: _*)
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x5_multimodal_features" -> x5MultimodalFeatures)
+  // ---------------------------------------------------------------
+  // X5b — REAL format decode. The payloads are genuine BMP (Windows
+  // BITMAPINFOHEADER, little-endian, 24bpp, 4-byte row padding) and
+  // WAV (RIFF/WAVE with a canonical 16-byte PCM fmt chunk) files
+  // built byte-for-byte to the public specs; the decoder parses the
+  // headers the way any codec front-end does — validate magic, read
+  // little-endian fields at spec offsets — with NO access to the
+  // generator's parameters. Geometry/rates derive from doc_id
+  // arithmetic, so the DuckDB oracle recomputes the expected decode
+  // output independently: a hash-matched gate over a real binary
+  // parse.
+  // ---------------------------------------------------------------
 
-  val oracle: Map[String, String] = Map.empty
+  private def le16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+  }
+  private def le32(b: Array[Byte], off: Int, v: Int): Unit = {
+    le16(b, off, v & 0xffff); le16(b, off + 2, (v >>> 16) & 0xffff)
+  }
+  private def rd16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def rd32(b: Array[Byte], off: Int): Int =
+    rd16(b, off) | (rd16(b, off + 2) << 16)
+
+  /** 24bpp bottom-up BMP; pixel rows padded to 4 bytes per the spec.
+    * `fill` cycles into the pixel area (content plumbing is real even
+    * though the pixels are synthetic). */
+  private[graft] def encodeBmp(width: Int, height: Int,
+      fill: Array[Byte]): Array[Byte] = {
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val dataSize = rowSize * height
+    val b = new Array[Byte](54 + dataSize)
+    b(0) = 'B'; b(1) = 'M'
+    le32(b, 2, b.length); le32(b, 10, 54)
+    le32(b, 14, 40) // BITMAPINFOHEADER
+    le32(b, 18, width); le32(b, 22, height)
+    le16(b, 26, 1); le16(b, 28, 24) // planes, bpp
+    le32(b, 34, dataSize)
+    var i = 0
+    while (i < dataSize) {
+      b(54 + i) = if (fill.isEmpty) 0 else fill(i % fill.length)
+      i += 1
+    }
+    b
+  }
+
+  /** Canonical 44-byte-header PCM WAV (16-bit). */
+  private[graft] def encodeWav(sampleRate: Int, channels: Int,
+      frames: Int, fill: Array[Byte]): Array[Byte] = {
+    val dataSize = frames * channels * 2
+    val b = new Array[Byte](44 + dataSize)
+    b(0) = 'R'; b(1) = 'I'; b(2) = 'F'; b(3) = 'F'
+    le32(b, 4, 36 + dataSize)
+    b(8) = 'W'; b(9) = 'A'; b(10) = 'V'; b(11) = 'E'
+    b(12) = 'f'; b(13) = 'm'; b(14) = 't'; b(15) = ' '
+    le32(b, 16, 16); le16(b, 20, 1) // PCM
+    le16(b, 22, channels); le32(b, 24, sampleRate)
+    le32(b, 28, sampleRate * channels * 2) // byte rate
+    le16(b, 32, channels * 2); le16(b, 34, 16) // block align, bits
+    b(36) = 'd'; b(37) = 'a'; b(38) = 't'; b(39) = 'a'
+    le32(b, 40, dataSize)
+    var i = 0
+    while (i < dataSize) {
+      b(44 + i) = if (fill.isEmpty) 0 else fill(i % fill.length)
+      i += 1
+    }
+    b
+  }
+
+  /** (width, height, bpp) from a BMP header; loud failure on bad
+    * magic — a 100 TB decode job must quarantine, not guess. */
+  private[graft] def decodeBmp(b: Array[Byte]): (Int, Int, Int) = {
+    require(b.length >= 54 && b(0) == 'B' && b(1) == 'M',
+      "not a BMP payload")
+    (rd32(b, 18), rd32(b, 22), rd16(b, 28))
+  }
+
+  /** (sampleRate, channels, bitsPerSample) from a RIFF/WAVE header. */
+  private[graft] def decodeWav(b: Array[Byte]): (Int, Int, Int) = {
+    require(b.length >= 44 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
+      b(12) == 'f' && b(13) == 'm' && b(14) == 't' && b(15) == ' ',
+      "not a WAV payload")
+    (rd32(b, 24), rd16(b, 22), rd16(b, 34))
+  }
+
+  /** The encoded media lake: real BMP for even doc_ids, real WAV for
+    * odd — geometry/rate/length all doc_id-derived (the oracle's
+    * ground truth), pixels/samples filled from the text bytes. */
+  def encodedMediaTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select("doc_id", "text")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val fill = text.getBytes("UTF-8")
+          if (id % 2 == 0) {
+            val w = (id % 16 + 1).toInt
+            val h = (id % 12 + 1).toInt
+            (id, "image", encodeBmp(w, h, fill))
+          } else {
+            val rate = (8000 * (id % 3 + 1)).toInt
+            val ch = ((id / 2) % 2 + 1).toInt
+            val frames = (id % 100 + 10).toInt
+            (id, "audio", encodeWav(rate, ch, frames, fill))
+          }
+        }
+      }.toDF("media_id", "kind", "content")
+  }
+
+  /** X5b — batched REAL header decode over the encoded lake: one
+    * parser "session" per partition, schema typed at the boundary.
+    * Hash-gated: the oracle recomputes every field from doc_id
+    * arithmetic while this path reads them out of the bytes. */
+  def x5bMultimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    encodedMediaTable(s, dir).as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, kind, content) =>
+          if (kind == "image") {
+            val (w, h, bpp) = decodeBmp(content)
+            (id, kind, w, h, bpp / 8, 0, bpp, content.length.toLong)
+          } else {
+            val (rate, ch, bits) = decodeWav(content)
+            (id, kind, 0, 0, ch, rate, bits, content.length.toLong)
+          }
+        }
+      }.toDF("media_id", "kind", "width", "height", "channels",
+        "sample_rate", "bits", "n_bytes")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x5_multimodal_features" -> x5MultimodalFeatures,
+    "x5b_multimodal_decode" -> x5bMultimodalDecode)
+
+  /** x5b ground truth re-derived from the generation arithmetic —
+    * independent of the binary parse under test. */
+  val oracle: Map[String, String] = Map(
+    "x5b_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+           cast(CASE WHEN doc_id % 2 = 0 THEN doc_id % 16 + 1
+                     ELSE 0 END AS int) AS width,
+           cast(CASE WHEN doc_id % 2 = 0 THEN doc_id % 12 + 1
+                     ELSE 0 END AS int) AS height,
+           cast(CASE WHEN doc_id % 2 = 0 THEN 3
+                     ELSE (doc_id // 2) % 2 + 1 END AS int) AS channels,
+           cast(CASE WHEN doc_id % 2 = 0 THEN 0
+                     ELSE 8000 * (doc_id % 3 + 1) END AS int) AS sample_rate,
+           cast(CASE WHEN doc_id % 2 = 0 THEN 24 ELSE 16 END AS int) AS bits,
+           cast(CASE WHEN doc_id % 2 = 0
+                     THEN 54 + ((doc_id % 16 + 1) * 3 + 3) // 4 * 4
+                            * (doc_id % 12 + 1)
+                     ELSE 44 + (doc_id % 100 + 10)
+                            * ((doc_id // 2) % 2 + 1) * 2
+                END AS bigint) AS n_bytes
+         FROM documents""")
 }

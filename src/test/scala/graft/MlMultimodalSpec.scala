@@ -45,6 +45,22 @@ class MlMultimodalSpec extends SparkTestBase {
     assert(out("n_nonzero_coefs") >= 0 && out("n_nonzero_coefs") <= 5)
   }
 
+  test("m10 repeated CV: mean/sd consistent with per-repeat RMSEs") {
+    val out = Models.m10RepeatedCv(spark, sfSmoke)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rmses = (1 to 3).map(r => out(s"repeat_${r}_cv_rmse"))
+    assert(rmses.forall(v => v > 0 && !v.isNaN))
+    (1 to 3).foreach(r =>
+      assert(Set(0.01, 1.0, 100.0).contains(out(s"repeat_${r}_best_reg"))))
+    // kv rounds to 1e-6 — mean/sd must agree with the emitted repeats
+    // at that grain
+    val mean = rmses.sum / 3
+    assert(math.abs(out("cv_rmse_mean") - mean) < 1e-5)
+    val sd = math.sqrt(rmses.map(x => (x - mean) * (x - mean)).sum / 2)
+    assert(math.abs(out("cv_rmse_sd") - sd) < 1e-5)
+    assert(out("cv_rmse_sd") >= 0.0)
+  }
+
   test("m5 random forest importances sum to ~1") {
     val out = Models.m5RandomForest(spark, sfSmoke).collect()
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
@@ -100,6 +116,33 @@ class MlMultimodalSpec extends SparkTestBase {
     val histSum = (0 until 8).map(i => col(s"h$i")).reduce(_ + _)
     assert(feats.filter(abs(histSum - 1.0) > 1e-3).count() == 0)
     assert(feats.select(countDistinct("kind")).head().getLong(0) == 3)
+  }
+
+  test("x5b: BMP/WAV encode→decode round-trips; garbage is rejected") {
+    // kernel round-trip on planted params (no Spark needed)
+    val bmp = Multimodal.encodeBmp(7, 5, "abc".getBytes)
+    assert(Multimodal.decodeBmp(bmp) == ((7, 5, 24)))
+    // spec'd row padding: rows of 7px × 3B = 21 → padded to 24
+    assert(bmp.length == 54 + 24 * 5)
+    val wav = Multimodal.encodeWav(16000, 2, 100, "xy".getBytes)
+    assert(Multimodal.decodeWav(wav) == ((16000, 2, 16)))
+    assert(wav.length == 44 + 100 * 2 * 2)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmp("not an image at all....".getBytes ++
+        new Array[Byte](64))
+    }
+    intercept[IllegalArgumentException] { Multimodal.decodeWav(bmp) }
+
+    // distributed decode: every doc decodes, fields in generator range
+    val dec = Multimodal.x5bMultimodalDecode(spark, sfSmoke).cache()
+    try {
+      assert(dec.count() == Tables.documents(spark, sfSmoke).count())
+      assert(dec.filter(col("kind") === "image" &&
+        (col("width") < 1 || col("width") > 16 ||
+         col("bits") =!= 24)).count() == 0)
+      assert(dec.filter(col("kind") === "audio" &&
+        !col("sample_rate").isin(8000, 16000, 24000)).count() == 0)
+    } finally dec.unpersist()
   }
 
   test("frame sampling yields n frames of the requested size") {
