@@ -398,7 +398,54 @@ object Similarity {
         "(acc, x) -> acc + cast(x AS double) * cast(x AS double))")))
         .as("l2_norm"))
 
+  /** N5 — int8 SCALAR quantization QA (the FAISS-SQ8 shape: the
+    * compression tier between raw floats and n4's product codes —
+    * 4× smaller, one multiply to decode, no codebook training).
+    * Per vector: symmetric scale 127/max|x|, code_i =
+    * floor(x_i·scale + 0.5) clamped to ±127, and the RECONSTRUCTION
+    * cosine between original and code vector (scale cancels in
+    * cosine, so scoring the integer codes directly is exact) — the
+    * quality metric that decides whether the quantized tier can serve
+    * a given recall target. Pure per-row kernel, no shuffle:
+    * scan-speed at 100 TB. All sums accumulate float→double in index
+    * order — the identical IEEE sequence as the oracle's list_sum
+    * (the d5 parity argument); zero vectors are unquantizable and
+    * dropped by both sides. */
+  def n5EmbeddingQuantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, dir).select("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          var m = 0.0
+          var k = 0
+          while (k < v.length) {
+            val a = math.abs(v(k).toDouble); if (a > m) m = a; k += 1
+          }
+          if (m <= 0.0) Iterator.empty
+          else {
+            val scale = 127.0 / m
+            var dot = 0.0; var nx = 0.0; var nc = 0.0
+            k = 0
+            while (k < v.length) {
+              val x = v(k).toDouble
+              var c = math.floor(x * scale + 0.5)
+              if (c > 127.0) c = 127.0
+              if (c < -127.0) c = -127.0
+              dot += x * c; nx += x * x; nc += c * c
+              k += 1
+            }
+            Iterator.single(
+              (id, m, dot / (math.sqrt(nx) * math.sqrt(nc))))
+          }
+        }
+      }.toDF("vec_id", "max_abs", "recon_cosine")
+      .select(col("vec_id"), Det.r6(col("max_abs")).as("max_abs"),
+        Det.r6(col("recon_cosine")).as("recon_cosine"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n5_embedding_quantize" -> n5EmbeddingQuantize,
     "n0_embedding_norms" -> n0EmbeddingNorms,
     "n1_sim_topk_bruteforce" -> n1SimTopkBruteforce,
     "n2_sim_lsh_topk" -> n2SimLshTopk,
@@ -406,6 +453,27 @@ object Similarity {
     "n4_sim_pq_topk" -> n4SimPqTopk)
 
   val oracle: Map[String, String] = Map(
+    "n5_embedding_quantize" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+               x -> abs(x::double))) AS m
+           FROM embeddings),
+         c AS (
+           SELECT vec_id, embedding, m,
+             list_transform(embedding,
+               x -> greatest(least(floor(x::double * (127.0 / m) + 0.5),
+                    127.0), -127.0)) AS code
+           FROM e WHERE m > 0.0)
+         SELECT vec_id, ${Det.sql("m", 6)} AS max_abs,
+           ${Det.sql(
+          """list_sum(list_transform(list_zip(embedding, code),
+               p -> p[1]::double * p[2]))
+             / (sqrt(list_sum(list_transform(embedding,
+                  x -> x::double * x::double)))
+                * sqrt(list_sum(list_transform(code, x -> x * x))))""",
+          6)} AS recon_cosine
+         FROM c""",
     "n0_embedding_norms" ->
       s"""SELECT vec_id,
          cast(len(embedding) AS bigint) AS dim,

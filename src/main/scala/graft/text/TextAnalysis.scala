@@ -247,7 +247,61 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** X12 — unigram language-model quality score: per-document mean
+    * negative log-likelihood under the corpus's own unigram
+    * distribution, the classic cheap perplexity proxy every curation
+    * stack runs before an expensive LM pass (documents full of rare
+    * tokens score high / weird, boilerplate scores low). Two keyed
+    * shuffles: token-count aggregate (the x7 vocab shape) and the
+    * token→frequency join back (broadcast when the vocab fits, keyed
+    * join when it doesn't — the optimizer's call, both shapes scale).
+    *
+    * Cross-engine determinism: each token's −ln p is QUANTIZED to
+    * 1e−4 (floor(x·1e4+0.5) — an exact small integer in a double), so
+    * the per-doc sum is order-independent integer arithmetic; a raw
+    * double sum would accumulate in engine/partition order and a ULP
+    * could cross the final rounding boundary (the q1 round-1 lesson). */
+  def x12UnigramNll(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens).as("t"))
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).cast("double").as("n"))
+    val q = tok.join(vocab, "t").crossJoin(broadcast(total))
+      .withColumn("q",
+        floor(log(col("n") / col("c").cast("double")) * 10000.0 + 0.5))
+    q.groupBy("doc_id")
+      .agg(Det.r6(sum(col("q")) / (lit(10000.0) * count(lit(1))))
+          .as("nll_per_token"),
+        count(lit(1)).as("n_tokens"))
+  }
+
+  /** X13 — benchmark-contamination detection: corpus documents
+    * sharing a 4-token n-gram with the held-out "benchmark" slice
+    * (doc_id % 50 == 0 — in production, the eval sets you must not
+    * train on). The standard decontamination tool (GPT-3 appendix C
+    * uses 13-gram collisions at ~1000-token scale; 4 of ~50 here is
+    * the same proportion). Shape: distinct (doc, gram) via the native
+    * `ngrams` UDTF, benchmark grams deduped then joined — a BROADCAST
+    * semi-ish join at scale, because benchmark sets are small by
+    * definition; the corpus side never shuffles. Emits each
+    * contaminated doc with its distinct shared-gram count (the
+    * drop/flag decision input). */
+  def x13Contamination(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), expr("ngrams(text, 4)"))
+      .select(col("doc_id"), col("ngram")).distinct()
+    val bench = grams.filter(col("doc_id") % 50 === 0)
+      .select("ngram").distinct()
+    grams.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), "ngram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_4grams"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x12_unigram_nll" -> x12UnigramNll,
+    "x13_contamination" -> x13Contamination,
     "x1_text_tokens" -> x1TextTokens,
     "x2_text_quality" -> x2TextQuality,
     "x3_text_langid" -> x3TextLangid,
@@ -259,6 +313,31 @@ object TextAnalysis {
     "x11_bm25" -> x11Bm25)
 
   val oracle: Map[String, String] = Map(
+    "x12_unigram_nll" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                       FROM documents),
+         v AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+         tot AS (SELECT cast(sum(c) AS double) AS n FROM v),
+         q AS (SELECT doc_id,
+                 floor(ln(n / cast(c AS double)) * 10000.0 + 0.5) AS q
+               FROM tok JOIN v USING (t) CROSS JOIN tot)
+         SELECT doc_id,
+           ${Det.sql("sum(q) / (10000.0 * count(*))", 6)} AS nll_per_token,
+           cast(count(*) AS bigint) AS n_tokens
+         FROM q GROUP BY 1""",
+    "x13_contamination" ->
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s
+                     FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(s) - 2, 1)),
+                 i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+                      || ' ' || s[i+3]))) AS gram
+               FROM sp),
+         bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+         SELECT doc_id, cast(count(*) AS bigint) AS n_shared_4grams
+         FROM g JOIN bench USING (gram)
+         WHERE doc_id % 50 <> 0
+         GROUP BY 1""",
     "x1_text_tokens" ->
       """SELECT doc_id,
          len(string_split(text, ' ')) AS n_ws_tokens,

@@ -196,6 +196,18 @@ class DedupSimSpec extends SparkTestBase {
     assert(capped == exact)
   }
 
+  test("n5 int8 quantization: near-lossless cosine, codes in range") {
+    val q = Similarity.n5EmbeddingQuantize(spark, sfTest).cache()
+    try {
+      assert(q.count() == Tables.embeddings(spark, sfTest).count())
+      // 8-bit symmetric quantization of 64-dim vectors loses almost
+      // no angular information
+      assert(q.filter(col("recon_cosine") < 0.995).count() == 0)
+      assert(q.filter(col("recon_cosine") > 1.0 + 1e-9).count() == 0)
+      assert(q.filter(col("max_abs") <= 0.0).count() == 0)
+    } finally q.unpersist()
+  }
+
   test("n1 emits exactly top-5 per query with contiguous ranks") {
     val brute = Similarity.n1SimTopkBruteforce(spark, sfTest)
     val byQ = brute.groupBy("q_id")

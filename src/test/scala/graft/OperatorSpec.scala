@@ -12,7 +12,7 @@ class OperatorSpec extends SparkTestBase {
     // documents/embeddings are tiny at sf0.001 — near-dup pair queries
     // legitimately return few/zero rows there; run those at sf0.01.
     val needsDocs = Set("d2_dedup_ngram_jaccard", "d3_dedup_minhash_lsh",
-      "d4_dedup_simhash", "d5_dedup_embedding")
+      "d4_dedup_simhash", "d5_dedup_embedding", "x13_contamination")
     SparkEntry.queries.foreach { case (name, fn) =>
       val dir = if (needsDocs(name)) sfTest else sfSmoke
       val n = fn(spark, dir).count()
@@ -105,6 +105,40 @@ class OperatorSpec extends SparkTestBase {
     val plan = df.queryExecution.optimizedPlan
     assert(plan.collect { case w: LWindow => w }.isEmpty, "Window in plan")
     assert(plan.collect { case s: Sort => s }.isEmpty, "Sort in plan")
+  }
+
+  test("x12 unigram NLL: golden values on a planted two-doc corpus") {
+    import spark.implicits._
+    // corpus: "a a" + "a b" → counts a:3 b:1, total 4
+    // nll(doc0) = ln(4/3); nll(doc1) = (ln(4/3) + ln(4)) / 2
+    // (each -ln p quantized to 1e-4 before averaging, per the op)
+    val dir = java.nio.file.Files.createTempDirectory("graft_x12").toString
+    Seq((0L, "a a"), (1L, "a b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = text.TextAnalysis.x12UnigramNll(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    def q(x: Double) = math.floor(x * 10000.0 + 0.5)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val ln43 = q(math.log(4.0 / 3.0))
+    assert(out(0L) == ((r6(ln43 * 2 / (10000.0 * 2)), 2L)))
+    assert(out(1L) == ((r6((ln43 + q(math.log(4.0))) / (10000.0 * 2)), 2L)))
+  }
+
+  test("x13 contamination flags only docs sharing a 4-gram with bench") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_x13").toString
+    Seq(
+      (0L, "alpha beta gamma delta epsilon"), // benchmark (0 % 50 == 0)
+      (1L, "x alpha beta gamma delta epsilon z"), // shares 2 distinct 4-grams
+      (2L, "totally unrelated words only here"),
+      (3L, "alpha beta gamma other tail"))    // 3-gram overlap only
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = text.TextAnalysis.x13Contamination(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L),
+      s"expected only doc 1 with 2 shared 4-grams, got $out")
   }
 
   test("j8 salted-join plan: small side replicated, join key salted") {
