@@ -233,12 +233,21 @@ object ParkingPipeline {
   def pcaOnComplex(s: SparkSession, path: String): DataFrame =
     graft.ml.Models.pcaOf(s, featureTable(s, path), baseCols)
 
-  /** M4+M10 on the parking table (R:1247–1254: `cv.glmnet(alpha=1)`
+  /** M4 on the parking table (R:1247–1254: `cv.glmnet(alpha=1)`
     * over the apartment frame). */
   def lassoCvOnComplex(s: SparkSession, path: String): DataFrame =
     graft.ml.Models.lassoCvOf(s,
       featureTable(s, path).withColumnRenamed("등록차량수", "label"),
       numCols)
+
+  /** M10 on the parking table — the REPEATED 5-fold control the
+    * reference declares at R:1085–1088 (`trainControl(method=
+    * "repeatedcv", number=5)`), run on the frame it was declared
+    * for. */
+  def repeatedCvOnComplex(s: SparkSession, path: String): DataFrame =
+    graft.ml.Models.repeatedCvOf(s,
+      featureTable(s, path).withColumnRenamed("등록차량수", "label"),
+      numCols, repeats = 3)
 
   /** M6 on the parking table (R:632–634: `MASS::stepAIC` backward
     * elimination over the per-complex regression). */

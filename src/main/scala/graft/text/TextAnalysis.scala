@@ -299,9 +299,56 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_4grams"))
   }
 
+  /** Per-language keep percentages for the x14 mixture — the dial a
+    * pretraining-mixture owner turns (upsample the target language,
+    * downsample the rest). Shared literal-for-literal with the
+    * oracle. */
+  private[text] val mixturePct: Seq[(String, Int)] =
+    Seq("en" -> 100, "de" -> 50, "es" -> 25, "fr" -> 10)
+  private val mixtureDefaultPct = 5 // any other language
+
+  /** X14 — language-mixture sampling: deterministic per-language
+    * downsampling to a target mixture (the data-mixture control every
+    * multilingual pretraining corpus goes through). Membership is
+    * KEY-DERIVED (SURVEY §7.1 — the same multiplicative mix as o3),
+    * so the op is a pure scan-level filter: no RNG, no shuffle, and
+    * re-running on the same corpus keeps the identical subset
+    * (reproducible mixtures are what make ablations comparable).
+    * Keep rule: (doc_id · 2654435761) % 100 < pct(lang). */
+  def x14MixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val pct = mixturePct.foldRight(lit(mixtureDefaultPct)) {
+      case ((l, p), acc) => when(col("lang") === l, p).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .filter((col("doc_id") * 2654435761L) % 100 < pct)
+      .select("doc_id", "lang")
+  }
+
+  /** X15 — repetition / lexical-diversity profile (the Gopher-style
+    * quality filters of Rae et al. 2021 §A1.1: repetitious documents
+    * are low-quality signal): type-token ratio (distinct/total
+    * tokens) and the duplicate 3-gram fraction (1 − distinct/total
+    * windows). Pure per-row expressions — zero shuffle, scan-speed at
+    * 100 TB; no sums, so one division per doc is trivially
+    * cross-engine deterministic. */
+  def x15Repetition(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(tokens).cast("double")
+    val nGram = greatest(size(tokens) - 2, lit(0)).cast("double")
+    val distinctGrams = size(graft.dedup.Dedup.shingles).cast("double")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      nTok.cast("bigint").as("n_tokens"),
+      Det.r6(size(array_distinct(tokens)).cast("double") / nTok)
+        .as("type_token_ratio"),
+      Det.r6(when(nGram > 0.0, lit(1.0) - distinctGrams / nGram)
+        .otherwise(0.0)).as("dup_3gram_ratio"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x12_unigram_nll" -> x12UnigramNll,
     "x13_contamination" -> x13Contamination,
+    "x14_mixture_sample" -> x14MixtureSample,
+    "x15_repetition" -> x15Repetition,
     "x1_text_tokens" -> x1TextTokens,
     "x2_text_quality" -> x2TextQuality,
     "x3_text_langid" -> x3TextLangid,
@@ -313,6 +360,31 @@ object TextAnalysis {
     "x11_bm25" -> x11Bm25)
 
   val oracle: Map[String, String] = Map(
+    "x14_mixture_sample" -> {
+      val cases = mixturePct.map { case (l, p) =>
+        s"WHEN lang = '$l' THEN $p"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang FROM documents
+         WHERE (doc_id * 2654435761) % 100 <
+           CASE $cases ELSE 5 END"""
+    },
+    "x15_repetition" -> {
+      val sp = "string_split(text, ' ')"
+      val grams = s"list_distinct(list_transform(" +
+        s"range(1, greatest(len($sp) - 1, 1)), " +
+        s"i -> $sp[i] || ' ' || $sp[i+1] || ' ' || $sp[i+2]))"
+      s"""SELECT doc_id,
+         cast(len($sp) AS bigint) AS n_tokens,
+         ${Det.sql(
+          s"cast(len(list_distinct($sp)) AS double)" +
+            s" / cast(len($sp) AS double)", 6)} AS type_token_ratio,
+         ${Det.sql(
+          s"""CASE WHEN greatest(len($sp) - 2, 0) > 0
+              THEN 1.0 - cast(len($grams) AS double)
+                   / cast(greatest(len($sp) - 2, 0) AS double)
+              ELSE 0.0 END""", 6)} AS dup_3gram_ratio
+         FROM documents"""
+    },
     "x12_unigram_nll" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
                        FROM documents),

@@ -141,6 +141,43 @@ class OperatorSpec extends SparkTestBase {
       s"expected only doc 1 with 2 shared 4-grams, got $out")
   }
 
+  test("x14 mixture: en kept whole, others downsampled near target") {
+    val docs = Tables.documents(spark, sfTest)
+    val kept = text.TextAnalysis.x14MixtureSample(spark, sfTest)
+    val full = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sub = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sub("en") == full("en"), "en must be kept at 100%")
+    // de targets 50%: multiplicative-mix residues are uniform enough
+    // that 70+ docs land within a wide band
+    val deFrac = sub.getOrElse("de", 0L).toDouble / full("de")
+    assert(deFrac > 0.3 && deFrac < 0.7, s"de fraction $deFrac")
+    // fr at 10%, zh (unlisted) at 5% — strictly downsampled
+    assert(sub.getOrElse("fr", 0L) < full("fr") / 2)
+    assert(sub.getOrElse("zh", 0L) < full("zh") / 2)
+    // pure filter, no shuffle
+    import org.apache.spark.sql.catalyst.plans.logical.{Sort, Window => LW}
+    val plan = kept.queryExecution.optimizedPlan
+    assert(plan.collect { case w: LW => w }.isEmpty &&
+      plan.collect { case s: Sort => s }.isEmpty)
+  }
+
+  test("x15 repetition goldens on a planted repetitious doc") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_x15").toString
+    Seq((0L, "a a a a a"), (1L, "v w x y z"), (2L, "a b"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = text.TextAnalysis.x15Repetition(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(out(0L) == ((5L, r6(1.0 / 5.0), r6(1.0 - 1.0 / 3.0))))
+    assert(out(1L) == ((5L, 1.0, 0.0))) // all distinct
+    assert(out(2L) == ((2L, 1.0, 0.0))) // too short for 3-grams
+  }
+
   test("j8 salted-join plan: small side replicated, join key salted") {
     val df = ops.SkewJoin.j8SkewedSaltedJoin(spark, sfTest)
     val plan = df.queryExecution.optimizedPlan

@@ -100,6 +100,13 @@ class ParkingSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(Set(0.01, 1.0, 100.0).contains(lasso("best_reg_param")))
     assert(lasso("r2") > 0 && lasso("rmse") > 0)
+    // repeated CV (the declared trainControl): summary agrees with
+    // the per-repeat RMSEs at the emitted rounding grain
+    val rcv = repeatedCvOnComplex(spark, trainCsv)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rmses = (1 to 3).map(r => rcv(s"repeat_${r}_cv_rmse"))
+    assert(rmses.forall(v => v > 0 && !v.isNaN))
+    assert(math.abs(rcv("cv_rmse_mean") - rmses.sum / 3) < 1e-5)
     // stepwise AIC: monotone improvement, never eliminates every feature
     val steps = stepAicOnComplex(spark, trainCsv).collect()
     val aics = steps.map(_.getDouble(2))
