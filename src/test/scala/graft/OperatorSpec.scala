@@ -208,6 +208,39 @@ class OperatorSpec extends SparkTestBase {
     assert(expected.exceptAll(df).count() == 0)
   }
 
+  test("salted join spreads the hot key in the shuffle-join regime") {
+    import spark.implicits._
+    // force the shuffle path (the regime salting exists for — with a
+    // broadcast dim there is no shuffle to skew)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val large = spark.range(20000)
+        .select(when($"id" % 10 < 9, 0L).otherwise($"id" % 97).as("k"),
+          $"id".as("payload"))
+      val dim = spark.range(0, 97).select($"id".as("k"),
+        concat(lit("n_"), $"id").as("name"))
+      val salted = ops.SkewJoin.saltedJoin(large, dim, "k", salts = 8)
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      val joins = salted.queryExecution.optimizedPlan
+        .collect { case j: Join => j }
+      assert(joins.exists(_.condition.exists(
+        _.references.exists(_.name == "__salt"))))
+      // the 18k-row hot key is split into 8 salt groups, each a
+      // bounded fraction of the key — the per-task bound at scale
+      val groups = large
+        .withColumn("__salt",
+          pmod(xxhash64(large.columns.map(col).toSeq: _*), lit(8)))
+        .filter($"k" === 0L)
+        .groupBy("__salt").count().collect()
+      assert(groups.length == 8, s"expected 8 salt groups: ${groups.length}")
+      val counts = groups.map(_.getLong(1))
+      assert(counts.max < 18000 * 0.25,
+        s"hot key not spread: max salt group ${counts.max} of 18000")
+      assert(salted.count() == large.count()) // inner join, dim covers all keys
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("w2b high-cardinality window: one Window node, rows preserved") {
     val df = ops.Aggregates.w2bWindowHighCard(spark, sfTest)
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
