@@ -38,7 +38,9 @@ object GraftFunctions {
     "token_count" -> (exprs => TokenCount(exprs(0))),
     "stopword_count" ->
       (exprs => StopwordCount(exprs(0), literalWords(exprs(1)))),
-    "ngrams" -> (exprs => NGramGenerator(exprs(0), literalInt(exprs(1)))))
+    "ngrams" -> (exprs => NGramGenerator(exprs(0), literalInt(exprs(1)))),
+    "distinct_ngram_count" ->
+      (exprs => DistinctNgramCount(exprs(0), literalInt(exprs(1)))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>
@@ -59,7 +61,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "float_cosine" -> classOf[FloatCosine].getName,
     "token_count" -> classOf[TokenCount].getName,
     "stopword_count" -> classOf[StopwordCount].getName,
-    "ngrams" -> classOf[NGramGenerator].getName)
+    "ngrams" -> classOf[NGramGenerator].getName,
+    "distinct_ngram_count" -> classOf[DistinctNgramCount].getName)
 
   override def apply(e: SparkSessionExtensions): Unit =
     GraftFunctions.functions.foreach { case (name, builder) =>

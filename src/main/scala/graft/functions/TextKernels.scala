@@ -80,6 +80,93 @@ case class TokenCount(child: Expression) extends UnaryExpression {
       newChild: Expression): TokenCount = copy(child = newChild)
 }
 
+/** Static kernel behind [[DistinctNgramCount]] — a plain JVM method
+  * so the generated code can call it (the hash set a distinct count
+  * needs is not worth inlining into codegen text; the CALL stays
+  * inside WholeStageCodegen either way, which is what matters). */
+object NgramKernels {
+  /** Number of DISTINCT n-token windows of the single-space-split
+    * token sequence — byte-exact twin of
+    * `size(array_distinct(transform(sequence(1, nTok-n+1),
+    *   i -> concat_ws(' ', slice(split(text,' '), i, n)))))`:
+    * because the separator is a single space, each window IS the
+    * byte slice of the original string from token i's start to token
+    * (i+n−1)'s end — empties and multi-space runs reproduce exactly.
+    * Windows are zero-copy UTF8String views hashed into one set. */
+  def distinctNgramCount(s: UTF8String, n: Int): Int = {
+    val nb = s.numBytes()
+    var nTok = 1
+    var i = 0
+    while (i < nb) {
+      if (s.getByte(i) == 0x20.toByte) nTok += 1
+      i += 1
+    }
+    if (nTok < n) return 0
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var t = 0
+    var st = 0
+    i = 0
+    while (i <= nb) {
+      if (i == nb || s.getByte(i) == 0x20.toByte) {
+        starts(t) = st; ends(t) = i; t += 1; st = i + 1
+      }
+      i += 1
+    }
+    val bytes = s.getBytes
+    val seen = new java.util.HashSet[UTF8String]()
+    var w = 0
+    while (w + n <= nTok) {
+      seen.add(UTF8String.fromBytes(bytes, starts(w),
+        ends(w + n - 1) - starts(w)))
+      w += 1
+    }
+    seen.size()
+  }
+}
+
+/** `distinct_ngram_count(text, n)` — distinct n-token windows as one
+  * codegen'd kernel call (n=1 ≡ distinct tokens / type count). The
+  * Catalyst formulation (`array_distinct` over a `transform`d
+  * `sequence`) materializes the token array AND the window array per
+  * row on the interpreted HOF path; this stays inside
+  * WholeStageCodegen and allocates only the distinct set. */
+case class DistinctNgramCount(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"distinct_ngram_count window must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType | NullType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "distinct_ngram_count"
+
+  override def nullSafeEval(input: Any): Any =
+    NgramKernels.distinctNgramCount(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    if (child.dataType == NullType) {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      return ev.copy(code =
+        code"""
+           |boolean ${ev.isNull} = true;
+           |int ${ev.value} = 0;
+         """.stripMargin)
+    }
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.NgramKernels" +
+        s".distinctNgramCount($s, $n);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DistinctNgramCount = copy(child = newChild)
+}
+
 /** Count of whitespace tokens belonging to a FIXED word list —
   * `size(filter(split(text, ' '), t -> t IN (...)))` as one
   * codegen'd byte scan (see the file doc for the contract). The word

@@ -81,6 +81,20 @@ object CsvIO {
     swapInto(s, tmp, path)
   }
 
+  /** ORC round-trip — the second columnar format large estates
+    * actually hold (Hive-era lakes are ORC; a migration engine must
+    * read both and write either). Same declared-schema discipline as
+    * parquet; ORC's row-group min/max + optional bloom indexes give
+    * it the same data-skipping levers, and Spark's vectorized ORC
+    * reader handles the scan. Zlib is ORC's widely-compatible
+    * default codec (snappy for speed parity with parquet is a
+    * one-option change). */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "zlib").orc(path)
+
+  def readOrc(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+
   /** Schema-evolution read — a long-lived 100 TB dataset is written
     * by many pipeline versions, and later versions ADD columns. A
     * plain parquet read takes the schema from one random footer, so a

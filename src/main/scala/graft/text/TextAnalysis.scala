@@ -328,17 +328,23 @@ object TextAnalysis {
     * quality filters of Rae et al. 2021 §A1.1: repetitious documents
     * are low-quality signal): type-token ratio (distinct/total
     * tokens) and the duplicate 3-gram fraction (1 − distinct/total
-    * windows). Pure per-row expressions — zero shuffle, scan-speed at
-    * 100 TB; no sums, so one division per doc is trivially
-    * cross-engine deterministic. */
+    * windows). Pure per-row expressions — zero shuffle, scan-speed
+    * at 100 TB; no sums, so one division per doc is trivially
+    * cross-engine deterministic. The distinct counts run on the
+    * codegen'd `distinct_ngram_count` kernel (the `array_distinct`
+    * HOF form materializes two arrays per row on the interpreted
+    * path — TextKernelsSpec pins kernel==HOF equality and the WSCG
+    * plan). */
   def x15Repetition(s: SparkSession, dir: String): DataFrame = {
-    val nTok = size(tokens).cast("double")
-    val nGram = greatest(size(tokens) - 2, lit(0)).cast("double")
-    val distinctGrams = size(graft.dedup.Dedup.shingles).cast("double")
+    GraftFunctions.register(s)
+    val nTok = nTokens.cast("double")
+    val nGram = greatest(nTokens - 2, lit(0)).cast("double")
+    val distinctGrams =
+      expr("distinct_ngram_count(text, 3)").cast("double")
     Tables.documents(s, dir).select(
       col("doc_id"),
       nTok.cast("bigint").as("n_tokens"),
-      Det.r6(size(array_distinct(tokens)).cast("double") / nTok)
+      Det.r6(expr("distinct_ngram_count(text, 1)").cast("double") / nTok)
         .as("type_token_ratio"),
       Det.r6(when(nGram > 0.0, lit(1.0) - distinctGrams / nGram)
         .otherwise(0.0)).as("dup_3gram_ratio"))

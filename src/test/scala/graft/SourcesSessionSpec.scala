@@ -103,6 +103,23 @@ class SourcesSessionSpec extends SparkTestBase {
     assert(closedBatch.exceptAll(streamed).count() == 0)
   }
 
+  test("orc round-trip preserves rows and pushes filters to the scan") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_orc").toString
+    val orders = Tables.orders(spark, sfSmoke)
+    sources.CsvIO.writeOrc(orders, s"$dir/orders")
+    val back = sources.CsvIO.readOrc(spark, s"$dir/orders")
+    assert(back.count() == orders.count())
+    assert(back.exceptAll(orders).count() == 0)
+    // the same data-skipping contract as parquet: the predicate
+    // reaches the ORC scan as a pushed filter
+    val filtered = back.filter(org.apache.spark.sql.functions
+      .col("o_orderkey") === 42L)
+    val scanDesc = filtered.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("PushedFilters") &&
+      scanDesc.contains("o_orderkey"), s"no pushdown in:\n$scanDesc")
+  }
+
   test("jsonl round-trip preserves the documents table; corrupt lines quarantine") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._

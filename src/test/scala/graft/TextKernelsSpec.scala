@@ -90,6 +90,41 @@ class TextKernelsSpec extends SparkTestBase {
     assert(plan.contains("*(1) Project"), s"expected codegen'd plan:\n$plan")
   }
 
+  test("distinct_ngram_count == array_distinct HOF on corpus and edges") {
+    functions.GraftFunctions.register(spark)
+    def hof(n: Int) =
+      if (n == 1) org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.array_distinct(
+          org.apache.spark.sql.functions.split(col("text"), " ")))
+      else org.apache.spark.sql.functions.expr(
+        s"""size(array_distinct(CASE
+             WHEN size(split(text, ' ')) < $n THEN array()
+             ELSE transform(sequence(1, size(split(text, ' ')) - ${n - 1}),
+               i -> concat_ws(' ', slice(split(text, ' '), i, $n))) END))""")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val mismatch = Tables.documents(spark, sfTest)
+        .select(expr(s"distinct_ngram_count(text, $n)").as("k"),
+          hof(n).as("h"))
+        .filter(col("k") =!= col("h"))
+      assert(mismatch.count() == 0, s"kernel != HOF at n=$n")
+    }
+    // edge semantics: empties from multi-space runs reproduce exactly
+    import spark.implicits._
+    val edges = Seq("", " ", "a  b a  b", "a a a", "x", "a b c")
+      .toDF("text")
+    for (n <- Seq(1, 3)) {
+      val bad = edges.select(expr(s"distinct_ngram_count(text, $n)").as("k"),
+        hof(n).as("h")).filter(col("k") =!= col("h"))
+      assert(bad.count() == 0, s"edge mismatch at n=$n")
+    }
+  }
+
+  test("x15 projection stays inside WholeStageCodegen with the kernel") {
+    val plan = TextAnalysis.x15Repetition(spark, sfTest)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"expected codegen'd plan:\n$plan")
+  }
+
   test("ngrams UDTF plans a Generate and matches the shingle kernel") {
     import spark.implicits._
     functions.GraftFunctions.register(spark)
