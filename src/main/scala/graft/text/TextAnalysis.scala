@@ -315,13 +315,16 @@ object TextAnalysis {
     * re-running on the same corpus keeps the identical subset
     * (reproducible mixtures are what make ablations comparable).
     * Keep rule: (doc_id · 2654435761) % 100 < pct(lang). */
-  def x14MixtureSample(s: SparkSession, dir: String): DataFrame = {
+  def x14MixtureSample(s: SparkSession, dir: String): DataFrame =
+    mixtureFilter(Tables.documents(s, dir)).select("doc_id", "lang")
+
+  /** The x14 membership filter alone — shared with the streaming
+    * quality gate (stateless, so it applies to a stream unchanged). */
+  private[graft] def mixtureFilter(docs: DataFrame): DataFrame = {
     val pct = mixturePct.foldRight(lit(mixtureDefaultPct)) {
       case ((l, p), acc) => when(col("lang") === l, p).otherwise(acc)
     }
-    Tables.documents(s, dir)
-      .filter((col("doc_id") * 2654435761L) % 100 < pct)
-      .select("doc_id", "lang")
+    docs.filter((col("doc_id") * 2654435761L) % 100 < pct)
   }
 
   /** X15 — repetition / lexical-diversity profile (the Gopher-style
@@ -337,11 +340,17 @@ object TextAnalysis {
     * plan). */
   def x15Repetition(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
+    repetitionProfile(Tables.documents(s, dir))
+  }
+
+  /** The x15 projection over any (doc_id, text) frame — shared with
+    * the streaming quality gate (caller registers the kernels). */
+  private[graft] def repetitionProfile(docs: DataFrame): DataFrame = {
     val nTok = nTokens.cast("double")
     val nGram = greatest(nTokens - 2, lit(0)).cast("double")
     val distinctGrams =
       expr("distinct_ngram_count(text, 3)").cast("double")
-    Tables.documents(s, dir).select(
+    docs.select(
       col("doc_id"),
       nTok.cast("bigint").as("n_tokens"),
       Det.r6(expr("distinct_ngram_count(text, 1)").cast("double") / nTok)

@@ -187,6 +187,21 @@ class DedupSimSpec extends SparkTestBase {
     (1 to 60).foreach(i => assert(labels(i.toLong) == i.toLong))
   }
 
+  test("d6 over the banded d3 graph merges every LSH pair") {
+    // the fully approximate keep-list route: LSH candidates feed the
+    // same propagation loop
+    val labels = Dedup.d6ClustersOf(spark, sfTest, Dedup.d3DedupMinhashLsh)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = pairSet(Dedup.d3DedupMinhashLsh(spark, sfTest),
+      "doc_a", "doc_b")
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"LSH pair ($a,$b) split")
+    }
+    assert(labels.size ==
+      Tables.documents(spark, sfTest).count())
+  }
+
   test("d6 default (capped) equals d6 over the exact pair graph when " +
       "no shingle is hot") {
     val capped = Dedup.d6DedupClusters(spark, sfTest).collect()

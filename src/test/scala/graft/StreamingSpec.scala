@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.streaming.{CurationStream, EventStreams, IdempotentSink}
+import graft.streaming.{CurationStream, EventStreams, IdempotentSink,
+  QualityStream}
 
 /** Batch-parity of the Structured Streaming window aggregations: the
   * streaming twin over the same parquet must produce exactly the rows
@@ -116,6 +117,24 @@ class StreamingSpec extends SparkTestBase {
     val streamed = IdempotentSink.readOutput(spark, outDir)
       .drop("batch_id")
     val batch = text.TextAnalysis.x6CorpusCuration(spark, sfSmoke)
+    assert(batch.count() > 0)
+    assert(asSet(streamed) == asSet(batch))
+  }
+
+  test("streaming quality gate == batch x14-filter + x15-profile") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_quality").toString
+    val (outDir, ckpt) = (s"$base/out", s"$base/ckpt")
+    val q = QualityStream.start(spark, sfSmoke, outDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val streamed = IdempotentSink.readOutput(spark, outDir)
+      .drop("batch_id")
+    // batch twin: x15 metrics over the x14-kept docs
+    functions.GraftFunctions.register(spark)
+    val kept = text.TextAnalysis.x14MixtureSample(spark, sfSmoke)
+      .select("doc_id")
+    val batch = text.TextAnalysis.x15Repetition(spark, sfSmoke)
+      .join(kept, "doc_id")
     assert(batch.count() > 0)
     assert(asSet(streamed) == asSet(batch))
   }
