@@ -333,8 +333,15 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-      .distinct()
+      // Hamming verify BEFORE the dedup shuffle: the filter is a
+      // codegen'd per-row predicate and kills the overwhelming
+      // majority of chunk collisions (random 16-bit matches), so the
+      // distinct's exchange carries only true near-dup pairs (≤ 4
+      // copies each — one per matching chunk) instead of every
+      // candidate. Same result set: distinct∘filter ≡ filter∘distinct
+      // for a deterministic per-row predicate.
       .filter(col("hamming") <= 3)
+      .distinct()
   }
 
   /** D5 — embedding-cosine near-dup pairs, brute force (the oracle
