@@ -227,9 +227,35 @@ object Relational {
         sum("k").as("sum_k"),
         Det.r4(avg("k")).as("avg_k"))
 
+  /** C13 — the conditional / null-handling scalar inventory (SURVEY
+    * §2.8's remaining slice, one gated query): NULLIF (sentinel →
+    * NULL, the inverse of C5's fill), NVL2-style three-way branch,
+    * multi-arm coalesce, null-aware least/greatest (both engines skip
+    * NULLs rather than propagate), and the boolean aggregates
+    * bool_and/bool_or (dialect-shared names). All outcomes are exact
+    * integers/booleans — no rounding concerns. */
+  def c13Conditionals(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_acctbal"), col("c_mktsegment"),
+        nullif(col("c_custkey") % 7, lit(0)).as("mod7_or_null"),
+        coalesce(nullif(col("c_custkey") % 3, lit(0)),
+          nullif(col("c_custkey") % 5, lit(0)), lit(-1)).as("first_rem"),
+        least(col("c_custkey") % 11, col("c_custkey") % 13)
+          .as("min_rem"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("mod7_or_null").isNull, 1).otherwise(0))
+          .as("n_sevens"),
+        sum(when(col("c_acctbal") > 0, 1).otherwise(0)).as("n_solvent"),
+        sum("first_rem").as("sum_first_rem"),
+        max("min_rem").as("max_min_rem"),
+        expr("bool_and(c_acctbal > -1000.0)").as("all_above_floor"),
+        expr("bool_or(c_acctbal < 0.0)").as("any_overdrawn"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_scan_catalog" -> s1ScanCatalog,
     "c10_datetime" -> c10Datetime,
+    "c13_conditionals" -> c13Conditionals,
     "c11_arrays" -> c11Arrays,
     "c12_json" -> c12Json,
     "p1_project" -> p1Project,
@@ -254,6 +280,20 @@ object Relational {
       Tables.names.map(n =>
         s"SELECT '$n' AS table_name, count(*) AS n_rows FROM $n")
         .mkString(" UNION ALL "),
+    "c13_conditionals" ->
+      """SELECT c_mktsegment, count(*) AS n,
+         cast(sum(CASE WHEN nullif(c_custkey % 7, 0) IS NULL
+                       THEN 1 ELSE 0 END) AS bigint) AS n_sevens,
+         cast(sum(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END)
+              AS bigint) AS n_solvent,
+         cast(sum(coalesce(nullif(c_custkey % 3, 0),
+                           nullif(c_custkey % 5, 0), -1))
+              AS bigint) AS sum_first_rem,
+         cast(max(least(c_custkey % 11, c_custkey % 13))
+              AS bigint) AS max_min_rem,
+         bool_and(c_acctbal > -1000.0) AS all_above_floor,
+         bool_or(c_acctbal < 0.0) AS any_overdrawn
+         FROM customer GROUP BY 1""",
     "c12_json" -> {
       s"""SELECT event_type, count(*) AS n,
          cast(sum(cast(props->>'$$.k' AS bigint)) AS bigint) AS sum_k,
