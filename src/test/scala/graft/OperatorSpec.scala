@@ -107,6 +107,23 @@ class OperatorSpec extends SparkTestBase {
     assert(plan.collect { case s: Sort => s }.isEmpty, "Sort in plan")
   }
 
+  test("observe counters ride an existing action: rows, nulls, domain") {
+    import spark.implicits._
+    val df = Seq((1, Some(5.0)), (2, None), (3, Some(-1.0)),
+      (4, Some(2.0))).toDF("id", "v")
+    val observed = ops.Observe.withQualityCounters(df, "v",
+      Some(col("v") >= 0.0))
+    // metrics do not perturb the data... (collect() drives THIS
+    // frame's QueryExecution — which is what populates the metrics)
+    assert(observed.collect().length == 4)
+    // ...and the counters merged during that same action
+    val m = ops.Observe.lastObserved(observed).get
+    assert(m.getAs[Long]("n_rows") == 4)
+    assert(m.getAs[Long]("n_nulls") == 1)
+    // NULL fails the domain predicate too (coalesce(ok, false))
+    assert(m.getAs[Long]("n_domain_violations") == 2)
+  }
+
   test("x12 unigram NLL: golden values on a planted two-doc corpus") {
     import spark.implicits._
     // corpus: "a a" + "a b" → counts a:3 b:1, total 4
