@@ -49,9 +49,11 @@ object Bench {
     // The sbt-stdout tail the driver snapshots truncates long lines —
     // r4 lost 34 of 101 per-query numbers that way. The full artifact
     // (every per-query time + the explicit total) also lands in a repo
-    // file that survives the round.
+    // file that survives the round. Repo-relative default (resolves
+    // against the launch cwd) so any checkout location works;
+    // SPARK_GRAFT_BENCH_OUT overrides.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_FULL.json")
+      "BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
     catch { case e: Throwable =>
       System.err.println(s"BENCH_FULL write failed: ${e.getMessage}")

@@ -95,16 +95,20 @@ object Dedup {
     * d3 graph drops in for the fully approximate route, and the
     * uncapped d2 graph remains available as the exact oracle twin.
     *
-    * rep ← min(rep, min of neighbors' rep) until fixpoint:
-    * O(component diameter) rounds, each ONE keyed join + hash agg —
-    * the standard Spark shape for iterative graph algorithms. Eager
-    * `localCheckpoint` pins the edge set (so d2 runs ONCE) and each
-    * round's labels (so lineage doesn't grow with iterations — an
-    * unbounded iterative plan is its own scale-killer). Near-dup
-    * components are overwhelmingly tiny (pairs/triangles → 2–3
-    * rounds); for adversarial long chains this loop is where the
-    * large-star/small-star contraction (Kiveris et al. 2014,
-    * "Connected components in MapReduce and beyond") would slot in.
+    * Clustering is the alternating LARGE-STAR/SMALL-STAR contraction
+    * of Kiveris et al. 2014 ("Connected components in MapReduce and
+    * beyond", §3 Two-Phase): each round rewires every node toward its
+    * neighborhood minimum, which HALVES long paths instead of walking
+    * them one hop per round the way min-label propagation does — a
+    * 1000-doc near-dup chain (boilerplate-heavy web corpora produce
+    * exactly these) converges in ~log₂(n) ≈ 10 rounds, not ~1000.
+    * Each round is two keyed join+agg passes over the EDGE set only
+    * (metadata scale — near-dup pairs, not the corpus). Eager
+    * `localCheckpoint` pins the pair source (so d2b runs ONCE) and
+    * each round's edges (so lineage doesn't grow with iterations —
+    * an unbounded iterative plan is its own scale-killer). Isolated
+    * docs (the overwhelming majority of a real corpus) never enter
+    * the loop and rejoin at the end with rep = doc_id.
     * Oracle: DuckDB recursive-CTE reachability closure + min. */
   def d6DedupClusters(s: SparkSession, dir: String): DataFrame =
     d6ClustersOf(s, dir, d2bDedupNgramCapped)
@@ -113,43 +117,65 @@ object Dedup {
   def d6ClustersOf(s: SparkSession, dir: String,
       pairSource: (SparkSession, String) => DataFrame): DataFrame = {
     val pairs = pairSource(s, dir).select("doc_a", "doc_b")
-    val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true)
-    // Iterate ONLY over docs that have at least one near-dup edge —
-    // isolated docs (the overwhelming majority of a real corpus) can
-    // never change label, so they skip the loop entirely and rejoin
-    // at the end with rep = doc_id. Edges are symmetrized, so `src`
-    // alone covers the connected vertex set.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("rep", col("doc_id"))
-      .localCheckpoint(true)
-    var converged = false
-    var rounds = 0
-    while (!converged && rounds < 50) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("rep")), "dst")
-        .groupBy("src").agg(min("rep").as("nbr_rep"))
-        .withColumnRenamed("src", "doc_id")
-      // fold the convergence test into the update pass: `changed` is
-      // computed alongside the new label and read off the SAME
-      // checkpointed result, so each round is one join+agg, not two
-      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("rep"), coalesce(col("nbr_rep"), col("rep")))
-            .as("rep"),
-          (col("nbr_rep") < col("rep")).as("changed"))
-        .localCheckpoint(true)
-      converged = updated.filter(col("changed")).isEmpty
-      labels = updated.drop("changed")
-      rounds += 1
-    }
-    if (!converged) throw new IllegalStateException(
-      s"d6 label propagation did not converge in $rounds rounds")
+    val (labels, _) = alternatingStarLabels(pairs)
     Tables.documents(s, dir).select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+  }
+
+  /** Large-star/small-star connected components over an undirected
+    * (doc_a, doc_b) pair set → (doc_id, rep = component min) for
+    * every CONNECTED vertex, plus the round count (exposed so the
+    * convergence-speed contract is testable).
+    *
+    * Invariant (paper §3): both operations connect nodes only to
+    * smaller nodes in the same component, and the component minimum
+    * only ever acquires edges — so the fixpoint is a disjoint union
+    * of stars centered on each component's min, and `rep` equals the
+    * recursive-closure min the oracle computes. Edges are kept
+    * directed high→low between rounds; large-star reads the
+    * symmetric view (one union, no extra shuffle beyond its agg).
+    * Convergence = the directed edge set reaches a fixpoint (equal
+    * cardinality + empty one-way except over two distinct sets). */
+  private[graft] def alternatingStarLabels(
+      pairs: DataFrame): (DataFrame, Int) = {
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var converged = edges.isEmpty
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      // LARGE-STAR: for every node, link each strictly-LARGER
+      // neighbor to min(Γ(u) ∪ {u}) — long paths fold in half
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(min("v").as("mn"))
+      val ls = sym.join(lsMin, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+        .distinct()
+      // SMALL-STAR: for every node, link its smaller-or-self
+      // neighborhood (incl. itself) to that neighborhood's min
+      val ssMin = ls.groupBy("u").agg(min("v").as("mn"))
+      val ss = ls.join(ssMin, "u")
+        .select(col("v").as("u"), col("mn").as("v"))
+        .union(ssMin.select(col("u"), col("mn").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      converged = ss.count() == edges.count() &&
+        ss.exceptAll(edges).isEmpty
+      edges = ss
+      rounds += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"d6 star contraction did not converge in $rounds rounds")
+    val labels = edges
+      .select(col("u").as("doc_id"), col("v").as("rep"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("rep")))
+      .groupBy("doc_id").agg(min("rep").as("rep"))
+    (labels, rounds)
   }
 
   /** The production stop-shingle cap — shared by the Scala kernel and

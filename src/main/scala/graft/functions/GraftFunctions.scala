@@ -39,8 +39,11 @@ object GraftFunctions {
     "stopword_count" ->
       (exprs => StopwordCount(exprs(0), literalWords(exprs(1)))),
     "ngrams" -> (exprs => NGramGenerator(exprs(0), literalInt(exprs(1)))),
+    "ngrams_distinct" -> (exprs =>
+      NGramGenerator(exprs(0), literalInt(exprs(1)), distinct = true)),
     "distinct_ngram_count" ->
-      (exprs => DistinctNgramCount(exprs(0), literalInt(exprs(1)))))
+      (exprs => DistinctNgramCount(exprs(0), literalInt(exprs(1)))),
+    "t_test_p" -> (exprs => TTestPValue(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>
@@ -62,7 +65,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "token_count" -> classOf[TokenCount].getName,
     "stopword_count" -> classOf[StopwordCount].getName,
     "ngrams" -> classOf[NGramGenerator].getName,
-    "distinct_ngram_count" -> classOf[DistinctNgramCount].getName)
+    "ngrams_distinct" -> classOf[NGramGenerator].getName,
+    "distinct_ngram_count" -> classOf[DistinctNgramCount].getName,
+    "t_test_p" -> classOf[TTestPValue].getName)
 
   override def apply(e: SparkSessionExtensions): Unit =
     GraftFunctions.functions.foreach { case (name, builder) =>

@@ -24,8 +24,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * engine-wide single-space split (SURVEY §2.8). `CodegenFallback` is
   * deliberate: GenerateExec drives generators through `eval` — only
   * the explode family has a fused codegen path, and row expansion
-  * never fuses into the parent WSCG stage anyway. */
-case class NGramGenerator(child: Expression, n: Int)
+  * never fuses into the parent WSCG stage anyway.
+  *
+  * `distinct = true` (SQL name `ngrams_distinct`) suppresses repeat
+  * windows WITHIN the row, keeping the first occurrence's pos — the
+  * row-local dedup that lets per-document set semantics (x13
+  * contamination, d2's shingle sets) stream out of the generator
+  * instead of paying a corpus-wide `.distinct()` exchange on the
+  * exploded pairs. The set lives only for the row's iteration, so
+  * memory is bounded by the row's own window count. */
+case class NGramGenerator(child: Expression, n: Int,
+    distinct: Boolean = false)
     extends UnaryExpression with Generator with CodegenFallback {
   require(n >= 1, s"ngrams window must be >= 1, got $n")
 
@@ -39,11 +48,22 @@ case class NGramGenerator(child: Expression, n: Int)
     else {
       val tokens = raw.asInstanceOf[UTF8String].toString.split(" ")
       if (tokens.length < n) Iterator.empty
-      else (0 to tokens.length - n).iterator.map { i =>
-        val sb = new java.lang.StringBuilder(tokens(i))
-        var j = 1
-        while (j < n) { sb.append(' ').append(tokens(i + j)); j += 1 }
-        InternalRow(UTF8String.fromString(sb.toString), i)
+      else {
+        val windows = (0 to tokens.length - n).iterator.map { i =>
+          val sb = new java.lang.StringBuilder(tokens(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(tokens(i + j)); j += 1 }
+          (sb.toString, i)
+        }
+        val kept =
+          if (!distinct) windows
+          else {
+            val seen = new java.util.HashSet[String]()
+            windows.filter { case (g, _) => seen.add(g) }
+          }
+        kept.map { case (g, i) =>
+          InternalRow(UTF8String.fromString(g), i)
+        }
       }
     }
   }

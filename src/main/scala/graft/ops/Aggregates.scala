@@ -180,20 +180,21 @@ object Aggregates {
 
   /** G10b — the full cor.test surface (R:739): Pearson r, t statistic
     * AND two-sided p-value. The p needs the Student-t CDF — a special
-    * function neither engine has built in, so it runs as a scalar UDF
-    * over graft.ml.Stats (justified per the §7 ladder: no expression
-    * composes an incomplete beta) applied to the 3-row aggregate
-    * output, and the query is rows-only-gated with StatsSpec pinning
+    * function neither engine has built in, so it runs as the native
+    * codegen'd `t_test_p` expression over graft.ml.Stats
+    * ([[graft.functions.TTestPValue]] — the kernel stays in Stats,
+    * only the plumbing is Catalyst; no UDF bridge remains anywhere in
+    * src/main). The query is rows-only-gated with StatsSpec pinning
     * the CDF against closed forms. Plan cost over g10: one extra
-    * projection on 3 rows. */
+    * codegen'd projection on 28 rows. */
   def g10bCorrTest(s: SparkSession, dir: String): DataFrame = {
-    val p = udf((t: Double, n: Double) =>
-      graft.ml.Stats.tTwoSidedP(t, n - 2.0))
+    graft.functions.GraftFunctions.register(s)
     // df comes from g10's per-pair complete-observation count, so the
     // p-value's degrees of freedom always agree with the t it is
     // paired with (a global count(*) would disagree under NULLs).
     g10Corr(s, dir)
-      .withColumn("p_value", p(col("t_stat"), col("n_pair").cast("double")))
+      .withColumn("p_value",
+        expr("t_test_p(t_stat, cast(n_pair AS double) - 2.0)"))
       .select("var_a", "var_b", "pearson_r", "t_stat", "p_value")
   }
 

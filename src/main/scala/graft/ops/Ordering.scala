@@ -41,10 +41,14 @@ object Ordering {
   /** O3 — deterministic stratified 80% sample without replacement
     * (R:962–992: `group_by(지역) %>% slice_sample(prop=0.8)` with
     * seeds). KEY-DERIVED (SURVEY §7.1): membership is a pure function
-    * of the row key — `(k · 2654435761) % 10 < 8` (Knuth's
-    * multiplicative mix decorrelates the decision from sequential key
-    * ranges; the multiplier is odd and coprime to 10, so residues stay
-    * uniform) — which makes the sample a plain codegen'd FILTER at the
+    * of the row key — `((k · 2654435761) >> 16) % 10 < 8`. The shift
+    * is what makes the Knuth multiplicative mix real: the product's
+    * LOW digits are periodic in k (2654435761 ≡ 1 mod 10, so
+    * `product % 10 == k % 10` — a fixed keep-pattern over sequential
+    * keys), while the HIGH bits scramble; taking `>> 16` before the
+    * modulus decorrelates membership from sequential key ranges.
+    * Everything stays exact int64 arithmetic (max product ≈ 4e15 ≪
+    * 2^63), which makes the sample a plain codegen'd FILTER at the
     * scan: no window, no per-stratum sort, no shuffle at all. The
     * earlier rank-within-stratum form guaranteed exact ceil(0.8·n) per
     * stratum but globally sorted each stratum in ONE task (the ~5
@@ -54,7 +58,7 @@ object Ordering {
     * arithmetic runs in both engines → hash-gated. */
   def o3StratifiedSample(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
-      .filter((col("c_custkey") * 2654435761L) % 10 < 8)
+      .filter(shiftright(col("c_custkey") * 2654435761L, 16) % 10 < 8)
       .select("c_custkey", "c_mktsegment")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -75,5 +79,5 @@ object Ordering {
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
     "o3_stratified_sample" ->
       """SELECT c_custkey, c_mktsegment FROM customer
-         WHERE (c_custkey * 2654435761) % 10 < 8""")
+         WHERE ((c_custkey * 2654435761) >> 16) % 10 < 8""")
 }

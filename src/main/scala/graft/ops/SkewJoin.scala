@@ -62,11 +62,79 @@ object SkewJoin {
         Det.dsum2(col("o_totalprice")).as("sum_total"))
   }
 
+  /** J9 — the SAME 90%-hot-key join, handled by Spark's own AQE
+    * skew-join instead of manual salting: a plain sort-merge join
+    * whose skewed shuffle blocks AQE splits AT RUNTIME using the real
+    * map-output sizes (`OptimizeSkewedJoin` — the reader side of the
+    * hot partition fans out into multiple tasks, visible as
+    * `skew=true` on the join node in the final adaptive plan, which
+    * OperatorSpec asserts). The oracle is the identical plain join —
+    * like salting, skew-split is a physical rewrite only.
+    *
+    * Which tool when (the 100 TB decision rule): AQE FIRST — zero
+    * code, driven by measured sizes, and it handles the common case
+    * of several moderately hot keys; it is what a real cluster
+    * relies on by default. Manual salting (j8) remains for the cases
+    * AQE can't reach: streaming joins (no AQE), and a single
+    * pathologically hot KEY — AQE splits a skewed PARTITION, but all
+    * of one key's matches still meet in the join, whereas the salt
+    * spreads one key's rows over `salts` independent tasks.
+    *
+    * Runs in an ISOLATED session (`newSession` — same SparkContext
+    * and catalog, separate SQLConf): the skew thresholds are tuned
+    * down so the demo triggers at test scale (the defaults are
+    * 256 MB — real 100 TB settings), and the dim broadcast is
+    * disabled so a shuffle exists to split; isolation keeps those
+    * knobs out of the shared session every other query runs under. */
+  def j9SkewedAqeJoin(s: SparkSession, dir: String): DataFrame = {
+    val sess = s.newSession()
+    sess.conf.set("spark.sql.adaptive.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    sess.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    sess.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+    sess.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+    // no coalescing floor that would re-merge the split reader
+    sess.conf.set(
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k")
+    sess.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sess.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    // AQE splits a skewed reduce partition at MAP-OUTPUT boundaries
+    // (ShufflePartitionsUtil.createSkewPartitionSpecs) — at 100 TB a
+    // scan has thousands of map tasks, but this test file reads as
+    // ONE, leaving the hot partition a single indivisible chunk. The
+    // repartition exists purely to give the demo the map-side fan-in
+    // a real cluster has; it is NOT part of the production recipe.
+    val fact = Tables.orders(sess, dir).repartition(16).select(
+      when(col("o_orderkey") % 10 < 9, 0L)
+        .otherwise(pmod(col("o_orderkey"), lit(97L))).as("k"),
+      col("o_totalprice"))
+    val dim = sess.range(0, 97).select(col("id").as("k"),
+      concat(lit("seg_"), col("id")).as("seg_name"))
+    fact.join(dim, "k")
+      .groupBy("seg_name")
+      .agg(count(lit(1)).as("n_orders"),
+        Det.dsum2(col("o_totalprice")).as("sum_total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "j8_skew_salted_join" -> j8SkewedSaltedJoin)
+    "j8_skew_salted_join" -> j8SkewedSaltedJoin,
+    "j9_skew_aqe_join" -> j9SkewedAqeJoin)
 
   val oracle: Map[String, String] = Map(
     "j8_skew_salted_join" ->
+      s"""WITH f AS (SELECT CASE WHEN o_orderkey % 10 < 9 THEN 0
+                            ELSE o_orderkey % 97 END AS k,
+                     o_totalprice FROM orders),
+         d AS (SELECT range AS k, 'seg_' || range AS seg_name
+               FROM range(0, 97))
+         SELECT seg_name, count(*) AS n_orders,
+           ${Det.sqlDsum2("o_totalprice")} AS sum_total
+         FROM f JOIN d USING (k)
+         GROUP BY 1""",
+    // identical SQL on purpose: AQE skew-split (like salting) is a
+    // physical rewrite — the gate proves values are untouched by it
+    "j9_skew_aqe_join" ->
       s"""WITH f AS (SELECT CASE WHEN o_orderkey % 10 < 9 THEN 0
                             ELSE o_orderkey % 97 END AS k,
                      o_totalprice FROM orders),

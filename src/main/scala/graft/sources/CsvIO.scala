@@ -49,14 +49,29 @@ object CsvIO {
     * rename is an atomic metadata op; the final `_old` delete is the
     * only destructive step and runs after the new copy is live.
     * Recovery rule after a crash: `_old` present + `path` present →
-    * delete `_old`; `_old` present + `path` absent → rename back. */
+    * delete `_old`; `_old` present + `path` absent → rename back.
+    * The rule is APPLIED here, not just documented: `_old` is only
+    * stale (deletable) when `path` exists; if `path` is absent, a
+    * prior swap crashed between its two renames and `_old` holds the
+    * ONLY committed copy — it is renamed back to `path` first, so the
+    * new `tmp` then swaps against a restored dataset instead of
+    * silently destroying the rollback copy. */
   private[sources] def swapInto(s: SparkSession, tmp: String,
       path: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
     val old = new org.apache.hadoop.fs.Path(path + "_old")
-    fs.delete(old, true) // stale leftover from an earlier crashed swap
+    if (fs.exists(old)) {
+      if (fs.exists(dst)) {
+        // both present: the earlier swap got past install; _old is stale
+        fs.delete(old, true)
+      } else {
+        // crash window of a PRIOR swap: _old is the only committed copy
+        require(fs.rename(old, dst),
+          s"swap recovery failed restoring $old to $path")
+      }
+    }
     // rename reports failure via its RETURN VALUE — swallowing a
     // false would silently strand or lose the dataset
     if (fs.exists(dst))

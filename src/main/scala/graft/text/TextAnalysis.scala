@@ -280,20 +280,26 @@ object TextAnalysis {
     * (doc_id % 50 == 0 — in production, the eval sets you must not
     * train on). The standard decontamination tool (GPT-3 appendix C
     * uses 13-gram collisions at ~1000-token scale; 4 of ~50 here is
-    * the same proportion). Shape: distinct (doc, gram) via the native
-    * `ngrams` UDTF, benchmark grams deduped then joined — a BROADCAST
-    * semi-ish join at scale, because benchmark sets are small by
-    * definition; the corpus side never shuffles. Emits each
-    * contaminated doc with its distinct shared-gram count (the
-    * drop/flag decision input). */
+    * the same proportion). Shape: per-doc-distinct (doc, gram) pairs
+    * stream out of the native `ngrams_distinct` UDTF — dedup is
+    * per-document set semantics, so it happens ROW-LOCALLY inside the
+    * generator (a per-row HashSet), never as a corpus-wide
+    * `.distinct()` exchange of the exploded pairs. The benchmark side
+    * reads its own scan (the `doc_id % 50 == 0` filter pushes to the
+    * parquet source), dedups its small gram set, and broadcasts —
+    * benchmark sets are small by definition — so the only exchange
+    * the corpus pays is the final per-doc count agg over matched
+    * rows. Emits each contaminated doc with its distinct shared-gram
+    * count (the drop/flag decision input). */
   def x13Contamination(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    val grams = Tables.documents(s, dir)
-      .select(col("doc_id"), expr("ngrams(text, 4)"))
-      .select(col("doc_id"), col("ngram")).distinct()
-    val bench = grams.filter(col("doc_id") % 50 === 0)
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), expr("ngrams_distinct(text, 4)"))
+        .select("doc_id", "ngram")
+    val docs = Tables.documents(s, dir)
+    val bench = grams(docs.filter(col("doc_id") % 50 === 0))
       .select("ngram").distinct()
-    grams.filter(col("doc_id") % 50 =!= 0)
+    grams(docs.filter(col("doc_id") % 50 =!= 0))
       .join(broadcast(bench), "ngram")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared_4grams"))
@@ -310,11 +316,14 @@ object TextAnalysis {
   /** X14 — language-mixture sampling: deterministic per-language
     * downsampling to a target mixture (the data-mixture control every
     * multilingual pretraining corpus goes through). Membership is
-    * KEY-DERIVED (SURVEY §7.1 — the same multiplicative mix as o3),
-    * so the op is a pure scan-level filter: no RNG, no shuffle, and
-    * re-running on the same corpus keeps the identical subset
-    * (reproducible mixtures are what make ablations comparable).
-    * Keep rule: (doc_id · 2654435761) % 100 < pct(lang). */
+    * KEY-DERIVED (SURVEY §7.1 — the same multiplicative mix as o3:
+    * high bits of the Knuth product, `>> 16`, BEFORE the modulus —
+    * the product's low digits are periodic in doc_id, the high bits
+    * are not), so the op is a pure scan-level filter: no RNG, no
+    * shuffle, and re-running on the same corpus keeps the identical
+    * subset (reproducible mixtures are what make ablations
+    * comparable). Keep rule:
+    * ((doc_id · 2654435761) >> 16) % 100 < pct(lang). */
   def x14MixtureSample(s: SparkSession, dir: String): DataFrame =
     mixtureFilter(Tables.documents(s, dir)).select("doc_id", "lang")
 
@@ -324,7 +333,7 @@ object TextAnalysis {
     val pct = mixturePct.foldRight(lit(mixtureDefaultPct)) {
       case ((l, p), acc) => when(col("lang") === l, p).otherwise(acc)
     }
-    docs.filter((col("doc_id") * 2654435761L) % 100 < pct)
+    docs.filter(shiftright(col("doc_id") * 2654435761L, 16) % 100 < pct)
   }
 
   /** X15 — repetition / lexical-diversity profile (the Gopher-style
@@ -380,7 +389,7 @@ object TextAnalysis {
         s"WHEN lang = '$l' THEN $p"
       }.mkString(" ")
       s"""SELECT doc_id, lang FROM documents
-         WHERE (doc_id * 2654435761) % 100 <
+         WHERE ((doc_id * 2654435761) >> 16) % 100 <
            CASE $cases ELSE 5 END"""
     },
     "x15_repetition" -> {

@@ -202,6 +202,27 @@ class DedupSimSpec extends SparkTestBase {
       Tables.documents(spark, sfTest).count())
   }
 
+  test("d6 star contraction: a 1000-doc chain converges in O(log n) " +
+      "rounds with reps = component min") {
+    import spark.implicits._
+    // adversarial long chain 0-1-2-...-999 (the boilerplate-overlap
+    // shape): min-label propagation needs ~999 rounds; large-star/
+    // small-star folds paths in half each round → ~log2(1000) ≈ 10
+    val chain = (0L until 999L).map(i => (i + 1, i)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.alternatingStarLabels(chain)
+    assert(rounds <= 12, s"chain took $rounds rounds (propagation-like)")
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size == 1000)
+    assert(m.values.forall(_ == 0L), "all chain members must land on min=0")
+    // two disjoint components keep distinct minima
+    val two = (Seq((5L, 3L), (3L, 9L)) ++ Seq((20L, 25L), (25L, 22L)))
+      .toDF("doc_a", "doc_b")
+    val (l2, _) = Dedup.alternatingStarLabels(two)
+    val m2 = l2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m2 == Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+      20L -> 20L, 22L -> 20L, 25L -> 20L))
+  }
+
   test("d6 default (capped) equals d6 over the exact pair graph when " +
       "no shingle is hot") {
     val capped = Dedup.d6DedupClusters(spark, sfTest).collect()

@@ -105,6 +105,12 @@ class OperatorSpec extends SparkTestBase {
     val plan = df.queryExecution.optimizedPlan
     assert(plan.collect { case w: LWindow => w }.isEmpty, "Window in plan")
     assert(plan.collect { case s: Sort => s }.isEmpty, "Sort in plan")
+    // the mix must be REAL: membership not periodic over sequential
+    // keys (the pre-fix (k*m) % 10 degenerated to k % 10 because
+    // m ≡ 1 mod 10 — a fixed keep-pattern every 10 keys)
+    def keep(k: Long) = ((k * 2654435761L) >> 16) % 10 < 8
+    val flips = (1L to 990L).count(k => keep(k) != keep(k + 10))
+    assert(flips > 100, s"keep-decision looks periodic mod 10 ($flips flips)")
   }
 
   test("observe counters ride an existing action: rows, nulls, domain") {
@@ -223,6 +229,25 @@ class OperatorSpec extends SparkTestBase {
     }
     assert(df.exceptAll(expected).count() == 0)
     assert(expected.exceptAll(df).count() == 0)
+  }
+
+  test("j9 AQE skew-join: runtime split visible in the adaptive plan, " +
+      "values identical to j8's salted join") {
+    val df = ops.SkewJoin.j9SkewedAqeJoin(spark, sfTest)
+    // AQE finalizes the plan during execution — run it first
+    val rows = df.collect()
+    assert(rows.length == 97)
+    val finalPlan = df.queryExecution.executedPlan.toString
+    // OptimizeSkewedJoin marks the join node and fans the hot
+    // partition's reader out — the physical evidence AQE actually
+    // split the 90%-hot-key shuffle block at runtime
+    assert(finalPlan.contains("skew=true"),
+      s"AQE did not mark the join skewed:\n$finalPlan")
+    // same values as the manual-salting route (both are physical-only
+    // rewrites of the same logical join)
+    val salted = ops.SkewJoin.j8SkewedSaltedJoin(spark, sfTest)
+    assert(df.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(df).count() == 0)
   }
 
   test("salted join spreads the hot key in the shuffle-join regime") {

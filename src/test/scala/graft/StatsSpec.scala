@@ -86,4 +86,33 @@ class StatsSpec extends SparkTestBase {
       if (math.abs(t) > 10) assert(p < 1e-4)
     }
   }
+
+  test("t_test_p expression == Stats kernel, inside WholeStageCodegen") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    functions.GraftFunctions.register(spark)
+    // spark.range (not a local Seq): ConvertToLocalRelation would
+    // constant-fold a foldable projection into the LocalTableScan,
+    // and the point here is to drive the GENERATED code path
+    val df = spark.range(8)
+      .select((col("id").cast("double") * 1.25 - 3.0).as("t"),
+        (col("id").cast("double") + 1.0).as("dof"))
+      .select(col("t"), col("dof"), expr("t_test_p(t, dof)").as("p"))
+    df.collect().foreach { r =>
+      val expected = ml.Stats.tTwoSidedP(r.getDouble(0), r.getDouble(1))
+      assert(r.getDouble(2) == expected,
+        s"t=${r.getDouble(0)} df=${r.getDouble(1)}")
+    }
+    // the point of the expression over a UDF: the projection stays
+    // codegen'd (no BatchEvalPython/ScalaUDF codegen fence)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") || plan.contains("*(1) LocalTableScan")
+      || plan.contains("WholeStageCodegen"),
+      s"expected codegen'd plan:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"UDF bridge in plan:\n$plan")
+    // null in → null out
+    val n = Seq((Some(1.0), Option.empty[Double])).toDF("t", "dof")
+      .selectExpr("t_test_p(t, dof)").collect()
+    assert(n.head.isNullAt(0))
+  }
 }

@@ -149,4 +149,30 @@ class TextKernelsSpec extends SparkTestBase {
     val two = Seq((1L, "a b")).toDF("doc_id", "text")
     assert(two.select(expr("ngrams(text, 3)")).count() == 0)
   }
+
+  test("ngrams_distinct dedups row-locally, keeps first pos, no exchange") {
+    import spark.implicits._
+    functions.GraftFunctions.register(spark)
+    val docs = Seq((1L, "a b a b a b"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), expr("ngrams_distinct(text, 2)"))
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    // doc 1 has windows [a b, b a, a b, b a, a b] → 2 distinct, first pos
+    assert(rows == Set((1L, "a b", 0), (1L, "b a", 1),
+      (2L, "x y", 0), (2L, "y z", 1)))
+    // parity: same gram SET as ngrams + global distinct, on real data
+    val viaDistinctGen = Tables.documents(spark, sfSmoke)
+      .select(col("doc_id"), expr("ngrams_distinct(text, 4)"))
+      .select("doc_id", "ngram")
+    val viaGlobal = Tables.documents(spark, sfSmoke)
+      .select(col("doc_id"), expr("ngrams(text, 4)"))
+      .select("doc_id", "ngram").distinct()
+    assert(viaDistinctGen.exceptAll(viaGlobal).count() == 0)
+    assert(viaGlobal.exceptAll(viaDistinctGen).count() == 0)
+    // and the scale contract: the dedup itself needs NO exchange
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val exec = viaDistinctGen.queryExecution.executedPlan
+    assert(exec.collect { case e: Exchange => e }.isEmpty,
+      s"row-local dedup must not shuffle:\n$exec")
+  }
 }

@@ -1,0 +1,112 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Manifest-commit contract: consistent multi-file reads, time
+  * travel, crash invisibility, vacuum — plus the swapInto crash
+  * recovery rule (same package so the private[sources] swap is
+  * drivable directly). */
+class SnapshotStoreSpec extends SparkTestBase {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_snap").toString + "/t"
+
+  test("commit/read/time-travel: latest wins, history stays readable") {
+    import spark.implicits._
+    val root = freshRoot()
+    val v0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(3)
+    val v1 = Seq((1L, "a2"), (3L, "c")).toDF("id", "v").repartition(2)
+    assert(SnapshotStore.commit(v0, root) == 0L)
+    assert(SnapshotStore.commit(v1, root) == 1L)
+    assert(SnapshotStore.snapshots(spark, root) == Seq(0L, 1L))
+    val latest = SnapshotStore.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(latest == Set((1L, "a2"), (3L, "c")))
+    val old = SnapshotStore.readSnapshot(spark, root, Some(0L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(old == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("reader resolved before a commit still sees its snapshot " +
+      "after the rewrite lands") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.commit(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x").repartition(4), root)
+    // reader resolves the CURRENT manifest's file list (what a real
+    // concurrent reader holds mid-query)...
+    val pinnedFiles = SnapshotStore.manifestFiles(spark, root)
+    val pinned = spark.read.parquet(pinnedFiles: _*)
+    // ...then a full rewrite commits underneath it
+    SnapshotStore.commit(
+      Seq((9L, 90.0)).toDF("id", "x"), root)
+    // the pinned read is untouched: snapshot files are immutable and
+    // never deleted by commit
+    assert(pinned.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // and a fresh reader sees only the new snapshot
+    assert(SnapshotStore.read(spark, root)
+      .collect().map(_.getLong(0)).toSet == Set(9L))
+  }
+
+  test("crash between data write and manifest rename is invisible") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.commit(Seq((1L, "live")).toDF("id", "v"), root)
+    // simulate the crash window: data files written, NO manifest
+    Seq((666L, "half-written")).toDF("id", "v")
+      .write.parquet(s"$root/data/snap-crashed")
+    assert(SnapshotStore.snapshots(spark, root) == Seq(0L))
+    assert(SnapshotStore.read(spark, root)
+      .collect().map(_.getLong(0)).toSet == Set(1L),
+      "a manifest-less data dir must never surface to readers")
+  }
+
+  test("vacuum drops unreferenced data dirs, keeps the live snapshot") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.commit(Seq((1L, "v0")).toDF("id", "v"), root)
+    SnapshotStore.commit(Seq((2L, "v1")).toDF("id", "v"), root)
+    SnapshotStore.commit(Seq((3L, "v2")).toDF("id", "v"), root)
+    // plus one crashed-commit orphan
+    Seq((7L, "orphan")).toDF("id", "v").write.parquet(s"$root/data/snap-x")
+    val removed = SnapshotStore.vacuum(spark, root, keepLast = 1)
+    assert(removed == 3, s"expected 2 old snapshots + 1 orphan, got $removed")
+    assert(SnapshotStore.snapshots(spark, root) == Seq(2L))
+    assert(SnapshotStore.read(spark, root)
+      .collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  test("swapInto recovery: a prior crash's _old copy is restored, " +
+      "not destroyed, by the next swap") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_swap").toString
+    val dst = s"$base/t"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dst), spark.sparkContext.hadoopConfiguration)
+    // committed table, then simulate a crash BETWEEN swapInto's two
+    // renames: dst was moved aside, the new copy never landed
+    Seq((1L, "committed")).toDF("id", "v").write.parquet(dst)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dst),
+      new org.apache.hadoop.fs.Path(dst + "_old")))
+    // next swap must first RESTORE dst from _old (the only committed
+    // copy), then proceed — the pre-fix code deleted _old here
+    Seq((2L, "next")).toDF("id", "v").write.parquet(dst + "_tmp")
+    CsvIO.swapInto(spark, dst + "_tmp", dst)
+    val rows = spark.read.parquet(dst)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set((2L, "next")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dst + "_old")))
+    // and the stale-_old case still cleans up: both present → _old
+    // is a leftover of a COMPLETED swap
+    Seq((3L, "again")).toDF("id", "v").write.parquet(dst + "_tmp")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dst + "_tmp"),
+      new org.apache.hadoop.fs.Path(dst + "_old"))) // fake stale leftover
+    Seq((4L, "final")).toDF("id", "v").write.parquet(dst + "_tmp")
+    CsvIO.swapInto(spark, dst + "_tmp", dst)
+    assert(spark.read.parquet(dst).collect().map(_.getLong(0)).toSet
+      == Set(4L))
+  }
+}
