@@ -65,21 +65,104 @@ object SequencePacking {
       }.toDF("doc_id", "n_tokens", "seq_id", "oversize")
   }
 
+  /** Deterministic twin of [[packSequences]]: the pack group is
+    * `pmod(doc_id, numGroups)` instead of a sampled range partition,
+    * so the layout — and therefore every bin assignment — is a pure
+    * function of the data, independent of Spark's range-sampling
+    * seed. Hash-partitioning may co-locate several groups in one
+    * task, so the packer keys its running state on the group value
+    * (groups are contiguous after the within-partition sort) rather
+    * than on the task id. Same next-fit semantics, same ≤-one-
+    * underfull-trailing-bin-per-group waste bound; this variant is
+    * what the oracle-gated x8 query runs, because DuckDB can replay
+    * `doc_id % n` grouping exactly while it cannot replay Spark's
+    * range-partitioner sampling. */
+  def packSequencesGrouped(docsWithTokens: DataFrame, maxTokens: Int,
+      numGroups: Int): DataFrame = {
+    val s = docsWithTokens.sparkSession
+    import s.implicits._
+    docsWithTokens
+      .select(col("doc_id").cast("long"), col("n_tokens").cast("long"),
+        pmod(col("doc_id"), lit(numGroups.toLong)).as("grp"))
+      .repartition(numGroups, col("grp"))
+      .sortWithinPartitions("grp", "doc_id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curGrp = Long.MinValue
+        var nextBin = 1L
+        var curBin = 0L
+        var fill = 0L
+        it.map { case (id, t, g) =>
+          if (g != curGrp) { curGrp = g; nextBin = 1L; curBin = 0L; fill = 0L }
+          val oversize = t > maxTokens
+          val bin =
+            if (oversize) { val b = nextBin; nextBin += 1; b }
+            else {
+              if (fill + t > maxTokens) {
+                curBin = nextBin; nextBin += 1; fill = 0L
+              }
+              fill += t
+              curBin
+            }
+          (id, t, (g << 32) | bin, oversize)
+        }
+      }.toDF("doc_id", "n_tokens", "seq_id", "oversize")
+  }
+
   /** The queries() surface: pack the documents table at a 512-token
     * budget using the whitespace token count (x1's `token_count`
-    * native expression). Rows-only — next-fit is a reset-based
-    * recurrence over ordered rows, not expressible as window SQL;
-    * PackingSpec pins the invariants (budget respected, every doc
-    * exactly once, waste bound). */
+    * native expression), with the deterministic mod-`numGroups`
+    * layout so the DuckDB oracle can replay the exact recurrence as
+    * a recursive CTE (next-fit is a reset-based recurrence, not a
+    * plain cumulative-sum window — recursion is the faithful SQL
+    * form). PackingSpec additionally pins the invariants (budget
+    * respected, every doc exactly once, waste bound). */
   def x8SequencePacking(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val docs = Tables.documents(s, dir).select(col("doc_id"),
       expr("token_count(text)").cast("long").as("n_tokens"))
-    packSequences(docs, maxTokens = 512, numParts = 8)
+    packSequencesGrouped(docs, maxTokens = 512, numGroups = 8)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x8_sequence_packing" -> x8SequencePacking)
 
-  val oracle: Map[String, String] = Map.empty
+  /** Next-fit replayed row-by-row per group: state = (fill, curbin,
+    * nextbin), advanced over rows ordered by doc_id within
+    * doc_id%8 groups — identical transition rules to the Scala
+    * packer above, so the hash gate checks the real recurrence. */
+  val oracle: Map[String, String] = Map(
+    "x8_sequence_packing" ->
+      """WITH RECURSIVE base AS (
+           SELECT doc_id % 8 AS grp, doc_id,
+                  cast(len(string_split(text, ' ')) AS bigint) AS t,
+                  row_number() OVER (PARTITION BY doc_id % 8
+                                     ORDER BY doc_id) AS rn
+           FROM documents),
+         pack(grp, rn, doc_id, t, bin, fill, curbin, nextbin) AS (
+           SELECT grp, rn, doc_id, t,
+                  CASE WHEN t > 512 THEN 1 ELSE 0 END,
+                  CASE WHEN t > 512 THEN 0 ELSE t END,
+                  0,
+                  CASE WHEN t > 512 THEN 2 ELSE 1 END
+           FROM base WHERE rn = 1
+           UNION ALL
+           SELECT b.grp, b.rn, b.doc_id, b.t,
+                  CASE WHEN b.t > 512 THEN p.nextbin
+                       WHEN p.fill + b.t > 512 THEN p.nextbin
+                       ELSE p.curbin END,
+                  CASE WHEN b.t > 512 THEN p.fill
+                       WHEN p.fill + b.t > 512 THEN b.t
+                       ELSE p.fill + b.t END,
+                  CASE WHEN b.t > 512 THEN p.curbin
+                       WHEN p.fill + b.t > 512 THEN p.nextbin
+                       ELSE p.curbin END,
+                  CASE WHEN b.t > 512 THEN p.nextbin + 1
+                       WHEN p.fill + b.t > 512 THEN p.nextbin + 1
+                       ELSE p.nextbin END
+           FROM pack p JOIN base b ON b.grp = p.grp AND b.rn = p.rn + 1)
+         SELECT doc_id, t AS n_tokens,
+                cast(grp * 4294967296 + bin AS bigint) AS seq_id,
+                t > 512 AS oversize
+         FROM pack""")
 }

@@ -60,6 +60,27 @@ class PackingSpec extends SparkTestBase {
       "running bin must survive the oversize interruption")
   }
 
+  test("grouped packing: per-group state, deterministic across runs") {
+    val docs = (1L to 300L).map(i => (i, (i % 90) + 10L))
+      .toDF("doc_id", "n_tokens")
+    val a = SequencePacking
+      .packSequencesGrouped(docs, maxTokens = 250, numGroups = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    val b = SequencePacking
+      .packSequencesGrouped(docs, maxTokens = 250, numGroups = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(a.sameElements(b), "grouped packing must be deterministic")
+    // seq_id's high bits are the doc_id%3 group — every doc must sit
+    // in its own group's bins even when hash partitioning co-locates
+    // several groups in one task
+    assert(a.forall { case (id, seq) => (seq >>> 32) == id % 3 })
+    // budget respected within every bin
+    val fills = a.groupBy(_._2).values.map(_.map { case (id, _) =>
+      (id % 90) + 10L
+    }.sum)
+    assert(fills.forall(_ <= 250))
+  }
+
   test("bins never span partitions: seq_id carries the partition id") {
     val docs = (1L to 400L).map(i => (i, 50L)).toDF("doc_id", "n_tokens")
     val packed = SequencePacking
