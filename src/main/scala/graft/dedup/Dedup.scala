@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.GraftFunctions
 import graft.ops.Det
 
 /** Deduplication operators over `documents` / `embeddings` — the
@@ -442,8 +443,73 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), Det.r6(col("cosine")).as("cosine"))
   }
 
+  /** Core of d7: SRP-LSH-banded near-dup pair detection over any
+    * (vec_id, embedding) frame — the sub-quadratic production path
+    * that d5's brute-force tiling is the oracle baseline for.
+    * Candidates are pairs sharing a bucket in ANY of the `numTables`
+    * plane sets (OR-amplification, same kernel as n2); only
+    * candidates pay the exact-cosine verify, and only verified pairs
+    * (≥ `tau`) are emitted. The shuffle is an equi-join on
+    * (table_id, bucket) — n·L rows — never the n² cross join.
+    *
+    * Dial math (Charikar 2002): a pair at angle θ collides per plane
+    * with p = 1 − θ/π, per table with p^b, in any of L tables with
+    * 1 − (1−p^b)^L. SRP prunes usefully only at HIGH cosine — at
+    * τ=0.9 (θ≈26°, p≈0.86) the default b=12, L=4 gives ≈0.84 recall
+    * for borderline pairs rising to 1.0 as cos→1 (exact duplicates
+    * collide in every table deterministically); at d5's τ=0.45
+    * exploratory band no sane (b, L) prunes, which is why that scan
+    * stays brute-force. DedupSimSpec asserts ≥0.95 recall on planted
+    * jittered near-dups (cos≈0.999). */
+  private[graft] def d7PairsOf(corpus: DataFrame, numPlanes: Int,
+      numTables: Int, tau: Double): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val buckets = graft.sim.Similarity
+      .bucketsOf(corpus, numPlanes, numTables)
+    val candidates = buckets.as("a").join(buckets.as("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val emb = corpus.select("vec_id", "embedding")
+    candidates
+      .join(emb.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        GraftFunctions.floatCosine("ea", "eb").as("cosine"))
+      .filter(col("cosine") >= tau)
+      .select(col("vec_a"), col("vec_b"), Det.r6(col("cosine")).as("cosine"))
+  }
+
+  private[graft] val D7PlantStride = 25L
+  private[graft] val D7PlantOffset = 1000000L
+
+  /** D7 — embedding near-dup pairs at a TRUE-duplicate threshold
+    * (τ=0.9) via [[d7PairsOf]]. The raw embeddings table tops out
+    * near cosine 0.51 (by construction — see d5), so to give the
+    * gate a deterministic non-empty answer the query plants exact
+    * duplicates of every `D7PlantStride`-th vector under offset ids
+    * (the x13 planted-corpus precedent): an exact copy hashes to the
+    * same bucket in EVERY table, so LSH recall on the planted truth
+    * is 1.0 by construction, and the DuckDB oracle can state the
+    * expected answer as the brute-force τ-filter over the same
+    * planted corpus. */
+  def d7DedupEmbeddingLsh(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") % D7PlantStride === 0)
+      .select((col("vec_id") + D7PlantOffset).as("vec_id"),
+        col("embedding"))
+    d7PairsOf(base.union(planted), numPlanes = 12, numTables = 4,
+      tau = 0.9)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> d1DedupExact,
+    "d7_dedup_embedding_lsh" -> d7DedupEmbeddingLsh,
     "d2_dedup_ngram_jaccard" -> d2DedupNgramJaccard,
     "d2b_dedup_ngram_capped" -> d2bDedupNgramCapped,
     "d6_dedup_clusters" -> d6DedupClusters,
@@ -514,6 +580,26 @@ object Dedup {
                    SELECT r.a, ed.dst AS b
                    FROM reach r JOIN ed ON r.b = ed.src)
          SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY 1""",
+    "d7_dedup_embedding_lsh" ->
+      s"""WITH c AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + $D7PlantOffset, embedding FROM embeddings
+           WHERE vec_id % $D7PlantStride = 0),
+         e AS (
+           SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> x::double * x::double))) AS norm
+           FROM c)
+         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ${Det.sql(
+        """list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               p -> p[1]::double * p[2]::double)) / (a.norm * b.norm)""",
+        6)} AS cosine
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                 p -> p[1]::double * p[2]::double))
+               / (a.norm * b.norm) >= 0.9""",
     "d5_dedup_embedding" ->
       s"""WITH e AS (
            SELECT vec_id, embedding,

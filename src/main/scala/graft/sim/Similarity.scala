@@ -75,18 +75,43 @@ object Similarity {
     * embeddings are fetched once per pair, not once per colliding
     * table. Recall vs n1 and max bucket occupancy are asserted in
     * ScalaTest; no SQL oracle (scheme-specific). */
-  def n2SimLshTopk(s: SparkSession, dir: String): DataFrame =
-    n2Impl(s, dir, numPlanes = 8, numTables = 4)
+  def n2SimLshTopk(s: SparkSession, dir: String): DataFrame = {
+    val (planes, tables) = n2AutoDial(Tables.embeddings(s, dir).count())
+    n2Impl(s, dir, planes, tables)
+  }
+
+  /** Corpus-size-aware LSH dials. The sf1.0 scale run exposed the
+    * fixed-8-plane failure mode: per-table buckets number 2^b, so at
+    * constant b the expected occupancy n/2^b — and with it the
+    * candidate-join fan-out — grows LINEARLY with the corpus (n2 ran
+    * 11.8× at 10× data). Planes therefore grow with log2(n) to pin
+    * occupancy near a constant (~32/bucket/table), and each +2 planes
+    * adds a table to buy back the per-table recall that narrower
+    * buckets cost (p^b shrinks geometrically in b; L recovers
+    * 1-(1-p^b)^L). Floors keep the sf0.001–sf0.1 behavior — and the
+    * recall/occupancy specs pinned at those SFs — byte-identical. */
+  private[graft] def n2AutoDial(n: Long): (Int, Int) = {
+    val planes = math.max(8,
+      math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
+    (planes, 4 + math.max(0, (planes - 8) / 2))
+  }
 
   private[graft] def n2Buckets(s: SparkSession, dir: String,
+      numPlanes: Int, numTables: Int): DataFrame =
+    bucketsOf(Tables.embeddings(s, dir), numPlanes, numTables)
+
+  /** SRP bucket assignment for any (vec_id, embedding) frame — shared
+    * by n2's top-k search and d7's near-dup banding. */
+  private[graft] def bucketsOf(emb: DataFrame,
       numPlanes: Int, numTables: Int): DataFrame = {
+    val s = emb.sparkSession
     import s.implicits._
     // Bucket assignment as a kernel: the expression form (L×b planes ×
     // 64 flat terms) spends more time in codegen compilation than the
     // data takes to process. Plane components are deterministic, so
     // the table is built once per task.
     val planes = Array.tabulate(numTables * numPlanes, 64)(planeComponent)
-    Tables.embeddings(s, dir)
+    emb
       .select("vec_id", "embedding").as[(Long, Array[Float])]
       .mapPartitions { it =>
         it.flatMap { case (id, v) =>

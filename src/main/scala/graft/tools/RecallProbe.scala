@@ -26,7 +26,11 @@ object RecallProbe {
 
     val truth = pairs(Similarity.n1SimTopkBruteforce(spark, dir))
     println(s"n1 truth pairs: ${truth.size}")
-    for ((b, l) <- Seq((4, 4), (6, 4), (8, 4), (8, 8), (10, 6))) {
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val auto = Similarity.n2AutoDial(n)
+    println(s"n2 auto-dial for n=$n: planes=${auto._1} tables=${auto._2}")
+    for ((b, l) <- (Seq((4, 4), (6, 4), (8, 4), (8, 8), (10, 6)) :+ auto)
+        .distinct) {
       val got = pairs(Similarity.n2Impl(spark, dir, b, l))
       val recall = (got & truth).size.toDouble / truth.size
       val occ = Similarity.n2Buckets(spark, dir, b, l)

@@ -57,6 +57,48 @@ class DedupSimSpec extends SparkTestBase {
     }
   }
 
+  test("d7 SRP near-dup banding recovers planted jittered duplicates") {
+    import spark.implicits._
+    val base = Tables.embeddings(spark, sfTest)
+      .select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect()
+    // multiplicative jitter eps ∈ {-3%..+3%} per component → cosine
+    // vs the source ≈ 0.9998, comfortably above the 0.98 gate and in
+    // SRP's high-recall regime (θ≈1°); deterministic from (id, i)
+    val jittered = base.filter(_._1 % 5 == 0).map { case (id, v) =>
+      val w = new Array[Float](v.length)
+      var i = 0
+      while (i < w.length) {
+        w(i) = v(i) * (1f + (((id * 31 + i) % 7) - 3) * 0.01f)
+        i += 1
+      }
+      (id + 1000000L, w)
+    }
+    val corpus = (base ++ jittered).toSeq.toDF("vec_id", "embedding")
+    val got = Dedup.d7PairsOf(corpus, numPlanes = 12, numTables = 4,
+      tau = 0.98)
+    val gotPairs = pairSet(got, "vec_a", "vec_b")
+    val planted = jittered.map(j => (j._1 - 1000000L, j._1)).toSet
+    assert(planted.nonEmpty)
+    val recall = (gotPairs & planted).size.toDouble / planted.size
+    assert(recall >= 0.95, s"d7 recall on planted dups: $recall")
+    // precision: the exact verify means nothing below tau survives
+    assert(got.filter(col("cosine") < 0.98).count() == 0)
+  }
+
+  test("d7 planted exact copies are found with recall 1.0 (gate shape)") {
+    val pairs = Dedup.d7DedupEmbeddingLsh(spark, sfTest)
+    val planted = Tables.embeddings(spark, sfTest)
+      .filter(col("vec_id") % Dedup.D7PlantStride === 0)
+      .select("vec_id").collect().map(_.getLong(0))
+      .map(id => (id, id + Dedup.D7PlantOffset)).toSet
+    val gotPairs = pairSet(pairs, "vec_a", "vec_b")
+    assert(planted.subsetOf(gotPairs),
+      s"missing planted exact dups: ${planted -- gotPairs}")
+    // identical vectors score exactly 1.0 after r6 rounding
+    assert(pairs.filter(col("cosine") === 1.0).count() >= planted.size)
+  }
+
   test("d4 simhash finds near-identical documents") {
     val pairs = Dedup.d4DedupSimhash(spark, sfTest)
     assert(pairs.count() > 0)
