@@ -80,20 +80,28 @@ object Similarity {
     n2Impl(s, dir, planes, tables)
   }
 
-  /** Corpus-size-aware LSH dials. The sf1.0 scale run exposed the
-    * fixed-8-plane failure mode: per-table buckets number 2^b, so at
-    * constant b the expected occupancy n/2^b — and with it the
-    * candidate-join fan-out — grows LINEARLY with the corpus (n2 ran
-    * 11.8× at 10× data). Planes therefore grow with log2(n) to pin
-    * occupancy near a constant (~32/bucket/table), and each +2 planes
-    * adds a table to buy back the per-table recall that narrower
-    * buckets cost (p^b shrinks geometrically in b; L recovers
-    * 1-(1-p^b)^L). Floors keep the sf0.001–sf0.1 behavior — and the
-    * recall/occupancy specs pinned at those SFs — byte-identical. */
+  /** Corpus-size-aware LSH dials, set from the measured 50k-vector
+    * dial grid (tools/RecallProbe, BASELINE.md round-6 notes). The
+    * sf1.0 scale run exposed the fixed-dial failure mode (n2 ran
+    * 11.8× at 10× data), but the grid showed the textbook
+    * occupancy-first response — grow planes with log2(n) — COLLAPSES
+    * recall on a low-similarity workload (11 planes: 0.355 vs the
+    * 0.6 floor; this fixture's true top-5 sit near cosine 0.45,
+    * where per-plane collision p ≈ 0.65 makes p^b vanish fast).
+    * What held the floor was TABLE growth at fixed 8 planes: recall
+    * 0.46 (L=4) → 0.66 (L=8) → 0.74 (L=12) while candidate cost
+    * stayed at 0.6–0.9× of brute force. So: planes pinned at 8,
+    * +2 tables per corpus doubling past 2^13, capped at 16. The
+    * honest scale statement: SRP-LSH is sub-quadratic only in the
+    * HIGH-similarity regime (d7's near-dup gate); for low-similarity
+    * top-k its cost rises toward brute force as recall is defended,
+    * and IVF (n3) is the production path. Floors keep the
+    * sf0.001–sf0.1 behavior — and the oracle's pinned (8, 4) —
+    * byte-identical. */
   private[graft] def n2AutoDial(n: Long): (Int, Int) = {
-    val planes = math.max(8,
-      math.ceil(math.log(n / 32.0) / math.log(2.0)).toInt)
-    (planes, 4 + math.max(0, (planes - 8) / 2))
+    val doublings = math.max(0,
+      math.ceil(math.log(n / 8192.0) / math.log(2.0)).toInt)
+    (8, math.min(16, 4 + 2 * doublings))
   }
 
   private[graft] def n2Buckets(s: SparkSession, dir: String,
@@ -157,6 +165,19 @@ object Similarity {
   private val IvfCells = 16
   private val IvfProbes = 4
 
+  /** Corpus-size-aware IVF dials: cells ≈ √(n/2) (the classic k≈√n
+    * rule, halved to keep the k-means fit cheap at the sample cap)
+    * with the probe fraction pinned at ¼ of cells — the 50k-vector
+    * probe run showed fixed 16 cells going coarse (recall 0.586 <
+    * the 0.6 floor) exactly as the n2 fixed-plane failure mode
+    * predicts. Floors keep the sf0.001–0.01 spec fixtures (500
+    * vectors) on the original (16, 4). */
+  private[graft] def n3AutoDial(n: Long): (Int, Int) = {
+    val cells = math.max(IvfCells,
+      math.ceil(math.sqrt(n / 2.0)).toInt)
+    (cells, math.max(IvfProbes, cells / 4))
+  }
+
   /** N3 — IVF-style ANN (inverted-file coarse quantization as in
     * Jégou et al. 2011, "Product quantization for nearest neighbor
     * search" — the IVF stage without PQ): a k-means coarse quantizer
@@ -187,7 +208,8 @@ object Similarity {
     val fitSet = emb
       .filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
       .withColumn("features", array_to_vector(col("embedding")))
-    val model = new KMeans().setK(IvfCells).setSeed(42).setMaxIter(5)
+    val (cells, probes) = n3AutoDial(total)
+    val model = new KMeans().setK(cells).setSeed(42).setMaxIter(5)
       .setFeaturesCol("features").fit(fitSet)
     // centroids as float arrays (cell-selection only — lossy cast OK)
     val cents: Array[(Int, Array[Float])] =
@@ -230,7 +252,7 @@ object Similarity {
       .withColumn("centroid_sim",
         GraftFunctions.floatCosine("q_embedding", "centroid"))
       .withColumn("cell_rank", row_number().over(wCells))
-      .filter(col("cell_rank") <= IvfProbes)
+      .filter(col("cell_rank") <= probes)
       .select("q_id", "q_embedding", "cell")
     val scored = probed.join(assigned, Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
@@ -243,7 +265,23 @@ object Similarity {
   private val PqM = 8       // subspaces (64 dims → 8 × 8)
   private val PqSubDim = 8  // dims per subspace
   private val PqK = 32      // centroids per subspace → 5-bit codes
-  private val PqRerank = 25 // exact re-rank depth before top-5
+  private val PqRerank = 25 // exact re-rank depth floor before top-5
+
+  /** Corpus-size-aware exact-re-rank depth: a FIXED candidate depth
+    * decays recall as the corpus grows (ADC ordering error is
+    * relative — the true neighbor's ADC rank scales with n; at 50k
+    * vectors the fixed 25-deep re-rank measured 0.187 recall, and
+    * n/500 = 100-deep still only 0.373 on the 25-rotation probe
+    * corpus, whose mixed orientations are adversarial for a single
+    * global codebook). Depth n/100 (1 % of the corpus) measured
+    * 0.667; the floor keeps the ≤2.5k-vector spec fixtures
+    * byte-identical. Cost stays linear — `depth` exact cosines per
+    * query. The structural fix past this dial is per-cell codebooks
+    * (IVF-PQ, Jégou et al. 2011 §IV): train each PQ codebook on the
+    * residuals of one coarse cell so no single codebook has to span
+    * heterogeneous orientations. */
+  private[graft] def n4RerankDepth(n: Long): Int =
+    math.max(PqRerank, (n / 100L).toInt)
 
   /** Plain Lloyd iterations over one PQ subspace, run locally on the
     * driver over the (capped, sorted — collect order must not change
@@ -395,7 +433,8 @@ object Similarity {
         }
       }.toDF("q_id", "neighbor_id", "approx_cosine")
     val cand = graft.plans.TopK.topKPerKey(approx, Seq(col("q_id")),
-      Seq(col("approx_cosine").desc, col("neighbor_id").asc), PqRerank)
+      Seq(col("approx_cosine").desc, col("neighbor_id").asc),
+      n4RerankDepth(total))
     val scored = cand.select("q_id", "neighbor_id")
       .join(emb.select(col("vec_id").as("q_id"),
         col("embedding").as("q_embedding")), "q_id")
@@ -506,6 +545,55 @@ object Similarity {
           "sqrt(list_sum(list_transform(embedding, " +
             "x -> x::double * x::double)))", 6)} AS l2_norm
          FROM embeddings""",
+    // n2's SRP scheme is pure integer arithmetic, so the WHOLE path —
+    // plane components, sign buckets, OR-amplified candidates, exact
+    // rescoring, ranked tail — replays in SQL. Two subtleties: (a)
+    // planeComponent runs in 32-bit Scala Int arithmetic and the flat
+    // plane index reaches 31, where 31*73856093 WRAPS — the oracle
+    // emulates Java wrap with ((s + 2^31) % 2^32) - 2^31 on the int64
+    // sum before the %97 fold; (b) the dials are pinned to the
+    // auto-dial floor (8 planes, 4 tables), which n2AutoDial yields
+    // for every corpus up to 2^13 vectors — both gated SFs (500 and
+    // 2000 vectors) sit under the floor, asserted by DedupSimSpec.
+    "n2_sim_lsh_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         tj AS (SELECT t, j, (t*8 + j) AS flat
+                FROM (SELECT unnest(range(0,4)) AS t),
+                     (SELECT unnest(range(0,8)) AS j)),
+         bits AS (
+           SELECT e.vec_id, tj.t, tj.j,
+             CASE WHEN list_sum(list_transform(range(0,64), i ->
+               e.embedding[i+1]::double *
+               ((((((tj.flat*73856093 + i*19349663 + 2147483648)
+                    % 4294967296) - 2147483648) % 97 + 97) % 97 - 48)
+                / 48.0))) >= 0
+             THEN (1::BIGINT << tj.j) ELSE 0::BIGINT END AS bit
+           FROM e, tj),
+         buckets AS (SELECT vec_id, t, sum(bit)::bigint AS bucket
+                     FROM bits GROUP BY 1, 2),
+         cand AS (
+           SELECT DISTINCT q.vec_id AS q_id, v.vec_id AS neighbor_id
+           FROM buckets q JOIN buckets v
+             ON q.t = v.t AND q.bucket = v.bucket
+           WHERE q.vec_id % 50 = 0 AND q.vec_id <> v.vec_id),
+         n AS (SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding,
+                   x -> x::double * x::double))) AS norm
+               FROM e),
+         scored AS (
+           SELECT c.q_id, c.neighbor_id,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+               p -> p[1]::double * p[2]::double)) / (a.norm * b.norm)
+               AS cosine
+           FROM cand c JOIN n a ON a.vec_id = c.q_id
+                       JOIN n b ON b.vec_id = c.neighbor_id),
+         ranked AS (
+           SELECT q_id, neighbor_id, cosine,
+             cast(row_number() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, neighbor_id) AS int) AS rank
+           FROM scored)
+         SELECT q_id, neighbor_id, rank, ${Det.sql("cosine", 6)} AS cosine
+         FROM ranked WHERE rank <= 5""",
     "n1_sim_topk_bruteforce" ->
       s"""WITH e AS (
            SELECT vec_id, embedding,

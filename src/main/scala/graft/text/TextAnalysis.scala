@@ -368,7 +368,43 @@ object TextAnalysis {
         .otherwise(0.0)).as("dup_3gram_ratio"))
   }
 
+  private val EmailPat = "[a-z0-9._]+@[a-z0-9.]+[.][a-z]+"
+  private val PhonePat = "[0-9]{3}-[0-9]{4}"
+
+  /** X16 — PII redaction: count and mask email addresses and phone
+    * numbers before a corpus is used for training — the scrubbing
+    * gate every large-scale text pipeline runs between curation (x6)
+    * and packing (x8). Pure per-row regexp expressions (Spark's
+    * RegExpReplace/RegExpCount are codegen'd), no shuffle: runs at
+    * parquet-scan speed at 100 TB, and composes with the streaming
+    * curation gates (stateless projection).
+    *
+    * The synthetic corpus contains no organic contacts, so the query
+    * deterministically plants one email + one phone on every 10th
+    * doc (x13's planted-corpus precedent) — both engines build the
+    * identical text, so the gate checks the actual regex semantics.
+    * The patterns stay inside character-class + bounded-quantifier
+    * regex, where Java (Spark) and RE2 (DuckDB) agree. */
+  def x16PiiRedaction(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(10)) === 0,
+        concat(col("text"), lit(" reach user"), col("doc_id"),
+          lit("@example.com or 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(col("text")).as("text"))
+    planted.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailPat)).cast("long")
+        .as("n_emails"),
+      regexp_count(col("text"), lit(PhonePat)).cast("long")
+        .as("n_phones"),
+      regexp_replace(
+        regexp_replace(col("text"), EmailPat, "<EMAIL>"),
+        PhonePat, "<PHONE>").as("clean_text"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x16_pii_redaction" -> x16PiiRedaction,
     "x12_unigram_nll" -> x12UnigramNll,
     "x13_contamination" -> x13Contamination,
     "x14_mixture_sample" -> x14MixtureSample,
@@ -384,6 +420,24 @@ object TextAnalysis {
     "x11_bm25" -> x11Bm25)
 
   val oracle: Map[String, String] = Map(
+    "x16_pii_redaction" ->
+      s"""WITH planted AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+               THEN text || ' reach user' || doc_id::varchar
+                    || '@example.com or 555-'
+                    || lpad((doc_id % 10000)::varchar, 4, '0')
+               ELSE text END AS text
+           FROM documents)
+         SELECT doc_id,
+           cast(len(regexp_extract_all(text, '$EmailPat')) AS bigint)
+             AS n_emails,
+           cast(len(regexp_extract_all(text, '$PhonePat')) AS bigint)
+             AS n_phones,
+           regexp_replace(regexp_replace(text,
+             '$EmailPat', '<EMAIL>', 'g'),
+             '$PhonePat', '<PHONE>', 'g') AS clean_text
+         FROM planted""",
     "x14_mixture_sample" -> {
       val cases = mixturePct.map { case (l, p) =>
         s"WHEN lang = '$l' THEN $p"

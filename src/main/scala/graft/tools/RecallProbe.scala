@@ -29,14 +29,24 @@ object RecallProbe {
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
     val auto = Similarity.n2AutoDial(n)
     println(s"n2 auto-dial for n=$n: planes=${auto._1} tables=${auto._2}")
-    for ((b, l) <- (Seq((4, 4), (6, 4), (8, 4), (8, 8), (10, 6)) :+ auto)
-        .distinct) {
+    // "quick" second arg: only the auto-dial + n3/n4 (skip the grid)
+    val dials = if (args.length > 1 && args(1) == "quick") Seq(auto)
+      else (Seq((4, 4), (6, 4), (8, 4), (8, 8), (8, 12),
+        (8, 16), (9, 8), (10, 6), (10, 8)) :+ auto).distinct
+    for ((b, l) <- dials) {
+      import org.apache.spark.sql.functions.{col, max, sum}
       val got = pairs(Similarity.n2Impl(spark, dir, b, l))
       val recall = (got & truth).size.toDouble / truth.size
-      val occ = Similarity.n2Buckets(spark, dir, b, l)
-        .groupBy("table_id", "bucket").count()
-        .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
-      println(f"n2 planes=$b tables=$l recall=$recall%.3f maxBucket=$occ")
+      val bdf = Similarity.n2Buckets(spark, dir, b, l).cache()
+      val sizes = bdf.groupBy("table_id", "bucket").count()
+      val occ = sizes.agg(max("count")).head().getLong(0)
+      // pre-distinct (query, member) comparisons — the join cost dial
+      val cost = bdf.filter(col("vec_id") % 50 === 0)
+        .join(sizes, Seq("table_id", "bucket"))
+        .agg(sum("count")).head().getLong(0)
+      bdf.unpersist()
+      println(f"n2 planes=$b tables=$l recall=$recall%.3f " +
+        f"maxBucket=$occ candCost=$cost")
     }
     val ivf = pairs(Similarity.n3SimIvfTopk(spark, dir))
     println(f"n3 ivf recall=${(ivf & truth).size.toDouble / truth.size}%.3f")

@@ -99,6 +99,19 @@ class DedupSimSpec extends SparkTestBase {
     assert(pairs.filter(col("cosine") === 1.0).count() >= planted.size)
   }
 
+  test("n2 auto-dial: gated SFs sit on the (8,4) floor; dials grow with n") {
+    // the n2 oracle SQL hardcodes 8 planes × 4 tables — valid only
+    // while every gated corpus size resolves to the floor
+    assert(Similarity.n2AutoDial(500L) == ((8, 4)))
+    assert(Similarity.n2AutoDial(2000L) == ((8, 4)))
+    assert(Similarity.n2AutoDial(8192L) == ((8, 4)))
+    // past the floor: planes stay (recall lives there on low-sim
+    // corpora — measured in the 50k dial grid), tables grow, capped
+    assert(Similarity.n2AutoDial(20000L) == ((8, 8)))
+    assert(Similarity.n2AutoDial(50000L) == ((8, 10)))
+    assert(Similarity.n2AutoDial(1000000L) == ((8, 16)))
+  }
+
   test("d4 simhash finds near-identical documents") {
     val pairs = Dedup.d4DedupSimhash(spark, sfTest)
     assert(pairs.count() > 0)

@@ -175,4 +175,33 @@ class TextKernelsSpec extends SparkTestBase {
     assert(exec.collect { case e: Exchange => e }.isEmpty,
       s"row-local dedup must not shuffle:\n$exec")
   }
+
+  test("x16 PII redaction: planted contacts found, clean_text is clean") {
+    // plan-shape first, BEFORE cache() swaps in an InMemoryTableScan:
+    // the projection stays inside WholeStageCodegen (scan-speed op)
+    val exec = TextAnalysis.x16PiiRedaction(spark, sfTest)
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    assert(exec.collect {
+      case w: WholeStageCodegenExec => w
+    }.nonEmpty, s"x16 fell out of codegen:\n$exec")
+    val out = TextAnalysis.x16PiiRedaction(spark, sfTest).cache()
+    try {
+      val docs = Tables.documents(spark, sfTest).count()
+      assert(out.count() == docs)
+      // every 10th doc carries exactly the planted email + phone
+      val planted = out.filter(col("doc_id") % 10 === 0)
+      assert(planted.filter(col("n_emails") < 1).count() == 0)
+      assert(planted.filter(col("n_phones") < 1).count() == 0)
+      // nothing survives redaction: rescanning clean_text finds 0 PII
+      val residual = out.filter(
+        regexp_count(col("clean_text"),
+          lit("[a-z0-9._]+@[a-z0-9.]+[.][a-z]+")) > 0 ||
+          regexp_count(col("clean_text"), lit("[0-9]{3}-[0-9]{4}")) > 0)
+      assert(residual.count() == 0, "redaction left PII behind")
+      // masks present where counts say they should be
+      assert(out.filter(col("n_emails") > 0 &&
+        !col("clean_text").contains("<EMAIL>")).count() == 0)
+    } finally out.unpersist()
+  }
 }
