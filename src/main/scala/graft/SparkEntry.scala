@@ -8,7 +8,7 @@ import graft.ops.{Aggregates, BloomJoin, Joins, Ordering, Relational,
   Reshape, SkewJoin, SqlSurface, TemporalJoins}
 import graft.plans.TopK
 import graft.sim.Similarity
-import graft.sources.{MergeInto, ZOrder}
+import graft.sources.{Bucketing, MergeInto, SnapshotStore, ZOrder}
 import graft.streaming.EventStreams
 import graft.text.{SequencePacking, TextAnalysis}
 
@@ -34,7 +34,8 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ EventStreams.queries ++
       Models.queries ++ Multimodal.queries ++ SqlSurface.queries ++
       TopK.queries ++ ZOrder.queries ++ BloomJoin.queries ++
-      SkewJoin.queries ++ SequencePacking.queries ++ MergeInto.queries
+      SkewJoin.queries ++ SequencePacking.queries ++ MergeInto.queries ++
+      Bucketing.queries ++ SnapshotStore.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -45,5 +46,6 @@ object SparkEntry {
       Dedup.oracle ++ Similarity.oracle ++ EventStreams.oracle ++
       Models.oracle ++ Multimodal.oracle ++ SqlSurface.oracle ++
       TopK.oracle ++ ZOrder.oracle ++ BloomJoin.oracle ++
-      SkewJoin.oracle ++ SequencePacking.oracle ++ MergeInto.oracle
+      SkewJoin.oracle ++ SequencePacking.oracle ++ MergeInto.oracle ++
+      Bucketing.oracle ++ SnapshotStore.oracle
 }

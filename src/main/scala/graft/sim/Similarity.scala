@@ -508,13 +508,230 @@ object Similarity {
         Det.r6(col("recon_cosine")).as("recon_cosine"))
   }
 
+  /** N6 — IVF-PQ (IVFADC, Jégou et al. 2011 §IV, with per-cell
+    * codebooks): the structural fix for n4's global-codebook recall
+    * decay. n4 quantizes RAW vectors with one codebook, so a corpus
+    * with heterogeneous orientations (the 50k rotation probe) forces
+    * that codebook to span every cluster at once — measured recall
+    * fell to 0.187 at a fixed re-rank depth. Here a coarse quantizer
+    * (the n3 inverted file) routes each vector to a cell and PQ
+    * encodes the RESIDUAL v − centroid with that CELL's own codebook:
+    * residuals are centered near zero and orientation-consistent
+    * within a cell, so each small codebook only models local
+    * structure (the Jégou IVFADC argument; per-cell books are the
+    * LOPQ refinement of Kalantidis & Avrithis 2014, minus the local
+    * rotation).
+    *
+    * Shape: (a) coarse centers + per-cell residual codebooks train
+    * driver-locally on the capped key-hash sample (the model is
+    * cells×M×K×8 doubles — the sample bound pays for training, as in
+    * n3/n4; cells whose sample slice is thinner than 2·K fall back to
+    * a GLOBAL residual codebook so no book trains on fewer points
+    * than centroids); (b) encoding is a zero-shuffle broadcast
+    * kernel emitting (cell, 8-byte code, true norm) — the same ~20×
+    * compression as n4; (c) the scan reads codes once per partition;
+    * each TASK lazily builds, per query, the nprobe cell list and the
+    * per-(query, cell) ADC lookup tables from the broadcast query
+    * vectors + model (probes×M×K dot products per query — workload-
+    * bounded, and rebuilding per task beats broadcasting
+    * queries×probes×2 KB of LUTs); (d) approximate cosine =
+    * (dot(q, centroid) + Σ_m lut[code_m]) / (‖q‖·‖v‖) — the ADC
+    * estimate of dot(q, v) through the residual decomposition;
+    * (e) TopKPerKey heap-reduces to the size-aware re-rank depth,
+    * exact float_cosine re-ranks, so PQ error once again only costs
+    * recall inside the candidate set. At 100 TB: a query touches
+    * nprobe/cells of the CODES (n3's routing × n4's compression —
+    * the index tier that fits in cluster memory), which is exactly
+    * the FAISS IVFADC deployment shape. Rows-only + recall gate in
+    * ScalaTest (k-means and codebooks aren't SQL-expressible). */
+  def n6SimIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val total = emb.count()
+    val (cells, probes) = n3AutoDial(total)
+    val sampleCap = 16384L
+    val mod = math.max(1L, total / sampleCap)
+    val sample: Array[Array[Float]] = emb
+      .filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1).map(_._2)
+    // coarse quantizer on the sample (deterministic strided-init
+    // Lloyd — same routine as the PQ books, k = the n3 cell count)
+    val cents: Array[Array[Double]] = lloyd(sample, cells, iters = 10)
+    def bestCell(v: Array[Float]): Int = {
+      var best = 0; var bestSim = Double.NegativeInfinity; var c = 0
+      while (c < cents.length) {
+        val ct = cents(c)
+        var dot = 0.0; var nc = 0.0; var nv = 0.0; var i = 0
+        while (i < ct.length) {
+          dot += v(i).toDouble * ct(i); nc += ct(i) * ct(i)
+          nv += v(i).toDouble * v(i); i += 1
+        }
+        val sim = dot / math.sqrt(nv * nc)
+        if (sim > bestSim) { bestSim = sim; best = c }
+        c += 1
+      }
+      best
+    }
+    def residual(v: Array[Float], cell: Int): Array[Float] = {
+      val ct = cents(cell)
+      Array.tabulate(v.length)(i => (v(i) - ct(i)).toFloat)
+    }
+    val byCell: Map[Int, Array[Array[Float]]] = sample
+      .map(v => (bestCell(v), v)).groupBy(_._1)
+      .map { case (c, vs) => (c, vs.map { case (_, v) => residual(v, c) }) }
+    def trainBooks(pts: Array[Array[Float]]): Array[Array[Array[Double]]] =
+      Array.tabulate(PqM) { m =>
+        lloyd(pts.map(v =>
+          java.util.Arrays.copyOfRange(v, m * PqSubDim, (m + 1) * PqSubDim)),
+          PqK, iters = 10)
+      }
+    val globalBooks = trainBooks(sample.map(v => residual(v, bestCell(v))))
+    // one book array per cell; thin cells SHARE the global books by
+    // reference (Java serialization keeps the sharing in the broadcast)
+    val books: Array[Array[Array[Array[Double]]]] =
+      Array.tabulate(cells) { c =>
+        byCell.get(c).filter(_.length >= 2 * PqK)
+          .map(trainBooks).getOrElse(globalBooks)
+      }
+    val bcModel = s.sparkContext.broadcast((cents, books))
+    val codes = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (cs, bks) = bcModel.value
+        it.map { case (id, v) =>
+          var nv = 0.0
+          var i = 0; while (i < v.length) { nv += v(i).toDouble * v(i); i += 1 }
+          // inline best-cell (broadcast copy, not the driver closure)
+          var cell = 0; var bestSim = Double.NegativeInfinity; var c = 0
+          while (c < cs.length) {
+            val ct = cs(c)
+            var dot = 0.0; var nc = 0.0; var k = 0
+            while (k < ct.length) {
+              dot += v(k).toDouble * ct(k); nc += ct(k) * ct(k); k += 1
+            }
+            val sim = dot / (math.sqrt(nv) * math.sqrt(nc))
+            if (sim > bestSim) { bestSim = sim; cell = c }
+            c += 1
+          }
+          val cb = bks(cell)
+          val ct = cs(cell)
+          val code = new Array[Byte](PqM)
+          var m = 0
+          while (m < PqM) {
+            val centsM = cb(m)
+            var best = 0; var bestD = Double.MaxValue
+            var cc = 0
+            while (cc < centsM.length) {
+              var dist = 0.0; var j = 0
+              while (j < PqSubDim) {
+                val df = (v(m * PqSubDim + j) - ct(m * PqSubDim + j)) -
+                  centsM(cc)(j)
+                dist += df * df; j += 1
+              }
+              if (dist < bestD) { bestD = dist; best = cc }
+              cc += 1
+            }
+            code(m) = best.toByte
+            m += 1
+          }
+          (id, cell, code, math.sqrt(nv))
+        }
+      }.toDF("vec_id", "cell", "code", "norm")
+    // the query WORKLOAD (bounded by definition): raw vectors only —
+    // each task derives probe lists and LUTs locally from the model
+    val queryVecs: Array[(Long, Array[Float], Double)] = emb
+      .filter(col("vec_id") % 50 === 0)
+      .select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+      .map { case (id, q) =>
+        var qn = 0.0
+        var i = 0; while (i < q.length) { qn += q(i).toDouble * q(i); i += 1 }
+        (id, q, math.sqrt(qn))
+      }
+    val bcQ = s.sparkContext.broadcast(queryVecs)
+    val nProbe = probes
+    val approx = codes.as[(Long, Int, Array[Byte], Double)]
+      .mapPartitions { it =>
+        val (cs, bks) = bcModel.value
+        val qs = bcQ.value
+        // cell -> [(q_id, q_norm, dot(q, centroid), lut)]
+        val byProbedCell = new java.util.HashMap[Int,
+          scala.collection.mutable.ArrayBuffer[(Long, Double, Double, Array[Double])]]()
+        qs.foreach { case (qid, q, qn) =>
+          val sims = Array.tabulate(cs.length) { c =>
+            val ct = cs(c)
+            var dot = 0.0; var nc = 0.0; var i = 0
+            while (i < ct.length) {
+              dot += q(i).toDouble * ct(i); nc += ct(i) * ct(i); i += 1
+            }
+            (dot / (qn * math.sqrt(nc)), dot, c)
+          }
+          sims.sortBy { case (sim, _, c) => (-sim, c) }.take(nProbe)
+            .foreach { case (_, qdotc, c) =>
+              val cb = bks(c)
+              val lut = new Array[Double](PqM * PqK)
+              var m = 0
+              while (m < PqM) {
+                val centsM = cb(m)
+                var cc = 0
+                while (cc < centsM.length) {
+                  var dot = 0.0; var j = 0
+                  while (j < PqSubDim) {
+                    dot += q(m * PqSubDim + j).toDouble * centsM(cc)(j)
+                    j += 1
+                  }
+                  lut(m * PqK + cc) = dot
+                  cc += 1
+                }
+                m += 1
+              }
+              var buf = byProbedCell.get(c)
+              if (buf == null) {
+                buf = scala.collection.mutable.ArrayBuffer.empty
+                byProbedCell.put(c, buf)
+              }
+              buf += ((qid, qn, qdotc, lut))
+            }
+        }
+        it.flatMap { case (vid, cell, code, nv) =>
+          val buf = byProbedCell.get(cell)
+          if (buf == null) Iterator.empty
+          else buf.iterator.filter(_._1 != vid).map {
+            case (qid, qn, qdotc, lut) =>
+              var adc = qdotc; var m = 0
+              while (m < PqM) { adc += lut(m * PqK + (code(m) & 0xff)); m += 1 }
+              (qid, vid, adc / (qn * nv))
+          }
+        }
+      }.toDF("q_id", "neighbor_id", "approx_cosine")
+    // deeper floor than n4: the probed set is already nprobe/cells of
+    // the corpus, so a 2× candidate depth costs 2× a small number of
+    // exact cosines while recovering the ADC ordering error ON TOP of
+    // the routing loss (n6's recall ceiling is n3's routing recall)
+    val cand = graft.plans.TopK.topKPerKey(approx, Seq(col("q_id")),
+      Seq(col("approx_cosine").desc, col("neighbor_id").asc),
+      2 * n4RerankDepth(total))
+    val scored = cand.select("q_id", "neighbor_id")
+      .join(emb.select(col("vec_id").as("q_id"),
+        col("embedding").as("q_embedding")), "q_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("v_embedding")), "neighbor_id")
+      .select(col("q_id"), col("neighbor_id"),
+        GraftFunctions.floatCosine("q_embedding", "v_embedding")
+          .as("cosine"))
+    topKRanked(scored, 5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n5_embedding_quantize" -> n5EmbeddingQuantize,
     "n0_embedding_norms" -> n0EmbeddingNorms,
     "n1_sim_topk_bruteforce" -> n1SimTopkBruteforce,
     "n2_sim_lsh_topk" -> n2SimLshTopk,
     "n3_sim_ivf_topk" -> n3SimIvfTopk,
-    "n4_sim_pq_topk" -> n4SimPqTopk)
+    "n4_sim_pq_topk" -> n4SimPqTopk,
+    "n6_sim_ivfpq_topk" -> n6SimIvfPqTopk)
 
   val oracle: Map[String, String] = Map(
     "n5_embedding_quantize" ->

@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Det
+
+/** Bucketed tables — the WRITE-TIME join co-location lever (SURVEY §4
+  * scale design; the other two levers, broadcast and salting, are j2
+  * and j8). Writing both fact tables `bucketBy(n, key)` pins each
+  * row's file by `hash(key) % n` at write time, so a later equi-join
+  * on that key starts from identical hash-partitioning on BOTH sides
+  * and plans with NO shuffle exchange — `sortBy` within buckets
+  * additionally removes the per-task sort before the merge join. The
+  * repeated-join economics at 100 TB: one extra sort at write time
+  * buys every subsequent join of the two tables shuffle-freedom (a
+  * fact⋈fact join would otherwise exchange BOTH full tables every
+  * run; dimension joins stay broadcast — bucketing is for the pairs
+  * too big to broadcast and joined too often to re-shuffle).
+  *
+  * Spark bucketing lives in the catalog (`saveAsTable`), not the
+  * path: bucket metadata travels with the table entry, and the reader
+  * reconstructs `HashPartitioning(key, n)` from it. Correctness is
+  * layout-independent — the s11 result hash-matches a plain parquet
+  * join in the oracle — while BucketingSpec pins the physical
+  * property (a merge join of the two bucketed tables shows no
+  * `Exchange hashpartitioning` under the join).
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed+sorted catalog table (overwriting), and
+    * return it re-read THROUGH the catalog — reads via `s.table` are
+    * what carry the bucket metadata into join planning. An in-memory
+    * catalog forgets its tables across JVMs while their warehouse
+    * directories survive, and `saveAsTable` refuses to adopt an
+    * unmanaged location (LOCATION_ALREADY_EXISTS) — so drop both the
+    * entry and any stale directory before writing. */
+  def writeBucketed(s: SparkSession, df: DataFrame, table: String,
+      key: String, buckets: Int): DataFrame = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(loc, true)
+    df.write.bucketBy(buckets, key).sortBy(key)
+      .mode("overwrite").saveAsTable(table)
+    s.table(table)
+  }
+
+  /** S11 — orders⋈lineitem through bucketed tables: both sides land
+    * bucketed 8-ways on the order key, the join is forced to
+    * sort-merge (`hint("merge")` — broadcast would be legal at test
+    * SF and hide the property being exercised), and the only exchange
+    * in the whole plan is the final 5-group aggregation's. Table
+    * names carry the SF tag so gated runs at different SFs don't
+    * clobber each other's catalog entries. */
+  def s11BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val ord = writeBucketed(s,
+      Tables.orders(s, dir).select("o_orderkey", "o_orderpriority"),
+      s"graft_b_orders$tag", "o_orderkey", buckets = 8)
+    val li = writeBucketed(s,
+      Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_quantity", "l_extendedprice"),
+      s"graft_b_lineitem$tag", "l_orderkey", buckets = 8)
+    ord.hint("merge")
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        Det.dsum2(col("l_quantity")).as("sum_qty"),
+        Det.dsum2(col("l_extendedprice")).as("revenue"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_bucketed_join" -> s11BucketedJoin)
+
+  val oracle: Map[String, String] = Map(
+    // layout-independent semantics: the oracle joins the plain
+    // parquet tables — bucketing must never change the answer
+    "s11_bucketed_join" ->
+      s"""SELECT o_orderpriority,
+           count(*) AS n_items,
+           ${Det.sqlDsum2("l_quantity")} AS sum_qty,
+           ${Det.sqlDsum2("l_extendedprice")} AS revenue
+         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY 1""")
+}

@@ -49,6 +49,77 @@ object MergeInto {
     CsvIO.swapInto(s, tmp, path)
   }
 
+  /** Partition-pruned copy-on-write MERGE — the 100 TB refinement the
+    * plain [[mergeInto]] doc promises: against a hive-partitioned
+    * table, rewrite ONLY the partitions the change-set touches. The
+    * touched-partition list is one small distinct-collect (bounded by
+    * the table's partition count — change-sets are keyed snapshots,
+    * partitions are low-cardinality by the writePartitioned
+    * contract), then each touched partition runs an independent
+    * slice-merge + two-phase swap; untouched partitions — the
+    * overwhelming majority between commits of a day-partitioned fact
+    * table — are never read, never rewritten. MERGE keys match WITHIN
+    * a partition (key + partition column is the effective match key,
+    * the Delta `replaceWhere` contract): a source row must carry its
+    * key's CURRENT partition value — partition-moving a key is a
+    * delete+insert the caller expresses explicitly. Crash-safety is
+    * per-partition (the swap's rename-aside rule); reader ISOLATION
+    * across partitions is not provided here — that is
+    * [[SnapshotStore]]'s job (commit the post-merge file set as a
+    * manifest for readers that need a consistent multi-partition
+    * view). Returns the touched partition values. */
+  def mergeIntoPartitioned(s: SparkSession, path: String,
+      source: DataFrame, key: String, partCol: String): Seq[String] = {
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+    val touched = source.select(partCol).distinct()
+      .collect().map(_.get(0).toString).sorted.toIndexedSeq
+    touched.foreach { v =>
+      val pDir = s"$path/$partCol=$v"
+      val slice = source.filter(col(partCol) === v).drop(partCol)
+      if (!hfs.exists(new org.apache.hadoop.fs.Path(pDir))) {
+        // brand-new partition: nothing to merge against
+        slice.write.parquet(pDir)
+      } else {
+        val tmp = pDir + "_merging"
+        mergedView(s.read.parquet(pDir), slice, key)
+          .write.mode("overwrite").parquet(tmp)
+        CsvIO.swapInto(s, tmp, pDir)
+      }
+    }
+    touched
+  }
+
+  /** S13 — partition-pruned merge end-to-end: orders partitioned by
+    * priority, a change-set touching exactly two of the five
+    * partitions (price bump in 2-HIGH, inserts into 5-LOW), read back
+    * whole. The oracle re-derives the merged table from the base
+    * relation; the PRUNING (untouched partition files bit-identical)
+    * is pinned in SourcesSessionSpec. */
+  def s13PartitionedMerge(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      sys.props("java.io.tmpdir"), s"graft_s13$tag").toString
+    org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI(root), s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+    CsvIO.writePartitioned(base, root, Seq("o_orderpriority"))
+    val changes = base
+      .filter(col("o_orderpriority") === "2-HIGH" &&
+        col("o_orderkey") % 20 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+      .union(base
+        .filter(col("o_orderpriority") === "5-LOW" &&
+          col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 5000000L))
+    mergeIntoPartitioned(s, root, changes, "o_orderkey",
+      "o_orderpriority")
+    s.read.parquet(root)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+  }
+
   /** S9 — the merge result over a deterministic change-set: every
     * 10th customer gets a balance bump (update), every 100th
     * reappears under an offset key (insert). The oracle re-derives
@@ -140,9 +211,20 @@ object MergeInto {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s9_merge_upsert" -> s9MergeUpsert,
-    "s10_scd2" -> s10Scd2)
+    "s10_scd2" -> s10Scd2,
+    "s13_partitioned_merge" -> s13PartitionedMerge)
 
   val oracle: Map[String, String] = Map(
+    "s13_partitioned_merge" ->
+      """SELECT o_orderkey, o_orderpriority,
+           CASE WHEN o_orderpriority = '2-HIGH' AND o_orderkey % 20 = 0
+                THEN o_totalprice + 10.0 ELSE o_totalprice END
+             AS o_totalprice
+         FROM orders
+         UNION ALL
+         SELECT o_orderkey + 5000000, o_orderpriority, o_totalprice
+         FROM orders
+         WHERE o_orderpriority = '5-LOW' AND o_orderkey % 100 = 0""",
     "s9_merge_upsert" ->
       """WITH tgt AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
          src AS (

@@ -129,6 +129,110 @@ object SnapshotStore {
     s.read.parquet(files: _*)
   }
 
+  /** Keyed row-level CHANGES between two snapshots — the incremental
+    * read (Delta CDF / "table_changes") that turns a snapshot store
+    * into a pipeline source: a downstream consumer processes only
+    * what moved between commits instead of re-reading the table. One
+    * full-outer join on the key (the same shape as
+    * [[MergeInto.mergedView]], run in reverse): key only in `to` →
+    * insert; key only in `from` → delete; key in both with any
+    * attribute differing (null-safe `<=>`) → update, emitting the NEW
+    * attribute values. Unchanged rows — the overwhelming majority of
+    * a 100 TB table between commits — produce nothing, so downstream
+    * work scales with the churn, not the table. The key must be
+    * unique per snapshot (the same contract as merge). */
+  def keyedChanges(from: DataFrame, to: DataFrame, key: String)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val attrs = from.columns.filterNot(_ == key)
+    val o = from.alias("o")
+    val n = to.alias("n")
+    val differs = attrs.map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val change = when(col(s"o.$key").isNull, "insert")
+      .when(col(s"n.$key").isNull, "delete")
+      .when(differs, "update")
+    val outCols = col("change_type") +:
+      coalesce(col(s"n.$key"), col(s"o.$key")).as(key) +:
+      attrs.map(c =>
+        when(col(s"n.$key").isNotNull, col(s"n.$c"))
+          .otherwise(col(s"o.$c")).as(c))
+    o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
+      .withColumn("change_type", change)
+      .filter(col("change_type").isNotNull)
+      .select(outCols.toIndexedSeq: _*)
+  }
+
+  /** The changes between two COMMITTED snapshot ids of a table. */
+  def changesBetween(s: SparkSession, root: String, fromId: Long,
+      toId: Long, key: String): DataFrame =
+    keyedChanges(readSnapshot(s, root, Some(fromId)),
+      readSnapshot(s, root, Some(toId)), key)
+
+  /** S12 — the incremental read end-to-end THROUGH the commit
+    * protocol: commit a customer slice as snapshot 0, commit a
+    * deterministically-churned version (updates: every 10th key's
+    * balance +250; deletes: every 97th ≡ 3; inserts: every 100th
+    * reappears at +3M) as snapshot 1, then read back ONLY the
+    * changes. The oracle re-derives the identical keyed diff in SQL
+    * from the base table — the store must be a faithful pipe: what
+    * went into the commits is exactly what the diff sees. The table
+    * root is a fixed per-SF temp path wiped at entry (gated queries
+    * re-run; stale manifests from a prior run must not shift ids). */
+  def s12SnapshotChanges(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.customer(s, dir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val v1 = base.filter(col("c_custkey") % 97 =!= 3)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 10 === 0, col("c_acctbal") + 250.0)
+          .otherwise(col("c_acctbal")))
+      .union(base.filter(col("c_custkey") % 100 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 3000000L))
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val root = new Path(
+      sys.props("java.io.tmpdir"), s"graft_s12$tag/t").toString
+    fs(s, root).delete(new Path(root).getParent, true)
+    commit(base, root)
+    commit(v1, root)
+    changesBetween(s, root, 0L, 1L, "c_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_snapshot_changes" -> s12SnapshotChanges)
+
+  val oracle: Map[String, String] = Map(
+    "s12_snapshot_changes" ->
+      """WITH base AS (
+           SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+         v1 AS (
+           SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 250.0
+                  ELSE c_acctbal END AS c_acctbal
+           FROM base WHERE c_custkey % 97 <> 3
+           UNION ALL
+           SELECT c_custkey + 3000000, c_mktsegment, c_acctbal
+           FROM base WHERE c_custkey % 100 = 0),
+         j AS (
+           SELECT o.c_custkey AS o_key, o.c_mktsegment AS o_seg,
+             o.c_acctbal AS o_bal, n.c_custkey AS n_key,
+             n.c_mktsegment AS n_seg, n.c_acctbal AS n_bal
+           FROM base o FULL OUTER JOIN v1 n
+             ON o.c_custkey = n.c_custkey)
+         SELECT
+           CASE WHEN o_key IS NULL THEN 'insert'
+                WHEN n_key IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           coalesce(n_key, o_key) AS c_custkey,
+           CASE WHEN n_key IS NOT NULL THEN n_seg ELSE o_seg END
+             AS c_mktsegment,
+           CASE WHEN n_key IS NOT NULL THEN n_bal ELSE o_bal END
+             AS c_acctbal
+         FROM j
+         WHERE o_key IS NULL OR n_key IS NULL
+           OR NOT (o_seg IS NOT DISTINCT FROM n_seg)
+           OR NOT (o_bal IS NOT DISTINCT FROM n_bal)""")
+
   /** Delete data directories no manifest references (crashed commits
     * and vacuumed history). `keepLast` manifests are retained; older
     * manifest files AND the data dirs only they reference are

@@ -52,6 +52,9 @@ object RecallProbe {
     println(f"n3 ivf recall=${(ivf & truth).size.toDouble / truth.size}%.3f")
     val pq = pairs(Similarity.n4SimPqTopk(spark, dir))
     println(f"n4 pq recall=${(pq & truth).size.toDouble / truth.size}%.3f")
+    val ivfpq = pairs(Similarity.n6SimIvfPqTopk(spark, dir))
+    println(
+      f"n6 ivfpq recall=${(ivfpq & truth).size.toDouble / truth.size}%.3f")
     spark.stop()
   }
 }

@@ -42,6 +42,26 @@ class BucketingSpec extends SparkTestBase {
     assert(smj.count() == expected)
   }
 
+  test("s11 gated query: merge join of bucketed sides, one exchange total") {
+    val df = sources.Bucketing.s11BucketedJoin(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    // the ONLY exchange is the final 5-group aggregation's — the join
+    // itself runs entirely on write-time bucket partitioning
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"bucketed join should leave one (agg) exchange:\n$plan")
+    // and the answer is layout-independent
+    val viaPlain = Tables.orders(spark, sfSmoke)
+      .join(Tables.lineitem(spark, sfSmoke),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority").count()
+    val got = df.select("o_orderpriority", "n_items")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = viaPlain.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
   test("per-series Durbin-Watson plans with keyed exchanges only") {
     // the round-1 global Window.orderBy funneled the whole events
     // table through ONE task; the per-series form must show no

@@ -166,6 +166,21 @@ class DedupSimSpec extends SparkTestBase {
     assert(recall >= 0.6, s"PQ recall@5 too low: $recall")
   }
 
+  test("n6 IVF-PQ top-k: exact re-rank cosines agree with n1; recall holds") {
+    val brute = Similarity.n1SimTopkBruteforce(spark, sfTest)
+      .withColumnRenamed("cosine", "c1").withColumnRenamed("rank", "r1")
+    val ivfpq = Similarity.n6SimIvfPqTopk(spark, sfTest)
+    assert(ivfpq.count() > 0)
+    val joined = ivfpq.join(brute, Seq("q_id", "neighbor_id"))
+    // final cosines are exact re-ranks — identical wherever both emit
+    assert(joined.filter(col("cosine") =!= col("c1")).count() == 0)
+    // residual codes behind the n3 inverted file: candidates are both
+    // routed (nprobe cells) and re-ranked, so recall must hold the
+    // same floor as its two parents
+    val recall = joined.count().toDouble / brute.count()
+    assert(recall >= 0.6, s"IVF-PQ recall@5 too low: $recall")
+  }
+
   test("n2 recall@5 vs n1, and the planes/tables recall↔bucket-size dials") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       pairSet(df, "q_id", "neighbor_id")

@@ -189,6 +189,46 @@ class SourcesSessionSpec extends SparkTestBase {
     } finally back.unpersist()
   }
 
+  test("mergeIntoPartitioned rewrites ONLY touched partitions, result = full merge") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pmerge").toString + "/t"
+    val base = Tables.orders(spark, sfSmoke)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    sources.CsvIO.writePartitioned(base, root, Seq("o_orderpriority"))
+    def fileState(p: String): Set[(String, Long)] = {
+      val d = new java.io.File(p)
+      if (!d.exists) Set.empty
+      else d.listFiles.filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified)).toSet
+    }
+    val untouchedBefore = Seq("1-URGENT", "3-MEDIUM", "4-NOT SPECIFIED")
+      .map(v => fileState(s"$root/o_orderpriority=$v"))
+    val changes = base
+      .filter(col("o_orderpriority") === "2-HIGH" &&
+        col("o_orderkey") % 20 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 10.0)
+      .union(base
+        .filter(col("o_orderpriority") === "5-LOW" &&
+          col("o_orderkey") % 100 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + 5000000L))
+    val touched = sources.MergeInto.mergeIntoPartitioned(
+      spark, root, changes, "o_orderkey", "o_orderpriority")
+    assert(touched == Seq("2-HIGH", "5-LOW"))
+    // untouched partitions: identical files, identical mtimes —
+    // never rewritten, which is the whole point of the pruning
+    val untouchedAfter = Seq("1-URGENT", "3-MEDIUM", "4-NOT SPECIFIED")
+      .map(v => fileState(s"$root/o_orderpriority=$v"))
+    assert(untouchedBefore == untouchedAfter)
+    assert(untouchedBefore.forall(_.nonEmpty))
+    // and the table content equals the unpruned full-table merge
+    val got = spark.read.parquet(root)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val want = sources.MergeInto.mergedView(base, changes, "o_orderkey")
+    assert(got.exceptAll(want).count() == 0)
+    assert(want.exceptAll(got).count() == 0)
+  }
+
   test("bloom-filter parquet write: footer carries the filter, reads stay exact") {
     import org.apache.spark.sql.functions._
     import scala.jdk.CollectionConverters._

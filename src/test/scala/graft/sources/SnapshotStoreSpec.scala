@@ -14,6 +14,27 @@ class SnapshotStoreSpec extends SparkTestBase {
   private def freshRoot(): String =
     Files.createTempDirectory("graft_snap").toString + "/t"
 
+  test("keyedChanges: insert/delete/update fates; unchanged rows emit nothing") {
+    import spark.implicits._
+    val root = freshRoot()
+    val v0 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "seg", "bal")
+    val v1 = Seq((1L, "a", 10.0),   // unchanged → silent
+      (2L, "b", 25.0),              // update
+      (4L, "d", 40.0))              // insert; 3 deleted
+      .toDF("id", "seg", "bal")
+    SnapshotStore.commit(v0, root)
+    SnapshotStore.commit(v1, root)
+    val got = SnapshotStore.changesBetween(spark, root, 0L, 1L, "id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSet
+    assert(got == Set(
+      ("update", 2L, "b", 25.0),
+      ("delete", 3L, "c", 30.0),
+      ("insert", 4L, "d", 40.0)))
+  }
+
   test("commit/read/time-travel: latest wins, history stays readable") {
     import spark.implicits._
     val root = freshRoot()
