@@ -70,6 +70,14 @@ object SnapshotStore {
     * Data lands in a fresh immutable directory first; the manifest
     * rename is the only step that makes it visible. */
   def commit(df: DataFrame, root: String, maxRetries: Int = 10): Long = {
+    val (s, files) = writeSnapshotData(df, root)
+    commitManifest(s, root, files, maxRetries)
+  }
+
+  /** Phase 1 of a commit: land the data in a fresh immutable
+    * directory and return the parquet part list. */
+  private def writeSnapshotData(df: DataFrame, root: String)
+      : (SparkSession, Seq[String]) = {
     val s = df.sparkSession
     val f = fs(s, root)
     val dataDir = new Path(root, s"data/snap-${UUID.randomUUID()}")
@@ -81,6 +89,15 @@ object SnapshotStore {
       .map(_.toString)
       .sorted
     require(files.nonEmpty, s"empty snapshot write at $dataDir")
+    (s, files)
+  }
+
+  /** Phase 2 of a commit: the manifest rename-if-absent race. Each
+    * `lines` entry is a file path optionally followed by tab-separated
+    * per-file metadata ([[commitWithStats]]). */
+  private def commitManifest(s: SparkSession, root: String,
+      lines: Seq[String], maxRetries: Int): Long = {
+    val f = fs(s, root)
     f.mkdirs(manifestDir(root))
     var attempt = 0
     var committed = -1L
@@ -88,7 +105,7 @@ object SnapshotStore {
       val id = snapshots(s, root).lastOption.getOrElse(-1L) + 1L
       val tmp = new Path(manifestDir(root), s".tmp-${UUID.randomUUID()}")
       val out = f.create(tmp, false)
-      try out.write((files.mkString("\n") + "\n")
+      try out.write((lines.mkString("\n") + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       // rename-if-absent IS the commit: losing a race leaves the new
@@ -103,9 +120,42 @@ object SnapshotStore {
     committed
   }
 
-  /** The file list a snapshot pins (latest when `id` is None). */
-  def manifestFiles(s: SparkSession, root: String,
-      id: Option[Long] = None): Seq[String] = {
+  /** Commit with per-file [min,max] stats on `statsCol` embedded in
+    * the manifest — file-level DATA SKIPPING (the Delta/Iceberg
+    * min-max stats idea): a later range read resolves which files can
+    * contain matching rows from the manifest ALONE and never opens
+    * the rest. Stats only pay when the layout clusters the column —
+    * pair with `repartitionByRange`/z-order at write time so each
+    * file owns a narrow range (a random layout makes every file's
+    * range span everything and prunes nothing). Stats cost one
+    * grouped scan of the just-written files at commit time (a
+    * footer-reading engine gets them for free; the scan keeps this
+    * store engine-portable). Values travel as strings and are cast
+    * back to the column's type at prune time — numeric, date, and
+    * timestamp columns all round-trip through Spark's cast. */
+  def commitWithStats(df: DataFrame, root: String, statsCol: String,
+      maxRetries: Int = 10): Long = {
+    import org.apache.spark.sql.functions._
+    val (s, files) = writeSnapshotData(df, root)
+    val byFile = s.read.parquet(files: _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(statsCol)).cast("string").as("mn"),
+        max(col(statsCol)).cast("string").as("mx"))
+      .collect()
+      .map(r => (new Path(r.getString(0)).toUri.getPath,
+        (Option(r.getString(1)).getOrElse(""),
+          Option(r.getString(2)).getOrElse(""))))
+      .toMap
+    val lines = files.map { p =>
+      val (mn, mx) = byFile.getOrElse(new Path(p).toUri.getPath, ("", ""))
+      s"$p\t$statsCol\t$mn\t$mx"
+    }
+    commitManifest(s, root, lines, maxRetries)
+  }
+
+  /** Raw manifest lines (path [+ tab-separated stats]). */
+  private def manifestLines(s: SparkSession, root: String,
+      id: Option[Long]): Seq[String] = {
     val ids = snapshots(s, root)
     require(ids.nonEmpty, s"no committed snapshot at $root")
     val pick = id.getOrElse(ids.last)
@@ -115,6 +165,51 @@ object SnapshotStore {
     try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toList
     finally in.close()
+  }
+
+  /** The file list a snapshot pins (latest when `id` is None). */
+  def manifestFiles(s: SparkSession, root: String,
+      id: Option[Long] = None): Seq[String] =
+    manifestLines(s, root, id).map(_.split('\t').head)
+
+  /** The files of a snapshot whose `statsCol` range can intersect
+    * [lo, hi], resolved from manifest stats alone (no data file is
+    * opened to decide). Files without usable stats — a plain
+    * [[commit]], a different stats column, or an all-null file — are
+    * kept conservatively. Returns (kept files, total files). */
+  def pruneFiles(s: SparkSession, root: String, statsCol: String,
+      lo: Any, hi: Any, id: Option[Long] = None): (Seq[String], Int) = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val parsed = manifestLines(s, root, id).map(_.split("\t", -1))
+    val stats = parsed.map {
+      case Array(p, c, mn, mx) if c == statsCol && mn.nonEmpty && mx.nonEmpty =>
+        (p, mn, mx)
+      case a => (a(0), null: String, null: String)
+    }
+    // the column's type, from one footer — so "100" < "99" string
+    // traps can't happen: stats compare in the DATA type
+    val dt = s.read.parquet(stats.head._1).schema(statsCol).dataType
+    val kept = stats.toDF("p", "mn", "mx")
+      .filter(col("mn").isNull || col("mx").isNull ||
+        !(col("mx").cast(dt) < lit(lo).cast(dt) ||
+          col("mn").cast(dt) > lit(hi).cast(dt)))
+      .select("p").collect().map(_.getString(0)).toIndexedSeq
+    (kept, parsed.length)
+  }
+
+  /** Range read THROUGH the stats: scan only the pruned file set,
+    * then apply the residual row filter (stats prune at file
+    * granularity; rows inside kept files still need the predicate). */
+  def readPruned(s: SparkSession, root: String, statsCol: String,
+      lo: Any, hi: Any, id: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val (kept, _) = pruneFiles(s, root, statsCol, lo, hi, id)
+    val all = manifestFiles(s, root, id)
+    if (kept.isEmpty)
+      s.read.parquet(all.head).filter(lit(false))
+    else s.read.parquet(kept: _*)
+      .filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
   }
 
   /** Read the latest snapshot — exactly the manifest's files, never a
@@ -169,6 +264,80 @@ object SnapshotStore {
     keyedChanges(readSnapshot(s, root, Some(fromId)),
       readSnapshot(s, root, Some(toId)), key)
 
+  /** Full-fidelity CDF changes — [[keyedChanges]] emits only the NEW
+    * side of an update, which is enough to patch a keyed mirror but
+    * NOT to maintain an aggregate: subtracting an update's old
+    * contribution needs its PREIMAGE. This variant speaks the Delta
+    * CDF dialect exactly — an update emits TWO rows,
+    * `update_preimage` (old values) and `update_postimage` (new
+    * values) — so any downstream consumer can treat every change as
+    * a signed row: preimage/delete retract, postimage/insert assert.
+    * Same single full-outer join; the two-row fan-out is a row-local
+    * explode over a fate array (no extra shuffle). */
+  def cdfChanges(from: DataFrame, to: DataFrame, key: String)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val attrs = from.columns.filterNot(_ == key)
+    val o = from.alias("o")
+    val n = to.alias("n")
+    val differs = attrs.map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    def img(side: String, fate: String) =
+      struct(lit(fate).as("change_type") +:
+        col(s"$side.$key").as(key) +:
+        attrs.map(c => col(s"$side.$c").as(c)): _*)
+    // unchanged rows carry a sentinel fate and are dropped after the
+    // explode — `array()` alone would be untyped
+    val fates = when(col(s"o.$key").isNull, array(img("n", "insert")))
+      .when(col(s"n.$key").isNull, array(img("o", "delete")))
+      .when(differs,
+        array(img("o", "update_preimage"), img("n", "update_postimage")))
+      .otherwise(array(img("o", "unchanged")))
+    o.join(n, col(s"o.$key") === col(s"n.$key"), "full_outer")
+      .select(explode(fates).as("ch"))
+      .filter(col("ch.change_type") =!= "unchanged")
+      .select("ch.*")
+  }
+
+  /** The mergeable state of `groupBy(groupCol).agg(count, sum)` —
+    * the sum held in EXACT decimal so later retractions cancel
+    * bit-exactly (a double running sum would drift per churn batch). */
+  def aggState(df: DataFrame, groupCol: String, sumCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.groupBy(groupCol).agg(count(lit(1)).as("n_rows"),
+      sum(graft.ops.Det.d2(col(sumCol))).as("s_dec"))
+  }
+
+  /** INCREMENTAL VIEW MAINTENANCE: fold a CDF change batch into an
+    * [[aggState]] instead of recomputing it. Every change row is a
+    * signed contribution (+1 for insert/update_postimage, −1 for
+    * delete/update_preimage); the per-group delta is one aggregation
+    * over the CHANGES — work scales with the churn, not the table —
+    * and merges into the state by a keyed outer join. Group-moving
+    * updates need no special case: the preimage retracts from the
+    * old group, the postimage asserts into the new one. Groups whose
+    * count reaches zero disappear (the recompute would not list
+    * them). At 100 TB this is the nightly-dashboard pattern: the
+    * 10⁸-group state updates from a 10⁵-row churn in seconds. */
+  def applyCdfDelta(state: DataFrame, changes: DataFrame,
+      groupCol: String, sumCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val sign = when(
+      col("change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    val delta = changes.groupBy(groupCol).agg(
+      sum(sign).as("d_n"),
+      sum(sign * graft.ops.Det.d2(col(sumCol))).as("d_s"))
+    state.join(delta, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("n_rows"), lit(0L)) +
+          coalesce(col("d_n"), lit(0L))).as("n_rows"),
+        (coalesce(col("s_dec"), lit(0)) +
+          coalesce(col("d_s"), lit(0))).as("s_dec"))
+      .filter(col("n_rows") > 0)
+  }
+
   /** S12 — the incremental read end-to-end THROUGH the commit
     * protocol: commit a customer slice as snapshot 0, commit a
     * deterministically-churned version (updates: every 10th key's
@@ -198,10 +367,85 @@ object SnapshotStore {
     changesBetween(s, root, 0L, 1L, "c_custkey")
   }
 
+  /** S14 — data skipping end-to-end: orders RANGE-CLUSTERED on the
+    * order key into 8 files (the layout that makes min-max stats
+    * selective), committed with stats, then a narrow key-range read
+    * resolved through the manifest. The pruning itself (≤2 of 8 files
+    * survive [[pruneFiles]], zero data files opened to decide) is
+    * pinned in SnapshotStoreSpec; the oracle checks the layer is
+    * answer-invisible — same rows as a plain filter over the base
+    * table. At 100 TB this is the difference between a point query
+    * touching one file vs listing-and-scanning the table. */
+  def s14SnapshotSkipping(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val root = new Path(
+      sys.props("java.io.tmpdir"), s"graft_s14$tag/t").toString
+    fs(s, root).delete(new Path(root).getParent, true)
+    commitWithStats(base.repartitionByRange(8, col("o_orderkey")),
+      root, "o_orderkey")
+    readPruned(s, root, "o_orderkey", 1000L, 5000L)
+  }
+
+  /** S15 — the maintained aggregate itself, gated against a FULL
+    * RECOMPUTE in the oracle: per-segment (count, exact-decimal
+    * balance sum) over a customer churn that deletes (every 97th ≡
+    * 3), bumps balances (every 10th), MOVES GROUPS (every 50th ≡ 7
+    * re-segmented to MACHINERY — the case that breaks new-values-only
+    * CDC consumers), and inserts (every 100th at +3M). The Spark side
+    * never aggregates the churned table: it folds [[cdfChanges]] into
+    * the base state via [[applyCdfDelta]]; hash-matching the oracle's
+    * recompute proves retraction algebra + exact decimal cancellation
+    * end-to-end. */
+  def s15IncrementalMv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.customer(s, dir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val v1 = base.filter(col("c_custkey") % 97 =!= 3)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 50 === 7, "MACHINERY")
+          .otherwise(col("c_mktsegment")))
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 10 === 0, col("c_acctbal") + 250.0)
+          .otherwise(col("c_acctbal")))
+      .union(base.filter(col("c_custkey") % 100 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 3000000L))
+    val mv0 = aggState(base, "c_mktsegment", "c_acctbal")
+    val mv1 = applyCdfDelta(mv0,
+      cdfChanges(base, v1, "c_custkey"), "c_mktsegment", "c_acctbal")
+    mv1.select(col("c_mktsegment"), col("n_rows"),
+      col("s_dec").cast("double").as("sum_bal"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s12_snapshot_changes" -> s12SnapshotChanges)
+    "s12_snapshot_changes" -> s12SnapshotChanges,
+    "s14_snapshot_skipping" -> s14SnapshotSkipping,
+    "s15_incremental_mv" -> s15IncrementalMv)
 
   val oracle: Map[String, String] = Map(
+    "s15_incremental_mv" ->
+      """WITH base AS (
+           SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+         v1 AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 50 = 7 THEN 'MACHINERY'
+                  ELSE c_mktsegment END AS c_mktsegment,
+             CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 250.0
+                  ELSE c_acctbal END AS c_acctbal
+           FROM base WHERE c_custkey % 97 <> 3
+           UNION ALL
+           SELECT c_custkey + 3000000, c_mktsegment, c_acctbal
+           FROM base WHERE c_custkey % 100 = 0)
+         SELECT c_mktsegment,
+           cast(count(*) AS bigint) AS n_rows,
+           cast(sum(cast(c_acctbal AS decimal(12,2))) AS double)
+             AS sum_bal
+         FROM v1 GROUP BY 1""",
+    "s14_snapshot_skipping" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice
+         FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000""",
     "s12_snapshot_changes" ->
       """WITH base AS (
            SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),

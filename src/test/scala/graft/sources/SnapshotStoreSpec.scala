@@ -100,6 +100,77 @@ class SnapshotStoreSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet == Set(3L))
   }
 
+  test("data skipping: stats commit prunes files from the manifest " +
+      "alone; plain commits are kept conservatively") {
+    import spark.implicits._
+    val root = freshRoot()
+    // range-clustered layout: 8 files, each owning ~125 consecutive ids
+    val df = (0L until 1000L).map(i => (i, i * 2.0)).toDF("id", "x")
+      .repartitionByRange(8, col("id"))
+    SnapshotStore.commitWithStats(df, root, "id")
+    val (kept, total) = SnapshotStore.pruneFiles(
+      spark, root, "id", 300L, 320L)
+    assert(total == 8, s"expected 8 stats-bearing files, got $total")
+    assert(kept.size <= 2, s"narrow range must prune to <=2 files, " +
+      s"kept ${kept.size} of $total")
+    val got = SnapshotStore.readPruned(spark, root, "id", 300L, 320L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (300L to 320L).toSet,
+      "pruned read must equal the plain filter")
+    // a stats-less commit of the same data: every file survives the
+    // prune (no stats → conservative keep), answer unchanged
+    val root2 = freshRoot()
+    SnapshotStore.commit(df, root2)
+    val (kept2, total2) = SnapshotStore.pruneFiles(
+      spark, root2, "id", 300L, 320L)
+    assert(kept2.size == total2,
+      "files without stats must never be skipped")
+  }
+
+  test("cdfChanges: update emits preimage+postimage; incremental agg " +
+      "equals recompute across a group-moving churn") {
+    import spark.implicits._
+    val v0 = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0),
+      (4L, "b", 40.0)).toDF("id", "seg", "bal")
+    val v1 = Seq((1L, "a", 10.0),   // unchanged
+      (2L, "b", 20.0),              // group move a→b, same bal
+      (3L, "b", 35.0),              // in-place update
+      (5L, "c", 50.0))              // insert; 4 deleted
+      .toDF("id", "seg", "bal")
+    val ch = SnapshotStore.cdfChanges(v0, v1, "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getDouble(3))).toSet
+    assert(ch == Set(
+      ("update_preimage", 2L, "a", 20.0),
+      ("update_postimage", 2L, "b", 20.0),
+      ("update_preimage", 3L, "b", 30.0),
+      ("update_postimage", 3L, "b", 35.0),
+      ("delete", 4L, "b", 40.0),
+      ("insert", 5L, "c", 50.0)))
+    val mv1 = SnapshotStore.applyCdfDelta(
+      SnapshotStore.aggState(v0, "seg", "bal"),
+      SnapshotStore.cdfChanges(v0, v1, "id"), "seg", "bal")
+      .select(col("seg"), col("n_rows"),
+        col("s_dec").cast("double").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val recompute = SnapshotStore.aggState(v1, "seg", "bal")
+      .select(col("seg"), col("n_rows"),
+        col("s_dec").cast("double").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(mv1 == recompute,
+      s"maintained view $mv1 != recompute $recompute")
+    // group "a" shrank to 1 via the move-out; a vanished group test:
+    // delete everything in "c" from v1
+    val v2 = v1.filter(col("seg") =!= "c")
+    val mv2 = SnapshotStore.applyCdfDelta(
+      SnapshotStore.aggState(v1, "seg", "bal"),
+      SnapshotStore.cdfChanges(v1, v2, "id"), "seg", "bal")
+    assert(!mv2.collect().map(_.getString(0)).contains("c"),
+      "zero-count groups must disappear from the maintained view")
+  }
+
   test("swapInto recovery: a prior crash's _old copy is restored, " +
       "not destroyed, by the next swap") {
     import spark.implicits._
