@@ -487,6 +487,21 @@ object Dedup {
   private[graft] val D7PlantStride = 25L
   private[graft] val D7PlantOffset = 1000000L
 
+  /** Bucket-occupancy auto-dial for the TRUE-dup gate: planes grow
+    * with ceil(log2 n) + 4 (floor 12). An exact duplicate collides in
+    * every table at ANY plane count (p = 1 per plane), so raising b
+    * costs the gate no recall on its targets while hot-bucket
+    * candidate mass shrinks exponentially in b; signature cost grows
+    * only linearly (n·L·b·dim). The 50k recall-campaign lesson that
+    * log-growing planes collapses recall (BASELINE round-6) applies
+    * to LOW-similarity top-k (n2) — at τ=0.9 the per-plane collision
+    * p exceeds 0.95 for everything the gate exists to find. Measured:
+    * the fixed-12 dial made d7 super-linear at sf1.0 (26.7× time for
+    * 10× vectors — quadratic hot-bucket pair growth); the log dial
+    * restores ~linear candidate growth. */
+  private[graft] def d7AutoPlanes(n: Long): Int = math.max(12,
+    4 + (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))))
+
   /** D7 — embedding near-dup pairs at a TRUE-duplicate threshold
     * (τ=0.9) via [[d7PairsOf]]. The raw embeddings table tops out
     * near cosine 0.51 (by construction — see d5), so to give the
@@ -503,8 +518,9 @@ object Dedup {
     val planted = base.filter(col("vec_id") % D7PlantStride === 0)
       .select((col("vec_id") + D7PlantOffset).as("vec_id"),
         col("embedding"))
-    d7PairsOf(base.union(planted), numPlanes = 12, numTables = 4,
-      tau = 0.9)
+    val corpus = base.union(planted)
+    d7PairsOf(corpus, numPlanes = d7AutoPlanes(corpus.count()),
+      numTables = 4, tau = 0.9)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

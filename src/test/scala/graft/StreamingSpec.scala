@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.streaming.{CurationStream, EventStreams, IdempotentSink,
-  QualityStream}
+  MvStream, QualityStream}
+import graft.sources.SnapshotStore
 
 /** Batch-parity of the Structured Streaming window aggregations: the
   * streaming twin over the same parquet must produce exactly the rows
@@ -137,6 +138,39 @@ class StreamingSpec extends SparkTestBase {
       .join(kept, "doc_id")
     assert(batch.count() > 0)
     assert(asSet(streamed) == asSet(batch))
+  }
+
+  test("streaming MV: CDF batches fold to the recompute; replay and " +
+      "out-of-order redelivery add nothing") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_mv").toString + "/state"
+    val v0 = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("id", "seg", "bal")
+    val v1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (4L, "c", 40.0))
+      .toDF("id", "seg", "bal") // 2 moves a→b, 3 deleted, 4 inserted
+    val empty = v0.filter(lit(false))
+    // batch 0 = initial load as pure inserts; batch 1 = the churn
+    MvStream.foldBatch(
+      SnapshotStore.cdfChanges(empty, v0, "id"), 0L, root, "seg", "bal")
+    MvStream.foldBatch(
+      SnapshotStore.cdfChanges(v0, v1, "id"), 1L, root, "seg", "bal")
+    def view(): Set[(String, Long, Double)] =
+      MvStream.readView(spark, root).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = Set(("a", 1L, 10.0), ("b", 1L, 20.0), ("c", 1L, 40.0))
+    assert(view() == expected)
+    assert(MvStream.appliedBatch(spark, root) == 1L)
+    // the Structured Streaming recovery contract: same id, same data,
+    // delivered again — the non-idempotent fold must detect and skip
+    MvStream.foldBatch(
+      SnapshotStore.cdfChanges(v0, v1, "id"), 1L, root, "seg", "bal")
+    MvStream.foldBatch(
+      SnapshotStore.cdfChanges(empty, v0, "id"), 0L, root, "seg", "bal")
+    assert(view() == expected, "replayed batches must not double-apply")
+    // state history is time-travelable: the view as of batch 0
+    val asOf0 = SnapshotStore.readSnapshot(spark, root, Some(0L))
+    assert(asOf0.agg(sum("n_rows")).head().getLong(0) == 3L)
   }
 
   test("session windows: gaps over 30min split sessions") {
