@@ -336,6 +336,53 @@ object TextAnalysis {
     docs.filter(shiftright(col("doc_id") * 2654435761L, 16) % 100 < pct)
   }
 
+  /** X17 — deterministic training shards: the global-shuffle + shard
+    * step every pretraining corpus pays between curation and
+    * tokenization. Shard assignment derives from the o3/x14
+    * multiplicative mix (high bits of the Knuth product,
+    * engine-portable int64 arithmetic); within-shard order from its
+    * modular sibling (see [[writeShards]]) — reproducible
+    * pseudo-randomness with NO RNG state, no sort of the corpus by a
+    * random() column, and no driver involvement: assignment is a
+    * scan-level projection, so the only
+    * shuffle in the whole job is the one keyed exchange that
+    * co-locates each shard for writing ([[writeShards]]). The gated
+    * result is the per-shard manifest (doc count + token mass — the
+    * balance evidence a shard-writer logs); balance follows from the
+    * mix behaving uniformly over dense key ranges. */
+  def x17TrainingShards(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), nTokens.as("n_tok"),
+        (shiftright(col("doc_id") * 2654435761L, 16) % 32).as("shard"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("bigint").as("sum_tokens"))
+  }
+
+  /** The write side of x17: each shard directory (hive-partitioned
+    * on `shard`) is written whole by a single task (a task may hold
+    * more than one shard under hash collisions — never the reverse),
+    * rows inside ordered by
+    * a SECOND mix — `(key·2654435761) mod 1000000007` — because the
+    * high-bits mix that assigns shards is MONOTONE in the key
+    * (multiplication then shift preserves order), fine for
+    * assignment residues but a no-op as a shuffle; the modular form
+    * wraps every ~2.6 consecutive keys, a genuine portable
+    * pseudo-permutation. Returns the shard count written. */
+  def writeShards(docs: DataFrame, outDir: String,
+      shards: Int = 32): Int = {
+    val assign = shiftright(col("doc_id") * 2654435761L, 16)
+    val mix = (col("doc_id") * 2654435761L) % 1000000007L
+    docs.select(col("doc_id"), col("text"),
+        (assign % shards).as("shard"), mix.as("__order"))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__order"))
+      .drop("__order")
+      .write.partitionBy("shard").parquet(outDir)
+    shards
+  }
+
   /** X15 — repetition / lexical-diversity profile (the Gopher-style
     * quality filters of Rae et al. 2021 §A1.1: repetitious documents
     * are low-quality signal): type-token ratio (distinct/total
@@ -409,6 +456,7 @@ object TextAnalysis {
     "x13_contamination" -> x13Contamination,
     "x14_mixture_sample" -> x14MixtureSample,
     "x15_repetition" -> x15Repetition,
+    "x17_training_shards" -> x17TrainingShards,
     "x1_text_tokens" -> x1TextTokens,
     "x2_text_quality" -> x2TextQuality,
     "x3_text_langid" -> x3TextLangid,
@@ -420,6 +468,12 @@ object TextAnalysis {
     "x11_bm25" -> x11Bm25)
 
   val oracle: Map[String, String] = Map(
+    "x17_training_shards" ->
+      """SELECT (doc_id * 2654435761 >> 16) % 32 AS shard,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(len(string_split(text, ' '))) AS bigint)
+             AS sum_tokens
+         FROM documents GROUP BY 1""",
     "x16_pii_redaction" ->
       s"""WITH planted AS (
            SELECT doc_id,

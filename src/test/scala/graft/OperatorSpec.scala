@@ -186,6 +186,39 @@ class OperatorSpec extends SparkTestBase {
       plan.collect { case s: Sort => s }.isEmpty)
   }
 
+  test("x17 training shards: balanced, complete, deterministically " +
+      "ordered shard files") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfTest)
+    val total = docs.count()
+    // manifest side: every doc in exactly one of 32 shards, balance
+    // within a binomial-plausible band (5000 docs, mean ~156/shard)
+    val manifest = text.TextAnalysis.x17TrainingShards(spark, sfTest)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(manifest.keySet == (0L until 32L).toSet)
+    assert(manifest.values.sum == total)
+    val (mn, mx) = (manifest.values.min, manifest.values.max)
+    assert(mx < 2 * mn, s"shard imbalance: min=$mn max=$mx")
+    // write side: 32 hive partitions, same totals, and within a shard
+    // rows surface in mix order (the deterministic global shuffle)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString + "/corpus"
+    text.TextAnalysis.writeShards(
+      docs.select("doc_id", "text"), out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == total)
+    assert(back.select("shard").distinct().count() == 32)
+    val shard0 = spark.read
+      .parquet(s"$out/shard=7").select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val mixOrder = shard0
+      .sortBy(id => (id * 2654435761L) % 1000000007L)
+    assert(shard0 == mixOrder,
+      "rows within a shard file must be in mix (shuffled) order")
+    assert(shard0 != shard0.sorted,
+      "shard order must not degenerate to key order")
+  }
+
   test("x15 repetition goldens on a planted repetitious doc") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_x15").toString
