@@ -297,11 +297,18 @@ object Similarity {
     val centers = Array.tabulate(math.min(k, n))(i =>
       points((i.toLong * n / math.min(k, n)).toInt).map(_.toDouble))
     var it = 0
+    val assign = new Array[Int](n)
     while (it < iters) {
-      val sums = Array.fill(centers.length, d)(0.0)
-      val counts = new Array[Long](centers.length)
-      var p = 0
-      while (p < n) {
+      // assignment (the O(n·k·d) term, ~all of training cost) is
+      // embarrassingly parallel AND deterministic: each point's best
+      // center is a pure function of (point, centers), written to its
+      // own slot. Accumulation below stays SEQUENTIAL in point order,
+      // so center arithmetic — and every downstream code/probe — is
+      // bit-identical to the single-threaded form. Training was the
+      // measured wall-clock floor of n3/n4/n6 at sf1.0 (the sample
+      // cap makes it constant in corpus size, but a constant worth
+      // 32 cores).
+      java.util.stream.IntStream.range(0, n).parallel().forEach { p =>
         val v = points(p)
         var best = 0; var bestD = Double.MaxValue; var c = 0
         while (c < centers.length) {
@@ -312,6 +319,14 @@ object Similarity {
           if (dist < bestD) { bestD = dist; best = c }
           c += 1
         }
+        assign(p) = best
+      }
+      val sums = Array.fill(centers.length, d)(0.0)
+      val counts = new Array[Long](centers.length)
+      var p = 0
+      while (p < n) {
+        val v = points(p)
+        val best = assign(p)
         var i = 0; while (i < d) { sums(best)(i) += v(i); i += 1 }
         counts(best) += 1
         p += 1
@@ -652,13 +667,26 @@ object Similarity {
       }
     val bcQ = s.sparkContext.broadcast(queryVecs)
     val nProbe = probes
-    val approx = codes.as[(Long, Int, Array[Byte], Double)]
+    // CELL-CLUSTER the codes before the ADC scan: with input-order
+    // partitions every task sees rows of ~every cell, so every task
+    // built every (query, probed-cell) LUT — 32× redundant flops, and
+    // the term that made n6 LUT-bound in the sf1.0 campaign (LUT work
+    // is probes×M×K×subdim ≈ 60× the coarse-routing flops per query).
+    // After the repartition each cell's rows live in exactly one task,
+    // and LUTs build LAZILY on the first row of their cell — total LUT
+    // work drops to queries×probes once, paid for by one shuffle of
+    // the 20 B/row codes (the cheapest relation in the query). Cell
+    // sizes are ~√(2n) (cells ≈ √(n/2)), so hashing 100s of cells
+    // into 32 tasks balances; the result is bit-identical (same LUT
+    // values, computed in one place instead of 32).
+    val approx = codes.repartition(col("cell"))
+      .as[(Long, Int, Array[Byte], Double)]
       .mapPartitions { it =>
         val (cs, bks) = bcModel.value
         val qs = bcQ.value
-        // cell -> [(q_id, q_norm, dot(q, centroid), lut)]
-        val byProbedCell = new java.util.HashMap[Int,
-          scala.collection.mutable.ArrayBuffer[(Long, Double, Double, Array[Double])]]()
+        // cell -> queries probing it (q kept raw; LUT deferred)
+        val probing = new java.util.HashMap[Int,
+          scala.collection.mutable.ArrayBuffer[(Long, Double, Double, Array[Float])]]()
         qs.foreach { case (qid, q, qn) =>
           val sims = Array.tabulate(cs.length) { c =>
             val ct = cs(c)
@@ -670,35 +698,54 @@ object Similarity {
           }
           sims.sortBy { case (sim, _, c) => (-sim, c) }.take(nProbe)
             .foreach { case (_, qdotc, c) =>
-              val cb = bks(c)
-              val lut = new Array[Double](PqM * PqK)
-              var m = 0
-              while (m < PqM) {
-                val centsM = cb(m)
-                var cc = 0
-                while (cc < centsM.length) {
-                  var dot = 0.0; var j = 0
-                  while (j < PqSubDim) {
-                    dot += q(m * PqSubDim + j).toDouble * centsM(cc)(j)
-                    j += 1
-                  }
-                  lut(m * PqK + cc) = dot
-                  cc += 1
-                }
-                m += 1
-              }
-              var buf = byProbedCell.get(c)
+              var buf = probing.get(c)
               if (buf == null) {
                 buf = scala.collection.mutable.ArrayBuffer.empty
-                byProbedCell.put(c, buf)
+                probing.put(c, buf)
               }
-              buf += ((qid, qn, qdotc, lut))
+              buf += ((qid, qn, qdotc, q))
             }
         }
+        // LUTs materialize per cell on first contact, cached for the
+        // rest of the task — cells this task never holds cost nothing
+        val built = new java.util.HashMap[Int,
+          Array[(Long, Double, Double, Array[Double])]]()
+        def lutsFor(cell: Int): Array[(Long, Double, Double, Array[Double])] = {
+          var arr = built.get(cell)
+          if (arr == null) {
+            val buf = probing.get(cell)
+            arr =
+              if (buf == null) Array.empty
+              else {
+                val cb = bks(cell)
+                buf.iterator.map { case (qid, qn, qdotc, q) =>
+                  val lut = new Array[Double](PqM * PqK)
+                  var m = 0
+                  while (m < PqM) {
+                    val centsM = cb(m)
+                    var cc = 0
+                    while (cc < centsM.length) {
+                      var dot = 0.0; var j = 0
+                      while (j < PqSubDim) {
+                        dot += q(m * PqSubDim + j).toDouble * centsM(cc)(j)
+                        j += 1
+                      }
+                      lut(m * PqK + cc) = dot
+                      cc += 1
+                    }
+                    m += 1
+                  }
+                  (qid, qn, qdotc, lut)
+                }.toArray
+              }
+            built.put(cell, arr)
+          }
+          arr
+        }
         it.flatMap { case (vid, cell, code, nv) =>
-          val buf = byProbedCell.get(cell)
-          if (buf == null) Iterator.empty
-          else buf.iterator.filter(_._1 != vid).map {
+          val qsHere = lutsFor(cell)
+          if (qsHere.isEmpty) Iterator.empty
+          else qsHere.iterator.filter(_._1 != vid).map {
             case (qid, qn, qdotc, lut) =>
               var adc = qdotc; var m = 0
               while (m < PqM) { adc += lut(m * PqK + (code(m) & 0xff)); m += 1 }
