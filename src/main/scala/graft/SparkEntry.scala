@@ -5,7 +5,7 @@ import graft.dedup.Dedup
 import graft.ml.Models
 import graft.multimodal.Multimodal
 import graft.ops.{Aggregates, BloomJoin, Joins, Ordering, Relational,
-  Reshape, SkewJoin, SqlSurface, TemporalJoins}
+  Reshape, SkewJoin, Sketches, SqlSurface, TemporalJoins}
 import graft.plans.TopK
 import graft.sim.Similarity
 import graft.sources.{Bucketing, MergeInto, SnapshotStore, ZOrder}
@@ -35,7 +35,7 @@ object SparkEntry {
       Models.queries ++ Multimodal.queries ++ SqlSurface.queries ++
       TopK.queries ++ ZOrder.queries ++ BloomJoin.queries ++
       SkewJoin.queries ++ SequencePacking.queries ++ MergeInto.queries ++
-      Bucketing.queries ++ SnapshotStore.queries
+      Bucketing.queries ++ SnapshotStore.queries ++ Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +47,5 @@ object SparkEntry {
       Models.oracle ++ Multimodal.oracle ++ SqlSurface.oracle ++
       TopK.oracle ++ ZOrder.oracle ++ BloomJoin.oracle ++
       SkewJoin.oracle ++ SequencePacking.oracle ++ MergeInto.oracle ++
-      Bucketing.oracle ++ SnapshotStore.oracle
+      Bucketing.oracle ++ SnapshotStore.oracle ++ Sketches.oracle
 }

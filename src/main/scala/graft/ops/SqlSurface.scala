@@ -123,17 +123,65 @@ object SqlSurface {
     s.sql(snowflakeSql)
   }
 
+  /** Recursive CTE (WITH RECURSIVE, SQL:1999) — a dense month spine
+    * generated by recursion from the fact table's own date bounds,
+    * LEFT-JOINed back so months with no qualifying orders surface as
+    * explicit zero rows (gap-filling sparse facts into a dense time
+    * series — the reporting shape a bare GROUP BY can't produce,
+    * because absent groups don't exist to group on). The selective
+    * filter guarantees at least one empty month at test SF, so the
+    * coalesce path is genuinely exercised.
+    *
+    * Scale note: recursion depth = calendar span in MONTHS (80 here,
+    * identical at every SF), not data volume — the spine is O(1)
+    * work at any corpus size while the fact side underneath stays
+    * one distributed hash agg + pushed-down scan filter. Spark 4
+    * executes the recursion as a UnionLoop; the default
+    * cteRecursionLevelLimit (100) covers the span with room (a
+    * longer calendar would raise the conf, not the plan shape).
+    * Both engines run the SAME text (the SqlSurface contract), so
+    * the recursion semantics — anchor once, step until the
+    * scalar-subquery bound — are pinned cross-engine. */
+  val recursiveSql: String =
+    """WITH RECURSIVE months(m) AS (
+         SELECT date_trunc('month', min(o_orderdate)) FROM orders
+         UNION ALL
+         SELECT m + INTERVAL 1 MONTH FROM months
+         WHERE m < (SELECT date_trunc('month', max(o_orderdate))
+                    FROM orders)
+       )
+       SELECT m AS month,
+              cast(coalesce(f.n_orders, 0) AS bigint) AS n_orders,
+              coalesce(f.revenue, cast(0 AS double)) AS revenue
+       FROM months
+       LEFT JOIN (
+         SELECT date_trunc('month', o_orderdate) AS fm,
+                count(*) AS n_orders,
+                cast(sum(cast(o_totalprice AS decimal(12,2))) AS double)
+                  AS revenue
+         FROM orders
+         WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 350000
+         GROUP BY 1
+       ) f ON m = fm"""
+
+  def q6SqlRecursive(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(recursiveSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_sql_star_join" -> q1SqlStarJoin,
     "q5_sql_snowflake" -> q5SqlSnowflake,
     "q2_sql_exists" -> q2SqlExists,
     "q3_sql_scalar_subquery" -> q3SqlScalarSub,
-    "q4_sql_grouping_sets" -> q4SqlGroupingSets)
+    "q4_sql_grouping_sets" -> q4SqlGroupingSets,
+    "q6_sql_recursive" -> q6SqlRecursive)
 
   val oracle: Map[String, String] = Map(
     "q1_sql_star_join" -> starJoinSql,
     "q5_sql_snowflake" -> snowflakeSql,
     "q2_sql_exists" -> existsSql,
     "q3_sql_scalar_subquery" -> scalarSubSql,
-    "q4_sql_grouping_sets" -> groupingSetsSql)
+    "q4_sql_grouping_sets" -> groupingSetsSql,
+    "q6_sql_recursive" -> recursiveSql)
 }
