@@ -43,7 +43,8 @@ object GraftFunctions {
       NGramGenerator(exprs(0), literalInt(exprs(1)), distinct = true)),
     "distinct_ngram_count" ->
       (exprs => DistinctNgramCount(exprs(0), literalInt(exprs(1)))),
-    "t_test_p" -> (exprs => TTestPValue(exprs(0), exprs(1))))
+    "t_test_p" -> (exprs => TTestPValue(exprs(0), exprs(1))),
+    "chi2_p" -> (exprs => ChiSquarePValue(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>
@@ -67,7 +68,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "ngrams" -> classOf[NGramGenerator].getName,
     "ngrams_distinct" -> classOf[NGramGenerator].getName,
     "distinct_ngram_count" -> classOf[DistinctNgramCount].getName,
-    "t_test_p" -> classOf[TTestPValue].getName)
+    "t_test_p" -> classOf[TTestPValue].getName,
+    "chi2_p" -> classOf[ChiSquarePValue].getName)
 
   override def apply(e: SparkSessionExtensions): Unit =
     GraftFunctions.functions.foreach { case (name, builder) =>

@@ -51,3 +51,43 @@ case class TTestPValue(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): TTestPValue =
     copy(left = newLeft, right = newRight)
 }
+
+/** `chi2_p(x2, df)` — upper-tail chi-square p-value P(X² ≥ x2) as a
+  * native codegen'd expression, the chi-square analog of `t_test_p`
+  * above and the same plumbing: the numeric kernel is
+  * `graft.ml.Stats.chiSquareUpperP` (regularized incomplete gamma,
+  * series + modified-Lentz continued fraction, pinned by StatsSpec
+  * against the integer-df closed forms and erfc), and the generated
+  * Java calls the static forwarder inside WholeStageCodegen — no UDF
+  * bridge.
+  *
+  * NULL semantics: null in → null out (BinaryExpression default).
+  * Domain: df <= 0 is the caller's bug — Stats throws, mirroring
+  * R's chisq.test on a degenerate table. */
+case class ChiSquarePValue(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (DoubleType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (lt, rt) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (double, double), got " +
+          s"(${lt.simpleString}, ${rt.simpleString})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "chi2_p"
+
+  override def nullSafeEval(x2: Any, df: Any): Any =
+    graft.ml.Stats.chiSquareUpperP(
+      x2.asInstanceOf[Double], df.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x2, df) =>
+      s"${ev.value} = graft.ml.Stats.chiSquareUpperP($x2, $df);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ChiSquarePValue =
+    copy(left = newLeft, right = newRight)
+}

@@ -109,4 +109,74 @@ object Stats {
   def corTestP(r: Double, n: Double): Double =
     if (n <= 2.0 || math.abs(r) >= 1.0) 0.0
     else tTwoSidedP(r * math.sqrt((n - 2.0) / (1.0 - r * r)), n - 2.0)
+
+  /** Series expansion of the LOWER regularized incomplete gamma
+    * P(a, x) = γ(a,x)/Γ(a); converges fast for x < a + 1
+    * (A&S §6.5.29). */
+  private def gammaSeriesP(a: Double, x: Double): Double = {
+    var ap = a
+    var sum = 1.0 / a
+    var del = sum
+    var i = 0
+    while (i < 500 && math.abs(del) >= math.abs(sum) * 1e-15) {
+      ap += 1.0
+      del *= x / ap
+      sum += del
+      i += 1
+    }
+    sum * math.exp(-x + a * math.log(x) - lnGamma(a))
+  }
+
+  /** Continued fraction for the UPPER regularized incomplete gamma
+    * Q(a, x) (modified Lentz, same scheme as betaCf above);
+    * converges fast for x ≥ a + 1 (A&S §6.5.31). */
+  private def gammaCfQ(a: Double, x: Double): Double = {
+    val tiny = 1e-300
+    val eps = 1e-15
+    var b = x + 1.0 - a
+    var c = 1.0 / tiny
+    var d = 1.0 / b
+    var h = d
+    var i = 1
+    while (i <= 500) {
+      val an = -i * (i - a)
+      b += 2.0
+      d = an * d + b
+      if (math.abs(d) < tiny) d = tiny
+      c = b + an / c
+      if (math.abs(c) < tiny) c = tiny
+      d = 1.0 / d
+      val del = d * c
+      h *= del
+      if (math.abs(del - 1.0) < eps) {
+        return math.exp(-x + a * math.log(x) - lnGamma(a)) * h
+      }
+      i += 1
+    }
+    math.exp(-x + a * math.log(x) - lnGamma(a)) * h
+  }
+
+  /** Upper regularized incomplete gamma Q(a, x) = Γ(a,x)/Γ(a),
+    * a > 0, x ≥ 0. Branches at x = a + 1 so each expansion runs in
+    * its fast-converging region; StatsSpec pins the closed forms
+    * Q(m, x) = e^{-x}·Σ_{k<m} x^k/k! (integer a, both branches) and
+    * Q(1/2, x) = erfc(√x). */
+  def regGammaQ(a: Double, x: Double): Double = {
+    require(a > 0, s"gamma shape must be positive: $a")
+    if (x.isNaN) Double.NaN
+    else if (x <= 0.0) 1.0
+    else if (x < a + 1.0) 1.0 - gammaSeriesP(a, x)
+    else gammaCfQ(a, x)
+  }
+
+  /** Upper-tail chi-square p-value P(X² ≥ x) with `df` degrees of
+    * freedom — what R's `chisq.test` reports for the independence
+    * test (reference's `table()` contingency shape, m9_chi_square):
+    * the chi-square CDF is the special case Q(df/2, x/2). */
+  def chiSquareUpperP(x: Double, df: Double): Double = {
+    require(df > 0, s"degrees of freedom must be positive: $df")
+    if (x.isNaN) Double.NaN
+    else if (x.isInfinite) 0.0
+    else regGammaQ(df / 2.0, x / 2.0)
+  }
 }

@@ -323,6 +323,43 @@ object Aggregates {
         .as("jb"))
   }
 
+  /** M9 — chi-square test of independence over the g6 contingency
+    * shape (R:232–238 `table()` feeds R's `chisq.test`): observed
+    * cell counts vs the independence expectation e = rowTot·colTot/n,
+    * X² = Σ (o−e)²/e over the DENSE category grid (a zero-observed
+    * cell still contributes e — the groupBy alone can't produce it,
+    * so the margins cross-join rebuilds the grid and the left join
+    * fills o=0), df = (nrows−1)·(ncols−1).
+    *
+    * Scale shape: one hash agg over the fact table collapses 100 TB
+    * to one row per observed category pair; everything after —
+    * margins, the nr×nc grid, the X² fold — is arithmetic on that
+    * tiny summary (category counts, not data volume), and the margin
+    * "joins" are broadcasts of single-digit-row inputs. The upper-tail
+    * p-value needs the incomplete gamma, which neither engine's SQL
+    * has — the statistic + df are hash-gated here, and the codegen'd
+    * `chi2_p` kernel (StatKernels.scala, Stats.chiSquareUpperP) is
+    * pinned by StatsSpec against the integer-df closed forms. */
+  def m9ChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.orders(s, dir)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).cast("double").as("o"))
+    val rowTot = obs.groupBy("o_orderstatus").agg(sum("o").as("rt"))
+    val colTot = obs.groupBy("o_orderpriority").agg(sum("o").as("ct"))
+    val n = obs.agg(sum("o").as("n"))
+    val cells = rowTot.crossJoin(colTot).crossJoin(n)
+      .join(obs, Seq("o_orderstatus", "o_orderpriority"), "left")
+      .select(coalesce(col("o"), lit(0.0)).as("o"),
+        (col("rt") * col("ct") / col("n")).as("e"))
+    val stat = cells.agg(
+      Det.r4(sum((col("o") - col("e")) * (col("o") - col("e"))
+        / col("e"))).as("chi2"))
+    val dof = obs.agg(
+      ((countDistinct("o_orderstatus") - 1)
+        * (countDistinct("o_orderpriority") - 1)).as("df"))
+    stat.crossJoin(dof)
+  }
+
   /** M9 — two-sample Welch t statistic from group aggregates
     * (R:759–772 `t.test`): t = (m₁−m₂)/√(v₁/n₁ + v₂/n₂) comparing
     * order totals between 'F' and 'O' status groups. */
@@ -603,6 +640,7 @@ object Aggregates {
     "g12_histogram" -> g12Histogram,
     "m9_durbin_watson" -> m9DurbinWatson,
     "m9_jarque_bera" -> m9JarqueBera,
+    "m9_chi_square" -> m9ChiSquare,
     "m9_t_test" -> m9TTest,
     "m9_vif" -> m9Vif,
     "m9_breusch_pagan" -> m9BreuschPagan,
@@ -667,6 +705,23 @@ object Aggregates {
             + ((m4 / (m2 * m2)) - 3.0) * ((m4 / (m2 * m2)) - 3.0)
               / 4.0)""", 4)} AS jb
          FROM s""",
+    "m9_chi_square" ->
+      s"""WITH obs AS (
+           SELECT o_orderstatus AS st, o_orderpriority AS pr,
+                  cast(count(*) AS double) AS o
+           FROM orders GROUP BY 1, 2),
+         rt AS (SELECT st, sum(o) AS rt FROM obs GROUP BY 1),
+         ct AS (SELECT pr, sum(o) AS ct FROM obs GROUP BY 1),
+         n AS (SELECT sum(o) AS n FROM obs),
+         cells AS (
+           SELECT coalesce(obs.o, 0.0) AS o, rt.rt * ct.ct / n.n AS e
+           FROM rt CROSS JOIN ct CROSS JOIN n
+           LEFT JOIN obs ON obs.st = rt.st AND obs.pr = ct.pr)
+         SELECT
+           (SELECT ${Det.sql("sum((o - e) * (o - e) / e)", 4)}
+            FROM cells) AS chi2,
+           (SELECT (count(DISTINCT st) - 1) * (count(DISTINCT pr) - 1)
+            FROM obs) AS df""",
     "m9_t_test" ->
       s"""WITH f AS (SELECT avg(o_totalprice) AS m,
              var_samp(o_totalprice) AS v,

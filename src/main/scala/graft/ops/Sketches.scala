@@ -63,8 +63,62 @@ object Sketches {
       .unionByName(global)
   }
 
+  /** Exploded whitespace tokens with their shard — the same token
+    * stream x7/x9 count, so the sketch estimates are comparable to
+    * exact counts. */
+  private def shardedTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(pmod(xxhash64(col("doc_id")), lit(Shards))
+        .cast("int").as("shard"),
+        explode(split(col("text"), " ")).as("token"))
+
+  /** CMS dials: ε=0.001 → over-count ≤ ε·N with prob 1−δ (δ=0.01);
+    * ~110 KiB per sketch regardless of input size. Seed fixed → the
+    * whole pipeline is deterministic (CMS hashing has no runtime
+    * randomness), so SketchesSpec pins merge EQUALITY like x18. */
+  private val CmsAgg = "count_min_sketch(token, 0.001d, 0.99d, 42)"
+
+  /** x19 — mergeable FREQUENCY sketch rollup, the point-query
+    * companion to x18's cardinality rollup: each ingest shard folds
+    * its token stream into ONE fixed-size count-min sketch (Spark's
+    * built-in `count_min_sketch` aggregate — partial aggregation
+    * merges sketches map-side, so the shuffle moves 16 sketches, not
+    * tokens), the shard sketches are merged by cell-wise counter
+    * addition — commutative and associative, so shard rollup ==
+    * one-shot sketch EXACTLY — and any later "how often does token t
+    * occur across shards X..Y" is answered from the merged 110 KiB
+    * summary with no corpus rescan, est ∈ [exact, exact + ε·N].
+    *
+    * The merge itself: Spark SQL has no cms-merge aggregate (unlike
+    * `hll_union_agg`), so the 16 shard sketches — fixed-size rows
+    * whose count does NOT grow with the corpus — are folded
+    * driver-side via `CountMinSketch.mergeInPlace`, the same bounded-
+    * collect pattern as n4's codebook fit. Probes are x7's exact
+    * top-20 tokens, so the output carries its own ground truth:
+    * (token, exact_count, est_count). Rows-only by contract (sketch
+    * internals are engine-specific); SketchesSpec pins merge equality
+    * and the one-sided error envelope. */
+  def x19CmsRollup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val toks = shardedTokens(s, dir)
+    val sketches = toks.groupBy("shard").agg(expr(CmsAgg).as("sk"))
+      .select("sk").collect()
+      .map(r => CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
+    val merged = sketches.reduce { (a, b) => a.mergeInPlace(b); a }
+    val probes = toks.groupBy("token")
+      .agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("token")).limit(20)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        merged.estimateCount(r.getString(0))))
+    s.createDataFrame(probes.toSeq)
+      .toDF("token", "exact_count", "est_count")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x18_sketch_rollup" -> x18SketchRollup)
+    "x18_sketch_rollup" -> x18SketchRollup,
+    "x19_cms_rollup" -> x19CmsRollup)
 
   /** Estimates are engine-specific — rows-only by contract. */
   val oracle: Map[String, String] = Map.empty

@@ -39,6 +39,38 @@ class SketchesSpec extends SparkTestBase {
     assert(relErr < 0.05, s"est $est vs exact $exact: relErr $relErr")
   }
 
+  test("x19: merged shard CMS answers equal the one-shot sketch; " +
+      "estimates sit in the one-sided CMS envelope") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val dir = sfTest
+    val out = Sketches.x19CmsRollup(spark, dir).collect()
+    assert(out.length === 20)
+    // one sketch over the whole corpus, no sharding — counter
+    // addition is commutative+associative, so the rollup must agree
+    // exactly on every probe (and on the total stream length)
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val oneShotBytes = toks
+      .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val oneShot = CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(oneShotBytes))
+    val n = toks.count()
+    assert(oneShot.totalCount() === n)
+    val maxOver = math.ceil(0.001 * n).toLong
+    out.foreach { r =>
+      val (token, exact, est) =
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(est === oneShot.estimateCount(token),
+        s"rollup != one-shot for '$token'")
+      // CMS never undercounts; over-count bounded by ε·N (δ=0.01
+      // per probe — deterministic here: fixed corpus, fixed seed)
+      assert(est >= exact, s"undercount for '$token': $est < $exact")
+      assert(est - exact <= maxOver,
+        s"'$token' over-counts by ${est - exact} > εN=$maxOver")
+    }
+  }
+
   test("x18: shard doc counts partition the corpus; shape is stable") {
     val dir = sfTest
     val rows = Sketches.x18SketchRollup(spark, dir)

@@ -115,4 +115,73 @@ class StatsSpec extends SparkTestBase {
       .selectExpr("t_test_p(t, dof)").collect()
     assert(n.head.isNullAt(0))
   }
+
+  test("chi2 p matches the even-df closed forms on both branches") {
+    // df = 2m → Q(m, y) = e^{-y}·Σ_{k<m} y^k/k!, y = x/2; the x
+    // values straddle the series/continued-fraction branch at
+    // y = a + 1, so both expansions are pinned
+    for (x <- Seq(0.5, 2.0, 3.9, 4.1, 10.0, 40.0)) {
+      val y = x / 2.0
+      assert(rel(Stats.chiSquareUpperP(x, 2.0), math.exp(-y)) < 1e-12,
+        s"df=2 x=$x")
+      assert(rel(Stats.chiSquareUpperP(x, 4.0),
+        math.exp(-y) * (1.0 + y)) < 1e-12, s"df=4 x=$x")
+      assert(rel(Stats.chiSquareUpperP(x, 8.0),
+        math.exp(-y) * (1.0 + y + y * y / 2.0 + y * y * y / 6.0))
+        < 1e-12, s"df=8 x=$x")
+    }
+  }
+
+  test("chi2 p matches erfc at df=1 and the 95% critical value") {
+    // Q(1/2, y) = erfc(√y) — references from math.erfc
+    val erfcPins = Seq(1.0 -> 0.31731050786291404,
+      4.0 -> 0.045500263896358396, 9.0 -> 0.0026997960632601913)
+    for ((x, exact) <- erfcPins)
+      assert(rel(Stats.chiSquareUpperP(x, 1.0), exact) < 1e-12, s"x=$x")
+    // the textbook 95% critical value of χ²(1)
+    assert(rel(Stats.chiSquareUpperP(3.841458820694124, 1.0), 0.05)
+      < 1e-9)
+    // edges + monotonicity
+    assert(Stats.chiSquareUpperP(0.0, 3.0) == 1.0)
+    assert(Stats.chiSquareUpperP(Double.PositiveInfinity, 3.0) == 0.0)
+    val ps = Seq(0.1, 1.0, 5.0, 20.0, 100.0)
+      .map(Stats.chiSquareUpperP(_, 5.0))
+    assert(ps == ps.sorted.reverse && ps.forall(p => p > 0 && p < 1))
+  }
+
+  test("chi2_p expression == Stats kernel, inside WholeStageCodegen") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    functions.GraftFunctions.register(spark)
+    val df = spark.range(8)
+      .select((col("id").cast("double") * 2.5 + 0.25).as("x2"),
+        (col("id").cast("double") + 1.0).as("dof"))
+      .select(col("x2"), col("dof"), expr("chi2_p(x2, dof)").as("p"))
+    df.collect().foreach { r =>
+      val expected = ml.Stats.chiSquareUpperP(r.getDouble(0), r.getDouble(1))
+      assert(r.getDouble(2) == expected,
+        s"x2=${r.getDouble(0)} df=${r.getDouble(1)}")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") || plan.contains("*(1) LocalTableScan")
+      || plan.contains("WholeStageCodegen"),
+      s"expected codegen'd plan:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"UDF bridge in plan:\n$plan")
+    val n = Seq((Some(1.0), Option.empty[Double])).toDF("x2", "dof")
+      .selectExpr("chi2_p(x2, dof)").collect()
+    assert(n.head.isNullAt(0))
+  }
+
+  test("m9 chi-square query: statistic and df are coherent") {
+    val out = ops.Aggregates.m9ChiSquare(spark, sfTest).collect()
+    assert(out.length == 1)
+    val chi2 = out.head.getAs[Double]("chi2")
+    val dof = out.head.getAs[Long]("df")
+    // orders has 3 statuses × 5 priorities at every SF
+    assert(dof == 8L, s"df=$dof")
+    assert(chi2 >= 0.0 && chi2.isFinite, s"chi2=$chi2")
+    // the p the kernel would report is a valid probability
+    val p = ml.Stats.chiSquareUpperP(chi2, dof.toDouble)
+    assert(p >= 0.0 && p <= 1.0)
+  }
 }
