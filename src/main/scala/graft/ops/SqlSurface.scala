@@ -169,13 +169,41 @@ object SqlSurface {
     s.sql(recursiveSql)
   }
 
+  /** LATERAL correlated derived table (SQL:1999) — a per-customer
+    * multi-column summary computed by a subquery that references the
+    * outer row, the "for each row, run this query" surface. A naive
+    * engine executes the inner query once per outer row (O(n) scans
+    * of orders); Catalyst decorrelates it into ONE aggregate over
+    * orders joined back on the correlation key — the same
+    * rewrite-to-join discipline q2/q3 pin for EXISTS and scalar
+    * subqueries, extended to whole derived tables. The aggregate
+    * lateral always yields exactly one row (NULL max / 0 count for
+    * customers with no qualifying orders), so the join is 1:1 and
+    * row counts are outer-driven. Same text in both engines; max()
+    * selects an existing parquet value (no float arithmetic), so the
+    * result hash-gates without Det rounding. */
+  val lateralSql: String =
+    """SELECT c.c_custkey, c.c_mktsegment, t.max_price, t.n_orders
+       FROM customer c, LATERAL (
+         SELECT max(o_totalprice) AS max_price,
+                count(*) AS n_orders
+         FROM orders WHERE o_custkey = c.c_custkey
+       ) t
+       WHERE c.c_custkey <= 100"""
+
+  def q7SqlLateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(s, dir)
+    s.sql(lateralSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_sql_star_join" -> q1SqlStarJoin,
     "q5_sql_snowflake" -> q5SqlSnowflake,
     "q2_sql_exists" -> q2SqlExists,
     "q3_sql_scalar_subquery" -> q3SqlScalarSub,
     "q4_sql_grouping_sets" -> q4SqlGroupingSets,
-    "q6_sql_recursive" -> q6SqlRecursive)
+    "q6_sql_recursive" -> q6SqlRecursive,
+    "q7_sql_lateral" -> q7SqlLateral)
 
   val oracle: Map[String, String] = Map(
     "q1_sql_star_join" -> starJoinSql,
@@ -183,5 +211,6 @@ object SqlSurface {
     "q2_sql_exists" -> existsSql,
     "q3_sql_scalar_subquery" -> scalarSubSql,
     "q4_sql_grouping_sets" -> groupingSetsSql,
-    "q6_sql_recursive" -> recursiveSql)
+    "q6_sql_recursive" -> recursiveSql,
+    "q7_sql_lateral" -> lateralSql)
 }

@@ -34,6 +34,25 @@ class SqlSurfaceSpec extends SparkTestBase {
     assert(df.count() > 0)
   }
 
+  test("LATERAL derived table decorrelates to one aggregate + join") {
+    val df = SqlSurface.q7SqlLateral(spark, sfSmoke)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // DecorrelateInnerQuery must rewrite the per-row lateral into a
+    // single grouped aggregate over orders joined on the correlation
+    // key — at scale the naive plan re-scans orders once per customer
+    assert(plan.contains("Join"), s"expected a join:\n$plan")
+    assert(!plan.toLowerCase.contains("lateral"),
+      s"lateral survived optimization:\n$plan")
+    // orders is aggregated ONCE, grouped by the correlation key (the
+    // second Aggregate in the rewrite is the tiny outer-key domain)
+    assert(plan.contains("Aggregate [o_custkey"),
+      s"expected one grouped aggregate over orders:\n$plan")
+    // aggregate lateral is 1:1 — row count is outer-driven
+    val outer = Tables.customer(spark, sfSmoke)
+      .filter("c_custkey <= 100").count()
+    assert(df.count() == outer)
+  }
+
   test("w3 evaluates a RANGE frame with one keyed sort") {
     val df = Aggregates.w3RangeWindow(spark, sfSmoke)
     val plan = df.queryExecution.executedPlan.toString
