@@ -450,7 +450,51 @@ object TextAnalysis {
         PhonePat, "<PHONE>").as("clean_text"))
   }
 
+  /** X20 — inverted-index build: the term → posting-list
+    * materialization under every text-retrieval system (x11 scores
+    * one fixed query; this persists the structure that answers ANY
+    * query without rescanning the corpus). Two branches off the same
+    * (token, doc_id, tf) hash agg:
+    *
+    *  - `df_docs` — full document frequency per token, a plain count
+    *    over postings (one row per token·partition crosses the
+    *    shuffle);
+    *  - `postings_head` — the first `PostingCap` postings by doc_id,
+    *    capped BEFORE any per-token state accumulates via the o4
+    *    TopKPerKey operator (bounded heaps, ≤ cap·partitions rows
+    *    cross the exchange). The naive collect_list-then-slice holds
+    *    a stop-word's ENTIRE posting list in one aggregation buffer —
+    *    billions of entries at 100 TB; the heap path is why this
+    *    scales. Real systems page postings into fixed blocks; the
+    *    head block is representative and keeps the gate exact.
+    *
+    * Postings serialize as zero-padded `doc_id:tf` strings (sorted
+    * lexicographic == sorted numeric), so the result hash-gates
+    * cross-engine; the oracle's window-rank SQL is the same rewrite
+    * RewriteRankFilterToTopK targets. Rare-token tail (df < 5) is
+    * dropped the way a real index drops hapax terms. */
+  def x20InvertedIndex(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+    val dfDocs = tf.groupBy("token")
+      .agg(count(lit(1)).cast("bigint").as("df_docs"))
+      .filter(col("df_docs") >= 5)
+    val head = graft.plans.TopK.topKPerKey(tf,
+        Seq(col("token")), Seq(col("doc_id").asc), PostingCap)
+      .select(col("token"),
+        concat(lpad(col("doc_id").cast("string"), 8, "0"),
+          lit(":"), col("tf").cast("string")).as("posting"))
+      .groupBy("token")
+      .agg(array_join(array_sort(collect_list(col("posting"))), " ")
+        .as("postings_head"))
+    dfDocs.join(head, Seq("token"))
+  }
+
+  private val PostingCap = 100
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x20_inverted_index" -> x20InvertedIndex,
     "x16_pii_redaction" -> x16PiiRedaction,
     "x12_unigram_nll" -> x12UnigramNll,
     "x13_contamination" -> x13Contamination,
@@ -468,6 +512,29 @@ object TextAnalysis {
     "x11_bm25" -> x11Bm25)
 
   val oracle: Map[String, String] = Map(
+    "x20_inverted_index" ->
+      s"""WITH tf AS (
+           SELECT token, doc_id, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                 FROM documents)
+           GROUP BY 1, 2),
+         df AS (
+           SELECT token, cast(count(*) AS bigint) AS df_docs
+           FROM tf GROUP BY 1 HAVING count(*) >= 5),
+         head AS (
+           SELECT token,
+             array_to_string(list_sort(list(posting)), ' ')
+               AS postings_head
+           FROM (SELECT token,
+                   lpad(cast(doc_id AS varchar), 8, '0') || ':'
+                     || cast(tf AS varchar) AS posting,
+                   row_number() OVER (PARTITION BY token
+                     ORDER BY doc_id) AS rn
+                 FROM tf)
+           WHERE rn <= $PostingCap
+           GROUP BY 1)
+         SELECT token, df_docs, postings_head
+         FROM df JOIN head USING (token)""",
     "x17_training_shards" ->
       """SELECT (doc_id * 2654435761 >> 16) % 32 AS shard,
            cast(count(*) AS bigint) AS n_docs,

@@ -234,6 +234,46 @@ class OperatorSpec extends SparkTestBase {
     assert(out(2L) == ((2L, 1.0, 0.0))) // too short for 3-grams
   }
 
+  test("x20 inverted index: heap-capped postings, full df, plan has " +
+      "TopKPerKey and no per-token Window sort") {
+    val dir = sfTest
+    val out = text.TextAnalysis.x20InvertedIndex(spark, dir)
+    // the cap runs through the custom bounded-heap operator, not a
+    // window rank — a per-token Window would sort every stop-word's
+    // full posting list at scale
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"),
+      s"expected the bounded-heap operator:\n$plan")
+    assert(!plan.contains("Window"), s"window rank in plan:\n$plan")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val byToken = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getString(2).split(" ").toSeq)).toMap
+    byToken.foreach { case (tok, (df, postings)) =>
+      assert(df >= 5, s"'$tok' df=$df below tail cutoff")
+      assert(postings.length <= 100 && postings.length > 0)
+      // head block is the FIRST postings by doc_id: if the list is
+      // uncapped it must carry exactly df entries
+      if (df <= 100) assert(postings.length == df,
+        s"'$tok' df=$df but ${postings.length} postings")
+      assert(postings == postings.sorted, s"'$tok' postings unsorted")
+    }
+    // retrieval check: AND-intersecting two uncapped posting lists
+    // equals the direct corpus scan for docs containing both tokens
+    val both = byToken.collect {
+      case (tok, (df, ps)) if df <= 100 => tok -> ps.map(_.split(":")(0).toLong).toSet
+    }
+    if (both.size >= 2) {
+      val Seq((t1, d1), (t2, d2)) = both.toSeq.sortBy(_._1).take(2)
+      val expect = Tables.documents(spark, dir)
+        .filter(array_contains(split(col("text"), " "), t1) &&
+          array_contains(split(col("text"), " "), t2))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert((d1 intersect d2) == expect,
+        s"index lookup for '$t1' AND '$t2' != scan")
+    }
+  }
+
   test("j8 salted-join plan: small side replicated, join key salted") {
     val df = ops.SkewJoin.j8SkewedSaltedJoin(spark, sfTest)
     val plan = df.queryExecution.optimizedPlan
