@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.ml.Models
 import graft.multimodal.Multimodal
-import graft.ops.{Aggregates, BloomJoin, Joins, Ordering, Relational,
-  Reshape, SkewJoin, Sketches, SqlSurface, TemporalJoins}
+import graft.ops.{Aggregates, BloomJoin, Expectations, Joins, Ordering,
+  Relational, Reshape, SkewJoin, Sketches, SqlSurface, TemporalJoins}
 import graft.plans.TopK
 import graft.sim.Similarity
 import graft.sources.{Bucketing, MergeInto, SnapshotStore, ZOrder}
@@ -35,7 +35,8 @@ object SparkEntry {
       Models.queries ++ Multimodal.queries ++ SqlSurface.queries ++
       TopK.queries ++ ZOrder.queries ++ BloomJoin.queries ++
       SkewJoin.queries ++ SequencePacking.queries ++ MergeInto.queries ++
-      Bucketing.queries ++ SnapshotStore.queries ++ Sketches.queries
+      Bucketing.queries ++ SnapshotStore.queries ++ Sketches.queries ++
+      Expectations.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -47,5 +48,6 @@ object SparkEntry {
       Models.oracle ++ Multimodal.oracle ++ SqlSurface.oracle ++
       TopK.oracle ++ ZOrder.oracle ++ BloomJoin.oracle ++
       SkewJoin.oracle ++ SequencePacking.oracle ++ MergeInto.oracle ++
-      Bucketing.oracle ++ SnapshotStore.oracle ++ Sketches.oracle
+      Bucketing.oracle ++ SnapshotStore.oracle ++ Sketches.oracle ++
+      Expectations.oracle
 }

@@ -493,8 +493,61 @@ object TextAnalysis {
 
   private val PostingCap = 100
 
+  /** X21 — index-SERVE BM25: the query-time half of x20's build.
+    * x11 scores a query by scanning every document (per-doc tf
+    * columns over the whole corpus — right when scoring is a one-off
+    * batch job); this computes the IDENTICAL ranking the way a
+    * retrieval system serves it, from index-shaped structures only:
+    *
+    *  - posting lists restricted to the query terms — the `isin`
+    *    filter runs before the (token, doc) aggregation, so only
+    *    query-term postings ever enter a shuffle (at 100 TB: three
+    *    posting lists, not the corpus);
+    *  - term document frequencies off those postings;
+    *  - the forward index (doc_id → length) and corpus stats
+    *    (n_docs, avgdl), broadcast where single-row.
+    *
+    * Candidate docs = union of the query's posting lists (a doc with
+    * no query term scores 0 and cannot enter a positive top-k, so
+    * skipping it is exact — OperatorSpec asserts bit-equality of the
+    * top-20 against x11). Here the "index" is recomputed from the
+    * corpus because the gate is stateless; in production both sides
+    * are the PERSISTED x20/x18-style artifacts and the corpus is
+    * never rescanned. Same constants, literal-for-literal, as x11
+    * (k1=1.2, b=0.75, pre-folded 2.2/0.25). */
+  def x21IndexRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("scan", "window", "join")
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens).as("token"))
+    val fwd = toks.groupBy("doc_id")
+      .agg(count(lit(1)).cast("double").as("dl"))
+    val stats = fwd.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg("dl").as("avgdl"))
+    val postings = toks.filter(col("token").isin(terms: _*))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfs = postings.groupBy("token")
+      .agg(count(lit(1)).cast("double").as("df"))
+    val termScore =
+      log((col("n_docs") - col("df") + lit(0.5))
+        / (col("df") + lit(0.5)) + lit(1.0)) *
+      (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    postings
+      .join(broadcast(dfs), "token")
+      .join(fwd, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), termScore.as("s"))
+      .groupBy("doc_id").agg(sum(col("s")).as("raw"))
+      .select(col("doc_id"), Det.r6(col("raw")).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x20_inverted_index" -> x20InvertedIndex,
+    "x21_index_retrieval" -> x21IndexRetrieval,
     "x16_pii_redaction" -> x16PiiRedaction,
     "x12_unigram_nll" -> x12UnigramNll,
     "x13_contamination" -> x13Contamination,
@@ -512,6 +565,29 @@ object TextAnalysis {
     "x11_bm25" -> x11Bm25)
 
   val oracle: Map[String, String] = Map(
+    "x21_index_retrieval" ->
+      s"""WITH tok AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         fwd AS (SELECT doc_id, cast(count(*) AS double) AS dl
+                 FROM tok GROUP BY 1),
+         stats AS (SELECT cast(count(*) AS double) AS n_docs,
+                          avg(dl) AS avgdl FROM fwd),
+         p AS (SELECT token, doc_id, cast(count(*) AS double) AS tf
+               FROM tok WHERE token IN ('scan', 'window', 'join')
+               GROUP BY 1, 2),
+         dfs AS (SELECT token, cast(count(*) AS double) AS df
+                 FROM p GROUP BY 1),
+         scored AS (
+           SELECT p.doc_id,
+             sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * (tf * 2.2)
+                 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS raw
+           FROM p JOIN dfs USING (token) JOIN fwd USING (doc_id)
+           CROSS JOIN stats
+           GROUP BY 1)
+         SELECT doc_id, ${Det.sql("raw", 6)} AS bm25
+         FROM scored ORDER BY bm25 DESC, doc_id LIMIT 20""",
     "x20_inverted_index" ->
       s"""WITH tf AS (
            SELECT token, doc_id, count(*) AS tf

@@ -274,6 +274,52 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("s16 expectations: clean/quarantine partition the input; " +
+      "failure labels and summary counts agree") {
+    import ops.Expectations
+    val dir = sfTest
+    val df = Expectations.planted(spark, dir)
+    val es = Expectations.lineitemExpectations
+    val total = df.count()
+    val clean = Expectations.clean(df, es)
+    val quar = Expectations.quarantine(df, es).collect()
+    // exact two-way partition — no row lost, none double-counted
+    assert(clean.count() + quar.length == total)
+    // every quarantined row names at least one failed expectation,
+    // and the names re-verify against the row's own values
+    assert(quar.nonEmpty)
+    quar.foreach { r =>
+      val failed = r.getAs[collection.Seq[String]]("failed_expectations")
+      assert(failed.nonEmpty)
+      if (failed.contains("quantity_range"))
+        assert(r.getAs[Double]("l_quantity") <= 0 ||
+          r.getAs[Double]("l_quantity") > 50)
+      if (failed.contains("returnflag_present"))
+        assert(r.isNullAt(r.fieldIndex("l_returnflag")))
+    }
+    // summary counts match the materialized split
+    val sm = Expectations.s16Expectations(spark, dir).head()
+    assert(sm.getAs[Long]("n_rows") == total)
+    assert(sm.getAs[Long]("n_quarantined") == quar.length)
+    val nNullFlag = quar.count(
+      _.getAs[collection.Seq[String]]("failed_expectations")
+        .contains("returnflag_present"))
+    assert(sm.getAs[Long]("n_fail_returnflag_present") == nNullFlag)
+  }
+
+  test("x21 index-serve BM25 == x11 scan-time BM25, top-20 bit-equal") {
+    val dir = sfTest
+    val scan = text.TextAnalysis.x11Bm25(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val serve = text.TextAnalysis.x21IndexRetrieval(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // same ranking, same rounded scores: skipping zero-score docs
+    // and summing per-term rows instead of a per-doc column fold
+    // must not change the result
+    assert(serve.toSeq == scan.toSeq,
+      s"serve=${serve.toSeq}\nscan=${scan.toSeq}")
+  }
+
   test("j8 salted-join plan: small side replicated, join key salted") {
     val df = ops.SkewJoin.j8SkewedSaltedJoin(spark, sfTest)
     val plan = df.queryExecution.optimizedPlan
