@@ -570,6 +570,43 @@ object Aggregates {
           .cast("double").as("spend_7d"))
   }
 
+  /** W4 — per-key resample + forward fill (gap-fill): irregular
+    * per-user events become a DENSE hourly series, missing hours
+    * carrying the last observed hourly mean — the time-series
+    * regularization every sensor/metrics training pipeline runs
+    * before sequence modeling (q6's month spine gap-fills a GLOBAL
+    * aggregate; this is the per-KEY form with carry-forward instead
+    * of zero-fill).
+    *
+    * Shape: one hash agg to hourly means, a generated hour spine
+    * (O(calendar), data-size-independent) cross-joined with the
+    * distinct-user dim, a left join back, then ONE window pass —
+    * `last(v, ignoreNulls)` over a ROWS frame — to propagate values
+    * across gaps. Partitioned by user_id (high-cardinality, the w2b
+    * discipline), so the sort parallelizes with the user count; the
+    * spine join is a broadcast (hours are O(1000) per year). Hours
+    * before a user's first observation stay NULL in both engines —
+    * carry-forward has nothing to carry. Epoch-micros output per the
+    * events-family header. */
+  def w4GapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
+        col("value"))
+    val obs = ev.groupBy("user_id", "hr")
+      .agg(Det.r4(avg("value")).as("v"))
+    val spine = ev.agg(min("hr").as("h0"), max("hr").as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("INTERVAL 1 HOUR"))).as("hr"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("hr")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ev.select("user_id").distinct()
+      .crossJoin(broadcast(spine))
+      .join(obs, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), unix_micros(col("hr")).as("hr_us"),
+        last(col("v"), ignoreNulls = true).over(w).as("value_filled"))
+  }
+
   /** G16 — exact weighted median per group via the custom typed
     * Aggregator (graft.functions.WeightedMedian, SURVEY §2.10's
     * declared UDAF extension): revenue-weighted... here, the
@@ -652,6 +689,7 @@ object Aggregates {
     "w2_window_funcs" -> w2WindowFuncs,
     "w2b_window_highcard" -> w2bWindowHighCard,
     "w3_range_window" -> w3RangeWindow,
+    "w4_gap_fill" -> w4GapFill,
     "g16_weighted_median" -> g16WeightedMedian,
     "g1_agg_sum" -> g1AggSum,
     "g2_group_count" -> g2GroupCount,
@@ -982,6 +1020,26 @@ object Aggregates {
                       ORDER BY datediff('day', DATE '1992-01-01',
                                         cast(o_orderdate AS date))
                       RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+    "w4_gap_fill" ->
+      s"""WITH ev AS (
+           SELECT user_id, date_trunc('hour', ts) AS hr, value
+           FROM events),
+         obs AS (SELECT user_id, hr,
+                   ${Det.sql("avg(value)", 4)} AS v
+                 FROM ev GROUP BY 1, 2),
+         bounds AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM ev),
+         spine AS (SELECT unnest(generate_series(h0, h1,
+                     INTERVAL 1 HOUR)) AS hr FROM bounds),
+         grid AS (SELECT user_id, hr
+                  FROM (SELECT DISTINCT user_id FROM ev)
+                  CROSS JOIN spine)
+         SELECT g.user_id, epoch_us(g.hr) AS hr_us,
+           last_value(o.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS value_filled
+         FROM grid g
+         LEFT JOIN obs o ON g.user_id = o.user_id AND g.hr = o.hr""",
     "g17_grouped_quantiles" ->
       s"""SELECT o_orderpriority,
          ${Det.sql("quantile_cont(o_totalprice, 0.25)", 2)} AS p25,

@@ -274,6 +274,30 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("w4 gap-fill: dense per-user hourly grid, carry-forward only " +
+      "after first observation") {
+    val dir = sfSmoke
+    val out = ops.Aggregates.w4GapFill(spark, dir).collect()
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+    val users = ev.select("user_id").distinct().count()
+    val hours = ev.agg((((unix_micros(max(col("hr"))) -
+      unix_micros(min(col("hr")))) / 3600000000L) + 1L).cast("long"))
+      .head().getLong(0)
+    assert(out.length == users * hours,
+      s"${out.length} != $users users x $hours hours")
+    // per user: null prefix (nothing to carry), then values persist
+    // across gaps — once filled, never null again
+    out.groupBy(_.getLong(0)).foreach { case (u, rows) =>
+      val vals = rows.sortBy(_.getLong(1)).map(r =>
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+      val firstObs = vals.indexWhere(_.isDefined)
+      if (firstObs >= 0)
+        assert(vals.drop(firstObs).forall(_.isDefined),
+          s"user $u: null after first observation")
+    }
+  }
+
   test("s16 expectations: clean/quarantine partition the input; " +
       "failure labels and summary counts agree") {
     import ops.Expectations
