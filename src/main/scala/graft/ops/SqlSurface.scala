@@ -140,15 +140,25 @@ object SqlSurface {
     * cteRecursionLevelLimit (100) covers the span with room (a
     * longer calendar would raise the conf, not the plan shape).
     * Both engines run the SAME text (the SqlSurface contract), so
-    * the recursion semantics — anchor once, step until the
-    * scalar-subquery bound — are pinned cross-engine. */
+    * the recursion semantics — anchor once, step until the bound —
+    * are pinned cross-engine.
+    *
+    * The stop bound rides ALONG the recursion as a second column
+    * computed once in the anchor: phrased as a scalar subquery in
+    * the step's WHERE, Spark re-instantiates (and re-runs) the
+    * orders aggregate on EVERY iteration — 80 full fact scans for
+    * one constant, measured at 11.6 s of the 76 s bench before the
+    * rewrite vs ~0.5 s after. Carried-state-instead-of-re-derivation
+    * is the general recursion discipline; the month counter is the
+    * same idea for the value being advanced. */
   val recursiveSql: String =
-    """WITH RECURSIVE months(m) AS (
-         SELECT date_trunc('month', min(o_orderdate)) FROM orders
+    """WITH RECURSIVE months(m, hi) AS (
+         SELECT date_trunc('month', min(o_orderdate)),
+                date_trunc('month', max(o_orderdate))
+         FROM orders
          UNION ALL
-         SELECT m + INTERVAL 1 MONTH FROM months
-         WHERE m < (SELECT date_trunc('month', max(o_orderdate))
-                    FROM orders)
+         SELECT m + INTERVAL 1 MONTH, hi FROM months
+         WHERE m < hi
        )
        SELECT m AS month,
               cast(coalesce(f.n_orders, 0) AS bigint) AS n_orders,
