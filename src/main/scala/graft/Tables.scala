@@ -21,16 +21,32 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark has no native
-    // type for; sessions set spark.sql.legacy.parquet.nanosAsLong=true
-    // so it arrives as LongType nanos. Convert to micros TimestampType
-    // with integer division (a double division would lose precision:
-    // epoch-nanos ≈ 1.7e18 > 2^53).
-    if (name == "events")
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-    else raw
+    if (name == "events") normalizeTs(raw) else raw
   }
+
+  /** Normalize `events.ts` to session-zone TimestampType regardless of
+    * the parquet physical type the generator used:
+    *  - TIMESTAMP(NANOS): no native Spark type; sessions set
+    *    spark.sql.legacy.parquet.nanosAsLong=true so it arrives as
+    *    LongType epoch-nanos → integer-divide to micros (a double
+    *    division would lose precision: epoch-nanos ≈ 1.7e18 > 2^53).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TimestampNTZType → reinterpret as UTC (sessions pin
+    *    spark.sql.session.timeZone=UTC, matching DuckDB's naive read).
+    *  - already TimestampType: pass through. */
+  private def normalizeTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // NTZ→LTZ cast interprets the wall-clock in the session zone
+        // (pinned to UTC), i.e. the same instant DuckDB's naive read
+        // produces.
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
 
   /** Register every table as a temp view (catalog semantics, R:81). */
   def registerAll(spark: SparkSession, dir: String): Unit =
@@ -38,16 +54,14 @@ object Tables {
 
   /** Streaming twin of `events`: a file-stream source needs a
     * DIRECTORY, so stream the sf dir with a glob filter for the one
-    * file, declare the RAW schema (ts arrives as nanos LongType under
-    * nanosAsLong), then apply the same micros conversion as `load`. */
+    * file, declare the RAW schema, then apply the same ts
+    * normalization as `load`. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream
+    normalizeTs(spark.readStream
       .schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+      .parquet(dir))
   }
 
   /** Streaming twin of `documents` (same directory-with-glob pattern

@@ -95,8 +95,9 @@ object ScaleUp {
       .withColumn("l_suppkey", col("l_suppkey") + col("__copy") * sk)),
       "lineitem")
 
-    // ts stays raw LongType nanos (session reads nanosAsLong) so the
-    // scaled copy round-trips through Tables.load identically
+    // ts passes through at its raw physical type (nanos-as-long or
+    // micros NTZ, whatever the generator wrote) so the scaled copy
+    // round-trips through Tables.load's normalization identically
     write(replicate(read("events"), factor)(d => d
       .withColumn("event_id",
         col("event_id") + col("__copy") * stride(read("events"), "event_id"))
