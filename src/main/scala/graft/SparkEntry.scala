@@ -8,9 +8,10 @@ import graft.ops.{Aggregates, BloomJoin, Expectations, Joins, Ordering,
   Relational, Reshape, SkewJoin, Sketches, SqlSurface, TemporalJoins}
 import graft.plans.TopK
 import graft.sim.Similarity
-import graft.sources.{Bucketing, MergeInto, SnapshotStore, ZOrder}
+import graft.sources.{Bucketing, MergeInto, PartitionPruning,
+  SnapshotStore, ZOrder}
 import graft.streaming.EventStreams
-import graft.text.{SequencePacking, TextAnalysis}
+import graft.text.{BpeMerges, SequencePacking, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,7 +37,8 @@ object SparkEntry {
       TopK.queries ++ ZOrder.queries ++ BloomJoin.queries ++
       SkewJoin.queries ++ SequencePacking.queries ++ MergeInto.queries ++
       Bucketing.queries ++ SnapshotStore.queries ++ Sketches.queries ++
-      Expectations.queries
+      Expectations.queries ++ PartitionPruning.queries ++
+      BpeMerges.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +51,6 @@ object SparkEntry {
       TopK.oracle ++ ZOrder.oracle ++ BloomJoin.oracle ++
       SkewJoin.oracle ++ SequencePacking.oracle ++ MergeInto.oracle ++
       Bucketing.oracle ++ SnapshotStore.oracle ++ Sketches.oracle ++
-      Expectations.oracle
+      Expectations.oracle ++ PartitionPruning.oracle ++
+      BpeMerges.oracle
 }

@@ -1,0 +1,53 @@
+package graft
+
+import graft.text.BpeMerges
+
+/** BPE merge learning (x22): hand-computed fixture (the standard
+  * hug/pug/pun/bun/hugs teaching corpus), greedy-overlap semantics,
+  * and the gated query's shape. */
+class BpeSpec extends SparkTestBase {
+
+  test("mergePair consumes greedily left-to-right") {
+    assert(BpeMerges.mergePair(Seq("a", "a", "a"), "a", "a") ==
+      Seq("aa", "a"))
+    assert(BpeMerges.mergePair(Seq("h", "u", "g"), "u", "g") ==
+      Seq("h", "ug"))
+    assert(BpeMerges.mergePair(Seq("x"), "u", "g") == Seq("x"))
+  }
+
+  test("learn reproduces the hand-computed merge sequence") {
+    import spark.implicits._
+    // weighted pair counts: (u,g)=20 > (p,u)=17 > (u,n)=16 > (h,u)=15
+    // merge1 (u,g): then (u,n)=16 > (h,ug)=15 > (p,u)=12
+    // merge2 (u,n): then (h,ug)=15 > (p,un)=12
+    // merge3 (h,ug)
+    val words = Seq(("hug", 10L), ("pug", 5L), ("pun", 12L),
+      ("bun", 4L), ("hugs", 5L)).toDS()
+    val merges = BpeMerges.learn(words, 3)
+    assert(merges == Seq(
+      (0, "u", "g", 20L),
+      (1, "u", "n", 16L),
+      (2, "h", "ug", 15L)))
+  }
+
+  test("ties break lexicographically — the table is deterministic") {
+    import spark.implicits._
+    // "ab" and "cd" both appear with weight 7; (a,b) < (c,d)
+    val words = Seq(("ab", 7L), ("cd", 7L)).toDS()
+    val merges = BpeMerges.learn(words, 1)
+    assert(merges == Seq((0, "a", "b", 7L)))
+  }
+
+  test("x22 gated query: 12 ranked merges over sf0.001 documents") {
+    val rows = BpeMerges.x22BpeMerges(spark, sfSmoke).collect()
+    assert(rows.length == 12)
+    assert(rows.map(_.getInt(0)).toSeq == (0 until 12))
+    // counts are non-increasing only weakly across ranks is NOT
+    // guaranteed by BPE (a merge can create a new frequent pair), but
+    // every count is positive and every merged symbol non-empty
+    rows.foreach { r =>
+      assert(r.getString(1).nonEmpty && r.getString(2).nonEmpty)
+      assert(r.getLong(3) > 0)
+    }
+  }
+}

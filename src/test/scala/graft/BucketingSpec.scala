@@ -74,6 +74,24 @@ class BucketingSpec extends SparkTestBase {
       "expected a keyed window exchange")
   }
 
+  test("s17 DPP: fact scan carries a dynamic pruning filter") {
+    val df = sources.PartitionPruning.s17DppJoin(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruningexpression in the fact scan:\n$plan")
+    // the pruning must come from the runtime subquery, not a static
+    // literal filter on the partition column
+    assert(!plan.contains("c_nationkey IN (16,"),
+      "pruning should be dynamic, not a static IN-list")
+    // correct vs the unpartitioned original
+    val want = Tables.customer(spark, sfSmoke)
+      .join(Tables.nation(spark, sfSmoke)
+        .filter(col("n_regionkey") === 1),
+        col("c_nationkey") === col("n_nationkey"))
+      .count()
+    assert(df.agg(sum("n_customers")).head().getLong(0) == want)
+  }
+
   test("approx aggregates stay inside their error envelope") {
     val r = ops.Aggregates.g13ApproxStats(spark, sfTest).head()
     val (exactN, approxN) = (r.getLong(0), r.getLong(1))
