@@ -8,8 +8,8 @@ import graft.ops.{Aggregates, BloomJoin, Expectations, Joins, Ordering,
   Relational, Reshape, SkewJoin, Sketches, SqlSurface, TemporalJoins}
 import graft.plans.TopK
 import graft.sim.Similarity
-import graft.sources.{Bucketing, MergeInto, PartitionPruning,
-  SnapshotStore, ZOrder}
+import graft.sources.{BloomSkip, Bucketing, MergeInto,
+  PartitionPruning, SnapshotStore, ZOrder}
 import graft.streaming.EventStreams
 import graft.text.{BpeMerges, SequencePacking, TextAnalysis}
 
@@ -38,7 +38,7 @@ object SparkEntry {
       SkewJoin.queries ++ SequencePacking.queries ++ MergeInto.queries ++
       Bucketing.queries ++ SnapshotStore.queries ++ Sketches.queries ++
       Expectations.queries ++ PartitionPruning.queries ++
-      BpeMerges.queries
+      BpeMerges.queries ++ BloomSkip.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -52,5 +52,5 @@ object SparkEntry {
       SkewJoin.oracle ++ SequencePacking.oracle ++ MergeInto.oracle ++
       Bucketing.oracle ++ SnapshotStore.oracle ++ Sketches.oracle ++
       Expectations.oracle ++ PartitionPruning.oracle ++
-      BpeMerges.oracle
+      BpeMerges.oracle ++ BloomSkip.oracle
 }

@@ -69,6 +69,27 @@ object EventStreams {
         Det.dsum2(col("value")).as("sum_value"))
   }
 
+  /** E3B — the same sessionization through Spark's BUILT-IN
+    * `session_window` (batch mode): windows [ts, ts+gap) merge while
+    * they overlap, so a successor at EXACTLY gap distance starts a
+    * new session (half-open semantics; e3's lag form uses strict `>`
+    * — the two agree unless an event lands on the boundary to the
+    * microsecond, and the oracle mirrors the built-in's `>=` split).
+    * Same scale shape as e3 — one shuffle on user_id — but the merge
+    * runs inside the aggregation operator with no window-function
+    * pass, and the IDENTICAL expression works under `readStream` with
+    * a watermark (the documented production path; e3's
+    * mapGroupsWithState twin exists for custom eviction logic). */
+  def e3bSessionWindowBatch(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        Det.dsum2(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+
   /** E4 — the BATCH form of [[intervalJoinStream]]'s event-time
     * interval join, oracle-gated: each 'error' pairs with the same
     * user's 'click's from the preceding 10 minutes (blame-window
@@ -148,6 +169,7 @@ object EventStreams {
     "e1_stream_tumbling" -> e1StreamTumbling,
     "e2_stream_sliding" -> e2StreamSliding,
     "e3_stream_session" -> e3StreamSession,
+    "e3b_session_window" -> e3bSessionWindowBatch,
     "e4_interval_join" -> e4IntervalJoin)
 
   val oracle: Map[String, String] = Map(
@@ -185,6 +207,24 @@ object EventStreams {
            cast(max(ts_us) - min(ts_us) AS bigint) AS duration_us,
            ${Det.sqlDsum2("value")} AS sum_value
          FROM sessions GROUP BY 1, 2""",
+    "e3b_session_window" ->
+      s"""WITH t AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+           FROM events),
+         flagged AS (
+           SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                            OR ts_us - lag(ts_us) OVER w >= 1800000000
+                          THEN 1 ELSE 0 END AS new_session
+           FROM t
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         sessions AS (
+           SELECT *, sum(new_session) OVER
+             (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged)
+         SELECT user_id, min(ts_us) AS session_start_us,
+           count(*) AS n_events, ${Det.sqlDsum2("value")} AS sum_value
+         FROM sessions GROUP BY user_id, sid""",
     "e4_interval_join" ->
       """SELECT e.user_id,
          e.event_id AS error_id, c.event_id AS click_id,

@@ -2,6 +2,7 @@ package graft
 
 
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Co-located joins via bucketing (SURVEY §4 / the 100 TB design):
   * writing both fact tables bucketed on the join key lets the join
@@ -90,6 +91,51 @@ class BucketingSpec extends SparkTestBase {
         col("c_nationkey") === col("n_nationkey"))
       .count()
     assert(df.agg(sum("n_customers")).head().getLong(0) == want)
+  }
+
+  test("s18 bloom lookup: In filter pushed, every row group has a bloom filter") {
+    val df = sources.BloomSkip.s18BloomPointLookup(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(o_orderkey"),
+      s"point lookup must reach the parquet reader as a pushed In:\n$plan")
+    assert(df.count() == 5)
+    // footer-level proof: the written copy carries a bloom filter on
+    // o_orderkey in EVERY row group of every file
+    val root = sources.BloomSkip.writeBloomCopy(spark, sfSmoke)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), conf)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty)
+    parts.foreach { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val groups = reader.getFooter.getBlocks
+        assert(!groups.isEmpty)
+        groups.forEach { g =>
+          val col = g.getColumns.asScala
+            .find(_.getPath.toDotString == "o_orderkey").get
+          assert(col.getBloomFilterOffset > 0,
+            s"row group in $p lacks a bloom filter on o_orderkey")
+        }
+      } finally reader.close()
+    }
+  }
+
+  test("e3b built-in session_window matches e3's custom sessionization totals") {
+    // same corpus, two sessionizers: the built-in merges at >= gap,
+    // the lag form at > gap — totals agree unless an event lands on
+    // the 30-minute boundary to the microsecond
+    val builtIn = streaming.EventStreams
+      .e3bSessionWindowBatch(spark, sfSmoke)
+    val custom = streaming.EventStreams
+      .e3StreamSession(spark, sfSmoke)
+    assert(builtIn.agg(sum("n_events")).head().getLong(0) ==
+      custom.agg(sum("n_events")).head().getLong(0))
+    assert(builtIn.count() == custom.count())
   }
 
   test("approx aggregates stay inside their error envelope") {
