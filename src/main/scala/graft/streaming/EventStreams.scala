@@ -90,6 +90,25 @@ object EventStreams {
         unix_micros(col("w.start")).as("session_start_us"),
         col("n_events"), col("sum_value"))
 
+  /** The streaming form of [[e3bSessionWindowBatch]] — literally the
+    * same groupBy(session_window) expression under `readStream` plus
+    * a watermark. Append mode emits a session once the watermark
+    * passes its end (last event + gap); the 1-minute delay bounds
+    * state: at any instant only sessions within gap+delay of the
+    * watermark are open. StreamingSpec proves emitted sessions are
+    * byte-identical to the batch rows, with only open tails held
+    * back. */
+  def sessionWindowStream(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsStream(s, dir)
+      .withWatermark("ts", "1 minute")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"),
+        Det.dsum2(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("w.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+
   /** E4 — the BATCH form of [[intervalJoinStream]]'s event-time
     * interval join, oracle-gated: each 'error' pairs with the same
     * user's 'click's from the preceding 10 minutes (blame-window

@@ -43,6 +43,27 @@ class StreamingSpec extends SparkTestBase {
     assert(windowed == 2 * events)
   }
 
+  test("session_window stream == batch e3b minus open tails") {
+    val q = EventStreams.sessionWindowStream(spark, sfSmoke)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("swin_out").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("swin_out")
+    val batch = EventStreams.e3bSessionWindowBatch(spark, sfSmoke)
+    // every emitted session is byte-identical to a batch session
+    assert(streamed.except(batch).isEmpty,
+      "streamed sessions must be a subset of batch sessions")
+    // whatever the watermark held back is, per user, ONLY the final
+    // (possibly-still-open) session
+    val missing = batch.except(streamed)
+    val lastStart = batch.groupBy("user_id")
+      .agg(max("session_start_us").as("session_start_us"))
+    assert(missing.join(lastStart,
+      Seq("user_id", "session_start_us"), "left_anti").isEmpty,
+      "only each user's final session may be held open")
+    assert(streamed.count() > 0)
+  }
+
   test("streaming dedup: redelivered events collapse to batch-distinct") {
     val q = EventStreams.dedupedStream(spark, sfSmoke).writeStream
       .outputMode("append")
