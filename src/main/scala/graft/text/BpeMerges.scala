@@ -124,8 +124,49 @@ object BpeMerges {
       .toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Apply an ORDERED merge table to one word — the inference side
+    * of BPE: replay the merges in learned rank order. */
+  private[graft] def applyMerges(word: String,
+      merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Seq[String] = word.take(WordLimit).map(_.toString)
+    merges.foreach { case (l, r) => syms = mergePair(syms, l, r) }
+    syms
+  }
+
+  /** X23 — tokenize the corpus with the learned merges (the
+    * production consumer of x22's table): per-document BPE token
+    * counts plus the corpus-level compression the 12 merges buy over
+    * character tokenization. The merge table is 12 rows on the
+    * driver (already collected by `learn`); the apply pass is one
+    * embarrassingly-parallel map over documents — no shuffle at all
+    * after the x22 fit. At 100 TB the fit runs once on the vocab and
+    * the apply is a scan-level transform of every later ingest.
+    * Rows-only gate (depends on the learned table); BpeSpec pins the
+    * fixture tokenization. */
+  def x23BpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = learn(
+      Tables.documents(s, dir)
+        .select(explode(expr(
+          "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+        .groupBy("word").agg(count(lit(1)).cast("long").as("f"))
+        .as[(String, Long)], 12)
+      .map { case (_, l, r, _) => (l, r) }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)").as("words"))
+      .as[(Long, Seq[String])]
+      .map { case (id, words) =>
+        val chars = words.map(_.take(WordLimit).length.toLong).sum
+        val toks = words.map(w => applyMerges(w, merges).length.toLong).sum
+        (id, chars, toks)
+      }
+      .toDF("doc_id", "n_char_tokens", "n_bpe_tokens")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x22_bpe_merges" -> x22BpeMerges)
+    "x22_bpe_merges" -> x22BpeMerges,
+    "x23_bpe_tokenize" -> x23BpeTokenize)
 
   val oracle: Map[String, String] = Map.empty
 }

@@ -38,6 +38,25 @@ class BpeSpec extends SparkTestBase {
     assert(merges == Seq((0, "a", "b", 7L)))
   }
 
+  test("applyMerges replays the table in rank order") {
+    // after (u,g), (u,n), (h,ug): hugs → [hug, s], pun → [p, un]
+    val merges = Seq(("u", "g"), ("u", "n"), ("h", "ug"))
+    assert(BpeMerges.applyMerges("hugs", merges) == Seq("hug", "s"))
+    assert(BpeMerges.applyMerges("pun", merges) == Seq("p", "un"))
+    assert(BpeMerges.applyMerges("bug", merges) == Seq("b", "ug"))
+  }
+
+  test("x23 tokenize: merges only ever shrink the token count") {
+    val rows = BpeMerges.x23BpeTokenize(spark, sfSmoke).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1),
+        s"doc ${r.getLong(0)}: BPE tokens exceed char tokens")
+    }
+    // the 12 merges must buy real compression somewhere
+    assert(rows.map(r => r.getLong(1) - r.getLong(2)).sum > 0)
+  }
+
   test("x22 gated query: 12 ranked merges over sf0.001 documents") {
     val rows = BpeMerges.x22BpeMerges(spark, sfSmoke).collect()
     assert(rows.length == 12)
