@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, E
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, UnaryNode, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, unix_micros}
 import org.apache.spark.sql.types.IntegerType
 
 /** Logical per-key top-k: keep the first `k` rows of each key group
@@ -147,8 +147,28 @@ object TopK {
       Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
   }
 
+  /** s19 — latest-row-per-key compaction, the CDC "keep the newest
+    * version" pass every upsert log needs before serving: one row per
+    * user, the most recent event (ts desc, event_id desc tie-break),
+    * through the same custom operator at k=1. This is the
+    * high-cardinality regime the heap-capped partial exec exists for:
+    * ≤1 row per (key, input partition) crosses the exchange, where a
+    * window row_number would sort whole partitions; at 100 TB the
+    * keys are primary keys and the reduction below the shuffle is the
+    * entire game. */
+  def s19LatestByKey(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"),
+        col("value"))
+    topKPerKey(ev,
+      Seq(col("user_id")),
+      Seq(col("ts_us").desc, col("event_id").desc), 1)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "o4_topk_per_key" -> o4TopKPerKey)
+    "o4_topk_per_key" -> o4TopKPerKey,
+    "s19_latest_by_key" -> s19LatestByKey)
 
   val oracle: Map[String, String] = Map(
     "o4_topk_per_key" ->
@@ -157,5 +177,13 @@ object TopK {
             row_number() OVER (PARTITION BY o_orderpriority
               ORDER BY o_totalprice DESC, o_orderkey) AS rn
           FROM orders)
-         WHERE rn <= 3""")
+         WHERE rn <= 3""",
+    "s19_latest_by_key" ->
+      """SELECT user_id, event_id, ts_us, event_type, value FROM
+         (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+            value,
+            row_number() OVER (PARTITION BY user_id
+              ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+          FROM events)
+         WHERE rn = 1""")
 }

@@ -100,6 +100,24 @@ class PlansSpec extends SparkTestBase {
       .contains(graft.plans.RewriteRankFilterToTopK))
   }
 
+  test("s19 latest-by-key: one row per user, the newest, via the operator") {
+    val df = TopK.s19LatestByKey(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected the custom exec:\n$plan")
+    assert(!plan.contains("WindowExec"), "must not fall back to a window sort")
+    val users = Tables.events(spark, sfSmoke)
+      .select(countDistinct("user_id")).head().getLong(0)
+    assert(df.count() == users)
+    // the kept row really is the per-user max (ts, event_id)
+    val naive = Tables.events(spark, sfSmoke)
+      .groupBy("user_id")
+      .agg(max(struct(unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.ts_us"), col("m.event_id"))
+    assert(df.select("user_id", "ts_us", "event_id")
+      .except(naive).isEmpty)
+  }
+
   test("rule leaves the plan alone when the rank column is kept") {
     TopK.register(spark)
     val w = Window.partitionBy("o_orderpriority")
