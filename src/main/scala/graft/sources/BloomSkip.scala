@@ -49,18 +49,26 @@ object BloomSkip {
   private[graft] def writeBloomCopy(s: SparkSession, dir: String)
       : String = {
     val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    // applicationId suffix: concurrent sessions (parallel bench
+    // harnesses on one host) get disjoint scratch dirs instead of
+    // racing on delete/overwrite of a shared path
     val root = new org.apache.hadoop.fs.Path(
-      sys.props("java.io.tmpdir"), s"graft_s18$tag").toString
+      sys.props("java.io.tmpdir"),
+      s"graft_s18${tag}_${s.sparkContext.applicationId}").toString
     org.apache.hadoop.fs.FileSystem
       .get(new java.net.URI(root), s.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(root), true)
-    Tables.orders(s, dir)
-      .repartitionByRange(4, col("o_custkey"))
-      .sortWithinPartitions("o_custkey")
-      .write.mode("overwrite")
-      .option("parquet.bloom.filter.enabled#o_orderkey", "true")
-      .option("parquet.bloom.filter.expected.ndv#o_orderkey", "2000000")
-      .parquet(root)
+    // ndv sized from the table (metadata-only parquet count), not a
+    // fixed constant: orderkey is unique, and the write fans out over
+    // 4 range partitions, so per-file ndv ≈ count/4 — oversizing
+    // wastes footer bytes at small sf, undersizing degrades FPP (and
+    // thus the row-group skip) above sf1
+    val ndv = math.max(1024L, Tables.orders(s, dir).count() / 4)
+    CsvIO.writeWithBloomFilters(
+      Tables.orders(s, dir)
+        .repartitionByRange(4, col("o_custkey"))
+        .sortWithinPartitions("o_custkey"),
+      root, Seq("o_orderkey"), ndv)
     root
   }
 

@@ -39,8 +39,12 @@ object PartitionPruning {
     * ORIGINAL table. */
   def s17DppJoin(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    // applicationId suffix: concurrent sessions (parallel bench
+    // harnesses on one host) get disjoint scratch dirs instead of
+    // racing on delete/overwrite of a shared path
     val root = new org.apache.hadoop.fs.Path(
-      sys.props("java.io.tmpdir"), s"graft_s17$tag").toString
+      sys.props("java.io.tmpdir"),
+      s"graft_s17${tag}_${s.sparkContext.applicationId}").toString
     org.apache.hadoop.fs.FileSystem
       .get(new java.net.URI(root), s.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(root), true)

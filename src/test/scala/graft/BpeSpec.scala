@@ -57,10 +57,12 @@ class BpeSpec extends SparkTestBase {
     assert(rows.map(r => r.getLong(1) - r.getLong(2)).sum > 0)
   }
 
-  test("x22 gated query: 12 ranked merges over sf0.001 documents") {
+  test("x22 gated query: ranked merges over sf0.001 documents") {
     val rows = BpeMerges.x22BpeMerges(spark, sfSmoke).collect()
-    assert(rows.length == 12)
-    assert(rows.map(_.getInt(0)).toSeq == (0 until 12))
+    // the 31-word synthetic vocab exhausts its pairs well before the
+    // 1000-merge cap — the loop must terminate early, not pad
+    assert(rows.length > 12 && rows.length < 1000)
+    assert(rows.map(_.getInt(0)).toSeq == (0 until rows.length))
     // counts are non-increasing only weakly across ranks is NOT
     // guaranteed by BPE (a merge can create a new frequent pair), but
     // every count is positive and every merged symbol non-empty
@@ -68,5 +70,45 @@ class BpeSpec extends SparkTestBase {
       assert(r.getString(1).nonEmpty && r.getString(2).nonEmpty)
       assert(r.getLong(3) > 0)
     }
+  }
+
+  test("learnLocal reproduces the distributed merge table exactly") {
+    import spark.implicits._
+    val vocab = Seq(("hug", 10L), ("pug", 5L), ("pun", 12L),
+      ("bun", 4L), ("hugs", 5L), ("ab", 7L), ("cd", 7L))
+    val dist = BpeMerges.learn(vocab.toDS(), 8)
+    val local = BpeMerges.learnLocal(vocab, 8)
+    assert(local == dist)
+    // and on the real sf0.001 word-frequency table, full exhaustion
+    val words = BpeMerges.wordFreqs(spark, sfSmoke)
+    assert(BpeMerges.learnLocal(words.collect().toSeq, 40) ==
+      BpeMerges.learn(words, 40))
+  }
+
+  test("learnLocal reaches 1000 merges on a synthetic vocab") {
+    // deterministic pseudo-random 4000-word vocab with a rich symbol
+    // inventory — enough pair diversity to sustain 1000 merges
+    val rng = new scala.util.Random(42)
+    val vocab = (0 until 4000).map { i =>
+      val len = 6 + rng.nextInt(10)
+      val w = (0 until len)
+        .map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+      (w + i.toString.map(c => ('a' + (c - '0')).toChar), // unique
+        1L + rng.nextInt(100))
+    }
+    val t0 = System.nanoTime()
+    val merges = BpeMerges.learnLocal(vocab, 1000)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(merges.length == 1000, s"only ${merges.length} merges")
+    assert(merges.map(_._1) == (0 until 1000))
+    // driver-local fit must be fast — this is the path that replaces
+    // 1000 Spark jobs
+    assert(sec < 30.0, f"learnLocal took $sec%.1f s")
+  }
+
+  test("x23 reuses x22's cached fit (no duplicate learn)") {
+    val a = BpeMerges.learnedMerges(spark, sfSmoke)
+    val b = BpeMerges.learnedMerges(spark, sfSmoke)
+    assert(a eq b, "fit cache must return the memoized table")
   }
 }
