@@ -10,6 +10,7 @@ import graft.plans.TopK
 import graft.sim.Similarity
 import graft.sources.{BloomSkip, Bucketing, MergeInto,
   PartitionPruning, SnapshotStore, ZOrder}
+import graft.pipeline.CurationPipeline
 import graft.streaming.EventStreams
 import graft.text.{BpeMerges, SequencePacking, TextAnalysis}
 
@@ -38,7 +39,8 @@ object SparkEntry {
       SkewJoin.queries ++ SequencePacking.queries ++ MergeInto.queries ++
       Bucketing.queries ++ SnapshotStore.queries ++ Sketches.queries ++
       Expectations.queries ++ PartitionPruning.queries ++
-      BpeMerges.queries ++ BloomSkip.queries
+      BpeMerges.queries ++ BloomSkip.queries ++
+      CurationPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -52,5 +54,6 @@ object SparkEntry {
       SkewJoin.oracle ++ SequencePacking.oracle ++ MergeInto.oracle ++
       Bucketing.oracle ++ SnapshotStore.oracle ++ Sketches.oracle ++
       Expectations.oracle ++ PartitionPruning.oracle ++
-      BpeMerges.oracle ++ BloomSkip.oracle
+      BpeMerges.oracle ++ BloomSkip.oracle ++
+      CurationPipeline.oracle
 }

@@ -188,9 +188,17 @@ object Dedup {
     d2Impl(s, dir, cap = StopShingleCap)
 
   private[graft] def d2Impl(s: SparkSession, dir: String,
-      cap: Int): DataFrame = {
+      cap: Int): DataFrame =
+    d2PairsOf(Tables.documents(s, dir).select("doc_id", "text"), cap)
+
+  /** The d2/d2b kernel over an arbitrary (doc_id, text) frame — the
+    * pair source the e2e curation pipeline runs on its SURVIVING
+    * docs (near-dup pruning after the cheap per-row gates, so the
+    * quadratic-in-candidates stage sees the smallest corpus). */
+  private[graft] def d2PairsOf(docs: DataFrame, cap: Int): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val exploded = Tables.documents(s, dir)
+    val exploded = docs
       .select("doc_id", "text").as[(Long, String)]
       .flatMap { case (id, text) => shingleSet(text).map((id, _)) }
       .toDF("doc_id", "s")

@@ -78,13 +78,21 @@ object SequencePacking {
     * `doc_id % n` grouping exactly while it cannot replay Spark's
     * range-partitioner sampling. */
   def packSequencesGrouped(docsWithTokens: DataFrame, maxTokens: Int,
-      numGroups: Int): DataFrame = {
+      numGroups: Int): DataFrame =
+    packByGroup(docsWithTokens, maxTokens, numGroups,
+      pmod(col("doc_id"), lit(numGroups.toLong)))
+
+  /** [[packSequencesGrouped]] with a caller-supplied group column —
+    * the e2e pipeline packs per SHARD (the x17 key-mix assignment)
+    * so each training shard's sequences are self-contained. */
+  def packByGroup(docsWithTokens: DataFrame, maxTokens: Int,
+      numParts: Int, grp: org.apache.spark.sql.Column): DataFrame = {
     val s = docsWithTokens.sparkSession
     import s.implicits._
     docsWithTokens
       .select(col("doc_id").cast("long"), col("n_tokens").cast("long"),
-        pmod(col("doc_id"), lit(numGroups.toLong)).as("grp"))
-      .repartition(numGroups, col("grp"))
+        grp.cast("long").as("grp"))
+      .repartition(numParts, col("grp"))
       .sortWithinPartitions("grp", "doc_id")
       .as[(Long, Long, Long)]
       .mapPartitions { it =>

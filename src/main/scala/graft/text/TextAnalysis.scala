@@ -309,7 +309,7 @@ object TextAnalysis {
     * pretraining-mixture owner turns (upsample the target language,
     * downsample the rest). Shared literal-for-literal with the
     * oracle. */
-  private[text] val mixturePct: Seq[(String, Int)] =
+  private[graft] val mixturePct: Seq[(String, Int)] =
     Seq("en" -> 100, "de" -> 50, "es" -> 25, "fr" -> 10)
   private val mixtureDefaultPct = 5 // any other language
 
