@@ -286,15 +286,145 @@ object Models {
       .select(col("step"), col("features"), Det.r4(col("aic")).as("aic"))
   }
 
+  /** M2b — the OLS math of m2, ORACLE-GATED: label ~ n_orders +
+    * c_acctbal solved by the 3×3 normal equations in closed form.
+    *
+    * Why this is hash-gateable when m2's full spark.ml fit is not:
+    * two different solvers (spark.ml's LAPACK path, any SQL replay)
+    * accumulate floats in different orders, and a ULP near the 1e−6
+    * floor boundary breaks a hash. Here every MOMENT is an EXACT
+    * decimal sum (o_totalprice/c_acctbal are cents-exact — the
+    * Det.d2 pattern; counts are integers), so both engines hold
+    * bit-identical moments; the Cramer solve is then the IDENTICAL
+    * double expression tree on both sides — deterministic end to
+    * end. MlSpec pins that spark.ml's normal-equation fit on the
+    * same design reproduces these coefficients, which transitively
+    * value-gates m2's machinery (the remaining m2 surface — one-hot
+    * design, se/t/p — stays rows-only + spec-pinned). */
+  def m2bLinregNormal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // per-customer exact design: n (count), bal (cents-exact),
+    // y = exact decimal spend
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(Det.d2(col("o_totalprice"))).cast(
+          org.apache.spark.sql.types.DecimalType(12, 2)).as("y"))
+    val dm = Tables.customer(s, dir)
+      .select(col("c_custkey").as("custkey"),
+        Det.d2(col("c_acctbal")).as("bal"))
+      .join(perCust, Seq("custkey"), "inner")
+      .select(col("n").cast(org.apache.spark.sql.types.DecimalType(10, 0))
+        .as("x1"), col("bal").as("x2"), col("y"))
+    // exact decimal moments — order-independent, cross-engine exact
+    val m = dm.agg(
+      count(lit(1)).cast("double").as("s1"),
+      sum(col("x1")).cast("double").as("sx1"),
+      sum(col("x2")).cast("double").as("sx2"),
+      sum(col("x1") * col("x1")).cast("double").as("sx11"),
+      sum(col("x1") * col("x2")).cast("double").as("sx12"),
+      sum(col("x2") * col("x2")).cast("double").as("sx22"),
+      sum(col("y")).cast("double").as("sy"),
+      sum(col("x1") * col("y")).cast("double").as("sx1y"),
+      sum(col("x2") * col("y")).cast("double").as("sx2y"),
+      sum(col("y") * col("y")).cast("double").as("syy"))
+    // Cramer's rule on [s1 sx1 sx2; sx1 sx11 sx12; sx2 sx12 sx22]
+    // β = [sy sx1y sx2y] — formula text mirrored in the oracle
+    val det = col("s1") * (col("sx11") * col("sx22")
+      - col("sx12") * col("sx12")) -
+      col("sx1") * (col("sx1") * col("sx22")
+        - col("sx12") * col("sx2")) +
+      col("sx2") * (col("sx1") * col("sx12")
+        - col("sx11") * col("sx2"))
+    val b0 = (col("sy") * (col("sx11") * col("sx22")
+      - col("sx12") * col("sx12")) -
+      col("sx1") * (col("sx1y") * col("sx22")
+        - col("sx12") * col("sx2y")) +
+      col("sx2") * (col("sx1y") * col("sx12")
+        - col("sx11") * col("sx2y"))) / det
+    val b1 = (col("s1") * (col("sx1y") * col("sx22")
+      - col("sx12") * col("sx2y")) -
+      col("sy") * (col("sx1") * col("sx22")
+        - col("sx12") * col("sx2")) +
+      col("sx2") * (col("sx1") * col("sx2y")
+        - col("sx1y") * col("sx2"))) / det
+    val b2 = (col("s1") * (col("sx11") * col("sx2y")
+      - col("sx1y") * col("sx12")) -
+      col("sx1") * (col("sx1") * col("sx2y")
+        - col("sx1y") * col("sx2")) +
+      col("sy") * (col("sx1") * col("sx12")
+        - col("sx11") * col("sx2"))) / det
+    // R² from the same moments: SSE = syy − b0·sy − b1·sx1y − b2·sx2y,
+    // SST = syy − sy²/n
+    val sse = col("syy") - b0 * col("sy") - b1 * col("sx1y") -
+      b2 * col("sx2y")
+    val sst = col("syy") - col("sy") * col("sy") / col("s1")
+    m.select(explode(array(
+      struct(lit("intercept").as("metric"), Det.r6(b0).as("value")),
+      struct(lit("coef_n_orders").as("metric"), Det.r6(b1).as("value")),
+      struct(lit("coef_acctbal").as("metric"), Det.r6(b2).as("value")),
+      struct(lit("r2").as("metric"),
+        Det.r6(lit(1.0) - sse / sst).as("value")))).as("kv"))
+      .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_pca" -> m1Pca,
     "m2_linreg" -> m2Linreg,
+    "m2b_linreg_normal" -> m2bLinregNormal,
     "m4_lasso_cv" -> m4LassoCv,
     "m10_repeated_cv" -> m10RepeatedCv,
     "m5_random_forest" -> m5RandomForest,
     "m6_stepwise_aic" -> m6StepwiseAic)
 
-  /** No oracle — spark.ml surface; rows-only checked by the driver,
-    * semantics pinned in MlSpec. */
-  val oracle: Map[String, String] = Map.empty
+  /** m2b replays exactly in SQL (exact-decimal moments + the same
+    * closed-form solve); the remaining fits are spark.ml surface —
+    * rows-only checked by the driver, semantics pinned in MlSpec. */
+  val oracle: Map[String, String] = Map(
+    "m2b_linreg_normal" -> {
+      val det = """(s1 * (sx11 * sx22 - sx12 * sx12) -
+        sx1 * (sx1 * sx22 - sx12 * sx2) +
+        sx2 * (sx1 * sx12 - sx11 * sx2))"""
+      val b0 = s"""((sy * (sx11 * sx22 - sx12 * sx12) -
+        sx1 * (sx1y * sx22 - sx12 * sx2y) +
+        sx2 * (sx1y * sx12 - sx11 * sx2y)) / $det)"""
+      val b1 = s"""((s1 * (sx1y * sx22 - sx12 * sx2y) -
+        sy * (sx1 * sx22 - sx12 * sx2) +
+        sx2 * (sx1 * sx2y - sx1y * sx2)) / $det)"""
+      val b2 = s"""((s1 * (sx11 * sx2y - sx1y * sx12) -
+        sx1 * (sx1 * sx2y - sx1y * sx2) +
+        sy * (sx1 * sx12 - sx11 * sx2)) / $det)"""
+      val sse = s"(syy - $b0 * sy - $b1 * sx1y - $b2 * sx2y)"
+      val sst = "(syy - sy * sy / s1)"
+      s"""WITH percust AS (
+           SELECT o_custkey AS custkey,
+             cast(count(*) AS decimal(10,0)) AS x1,
+             cast(sum(cast(o_totalprice AS decimal(12,2)))
+               AS decimal(12,2)) AS y
+           FROM orders GROUP BY 1),
+         dm AS (
+           SELECT x1, cast(c_acctbal AS decimal(12,2)) AS x2, y
+           FROM customer JOIN percust ON c_custkey = custkey),
+         m AS (
+           SELECT cast(count(*) AS double) AS s1,
+             cast(sum(x1) AS double) AS sx1,
+             cast(sum(x2) AS double) AS sx2,
+             cast(sum(x1 * x1) AS double) AS sx11,
+             cast(sum(x1 * x2) AS double) AS sx12,
+             cast(sum(x2 * x2) AS double) AS sx22,
+             cast(sum(y) AS double) AS sy,
+             cast(sum(x1 * y) AS double) AS sx1y,
+             cast(sum(x2 * y) AS double) AS sx2y,
+             cast(sum(y * y) AS double) AS syy
+           FROM dm)
+         SELECT metric, value FROM (
+           SELECT 'intercept' AS metric,
+             ${Det.sql(b0, 6)} AS value FROM m
+           UNION ALL
+           SELECT 'coef_n_orders', ${Det.sql(b1, 6)} FROM m
+           UNION ALL
+           SELECT 'coef_acctbal', ${Det.sql(b2, 6)} FROM m
+           UNION ALL
+           SELECT 'r2', ${Det.sql(s"1.0 - $sse / $sst", 6)} FROM m)"""
+    })
 }

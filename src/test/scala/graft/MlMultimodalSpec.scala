@@ -29,6 +29,37 @@ class MlMultimodalSpec extends SparkTestBase {
     assert(out("se_intercept") > 0 && !out("t_intercept").isNaN)
   }
 
+  test("m2b closed-form OLS == spark.ml normal-equation fit") {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.{LinearRegression, LinearRegressionModel}
+    val m2b = Models.m2bLinregNormal(spark, sfSmoke)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the same 2-feature design through m2's machinery (spark.ml
+    // LAPACK normal solver) must land on the oracle-gated closed-form
+    // coefficients — this transitively value-gates the m2 path
+    val design = Tables.orders(spark, sfSmoke)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).cast("double").as("n_orders"),
+        sum("o_totalprice").as("label"))
+      .join(Tables.customer(spark, sfSmoke)
+        .select(col("c_custkey").as("custkey"), col("c_acctbal")),
+        Seq("custkey"), "inner")
+    val model = new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(Array("n_orders", "c_acctbal"))
+        .setOutputCol("features"),
+      new LinearRegression().setLabelCol("label")
+        .setFeaturesCol("features").setSolver("normal"))).fit(design)
+    val lrm = model.stages.last.asInstanceOf[LinearRegressionModel]
+    def close(a: Double, b: Double): Boolean =
+      math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b))
+    assert(close(lrm.intercept, m2b("intercept")),
+      s"intercept ${lrm.intercept} vs ${m2b("intercept")}")
+    assert(close(lrm.coefficients(0), m2b("coef_n_orders")))
+    assert(close(lrm.coefficients(1), m2b("coef_acctbal")))
+    assert(m2b("r2") <= 1.0 && m2b("r2") > 0.0)
+  }
+
   test("m1 PCA explains decreasing variance over 3 components") {
     val ev = Models.m1Pca(spark, sfSmoke)
       .select("component", "explained_variance").distinct()
