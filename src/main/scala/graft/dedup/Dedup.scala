@@ -531,7 +531,81 @@ object Dedup {
       numTables = 4, tau = 0.9)
   }
 
+  private val ParaTokens = 25
+  /** pid = doc_id · 1024 + para_idx — 1024 paragraph slots per doc
+    * (≥ 25k tokens/doc headroom at the 25-token grain; docs here top
+    * out well under that, and the encoding is checked nowhere else,
+    * so a longer doc would need a wider slot shift, not a new
+    * algorithm). */
+  private val ParaSlot = 1024L
+
+  /** D8 — PARAGRAPH-grain near-dup dedup: the standard curation step
+    * between d1 (doc-exact) and d2b (doc-near-dup) — RefinedWeb/
+    * Gopher-style removal of boilerplate paragraphs that repeat
+    * across otherwise-distinct documents, without dropping the whole
+    * document.
+    *
+    * Pipeline (all existing kernels, applied one grain down):
+    * explode each doc into fixed 25-token paragraphs (this corpus has
+    * no structural delimiters — with real text the split is on
+    * "\n\n"; every downstream stage is delimiter-agnostic) → the d2b
+    * capped-shingle Jaccard pair graph over (pid, para_text) → the
+    * d6 star-contraction keep-list → re-aggregate per document into
+    * kept-paragraph counts and token mass (the span summary a
+    * paragraph-pruning writer logs).
+    *
+    * Scale shape: the explode multiplies rows by ~docLen/25 but every
+    * stage after it is the d2b/d6 machinery whose bounds don't care
+    * about grain (cap² per-task pair expansion, edge-scale star
+    * contraction); the paragraph re-aggregation is one keyed hash
+    * agg back to doc grain.
+    *
+    * The organic corpus has few identical paragraphs, so the query
+    * PLANTS duplicates deterministically (the x13/d7 precedent):
+    * every 10th doc is prepended a bucket-tagged 25-token paragraph,
+    * buckets = (doc_id/10) mod 25 — each bucket's copies collide at
+    * jaccard 1.0 and must collapse to the bucket's min pid; organic
+    * near-dup paragraphs are detected by the same graph. Oracle
+    * replays everything (planting, segmentation, capped pair graph,
+    * recursive reachability, keep rule) in SQL. */
+  def d8DedupParagraphs(s: SparkSession, dir: String): DataFrame = {
+    val plantPara = array_join(transform(sequence(lit(0), lit(24)),
+      i => concat(lit("dupb"),
+        expr("cast((doc_id div 10) % 25 AS string)"),
+        lit("t"), i.cast("string"))), " ")
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 10 === 0,
+        concat(plantPara, lit(" "), col("text")))
+        .otherwise(col("text")).as("text"))
+    val sp = split(col("text"), " ")
+    val nParas = ceil(size(sp) / lit(ParaTokens.toDouble)).cast("int")
+    val paras = docs
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), nParas - 1),
+        i => array_join(
+          slice(sp, i * ParaTokens + 1, lit(ParaTokens)), " ")))
+        .as(Seq("para_idx", "ptext")))
+      .select(col("doc_id"),
+        (col("doc_id") * ParaSlot + col("para_idx")).as("pid"),
+        col("ptext"))
+    val pairs = d2PairsOf(
+      paras.select(col("pid").as("doc_id"), col("ptext").as("text")),
+      StopShingleCap)
+    val (labels, _) = alternatingStarLabels(
+      pairs.select(col("doc_a"), col("doc_b")))
+    paras
+      .join(labels.withColumnRenamed("doc_id", "pid"), Seq("pid"), "left")
+      .withColumn("is_kept",
+        col("rep").isNull || col("rep") === col("pid"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("is_kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("is_kept"), size(split(col("ptext"), " "))
+          .cast("long")).otherwise(0L)).as("n_kept_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d8_dedup_paragraphs" -> d8DedupParagraphs,
     "d1_dedup_exact" -> d1DedupExact,
     "d7_dedup_embedding_lsh" -> d7DedupEmbeddingLsh,
     "d2_dedup_ngram_jaccard" -> d2DedupNgramJaccard,
@@ -570,6 +644,60 @@ object Dedup {
 
   /** DuckDB mirrors. d3/d4 are hash-scheme-specific → rows-only. */
   val oracle: Map[String, String] = Map(
+    "d8_dedup_paragraphs" ->
+      s"""WITH RECURSIVE
+         planted AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+               THEN array_to_string(list_transform(range(0, 25),
+                      i -> 'dupb' || cast((doc_id // 10) % 25 AS varchar)
+                           || 't' || cast(i AS varchar)), ' ')
+                    || ' ' || text
+               ELSE text END AS text
+           FROM documents),
+         paras AS (
+           SELECT doc_id, doc_id * $ParaSlot + i AS pid,
+             array_to_string(list_slice(string_split(text, ' '),
+               i * $ParaTokens + 1, i * $ParaTokens + $ParaTokens), ' ')
+               AS ptext
+           FROM (SELECT doc_id, text, string_split(text, ' ') AS sp
+                 FROM planted),
+             unnest(range(0, cast(ceil(len(sp) / $ParaTokens.0)
+               AS bigint))) AS g(i)),
+         w AS (
+           SELECT pid, list_distinct(list_transform(
+             range(1, greatest(len(string_split(ptext, ' ')) - 1, 1)),
+             i -> string_split(ptext, ' ')[i] || ' ' ||
+                  string_split(ptext, ' ')[i+1] || ' ' ||
+                  string_split(ptext, ' ')[i+2])) AS sh
+           FROM paras),
+         sh_e AS (SELECT pid, unnest(sh) AS s FROM w),
+         p AS (SELECT a.pid AS pa, b.pid AS pb, count(*) AS shared
+               FROM sh_e a JOIN sh_e b ON a.s = b.s AND a.pid < b.pid
+               WHERE a.s IN (SELECT s FROM sh_e
+                             GROUP BY s
+                             HAVING count(*) <= $StopShingleCap)
+               GROUP BY 1, 2),
+         nn AS (SELECT pid, len(sh) AS n FROM w),
+         dup AS (SELECT pa, pb FROM p
+                 JOIN nn na ON na.pid = pa JOIN nn nb ON nb.pid = pb
+                 WHERE shared / (na.n + nb.n - shared) >= 0.4),
+         ed AS (SELECT pa AS src, pb AS dst FROM dup
+                UNION ALL SELECT pb, pa FROM dup),
+         reach AS (SELECT pid AS a, pid AS b FROM paras
+                   UNION
+                   SELECT r.a, ed.dst
+                   FROM reach r JOIN ed ON r.b = ed.src),
+         rep AS (SELECT a AS pid, min(b) AS rep FROM reach GROUP BY 1)
+         SELECT p.doc_id,
+           cast(count(*) AS bigint) AS n_paras,
+           cast(sum(CASE WHEN r.rep = p.pid THEN 1 ELSE 0 END)
+             AS bigint) AS n_kept,
+           cast(sum(CASE WHEN r.rep = p.pid
+             THEN len(string_split(p.ptext, ' ')) ELSE 0 END)
+             AS bigint) AS n_kept_tokens
+         FROM paras p JOIN rep r ON r.pid = p.pid
+         GROUP BY 1""",
     "d1_dedup_exact" ->
       """SELECT md5(array_to_string(list_sort(list_distinct(
            string_split(text, ' '))), ' ')) AS fp,

@@ -374,6 +374,11 @@ object Similarity {
     val total = emb.count()
     val sampleCap = 16384L
     val mod = math.max(1L, total / sampleCap)
+    // BOUNDED BY CONSTRUCTION: the key-hash filter keeps ~total/mod ≈
+    // sampleCap rows regardless of corpus size (the mod grows with
+    // total), so this collect tops out near 16k × 64 floats ≈ 4 MB —
+    // the d5-tiling discipline applied to a training sample.
+    // DedupSimSpec asserts the cap.
     val sample: Array[(Long, Array[Float])] = emb
       .filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
       .select("vec_id", "embedding").as[(Long, Array[Float])]
@@ -559,14 +564,49 @@ object Similarity {
     * the index tier that fits in cluster memory), which is exactly
     * the FAISS IVFADC deployment shape. Rows-only + recall gate in
     * ScalaTest (k-means and codebooks aren't SQL-expressible). */
-  def n6SimIvfPqTopk(s: SparkSession, dir: String): DataFrame = {
+  def n6SimIvfPqTopk(s: SparkSession, dir: String): DataFrame =
+    ivfPqTopkOf(s, Tables.embeddings(s, dir),
+      col("vec_id") % 50 === 0, k = 5)
+
+  /** N7 — the d7-style PLANTED TRUE-DUP GATE for n6, the production
+    * ANN default: exact duplicates of every 25th vector join the
+    * corpus under offset ids (the d7 plant), and each planted copy
+    * queries the full IVF-PQ stack. An exact copy routes to ITS OWN
+    * cell with p = 1 (identical best-cell computation), its ADC
+    * estimate sits near cosine 1.0 while the organic corpus tops out
+    * near 0.51 (see d5) — a gap PQ quantization noise cannot bridge —
+    * and the exact re-rank then scores the true duplicate at
+    * cosine 1.0 exactly (ulp absorbed by the 1e−6 rounding). So the
+    * top-1 answer is a CLOSED FORM the DuckDB oracle can state
+    * without replaying any k-means: (query, its source, 1.0, rank 1).
+    * This is the value-level CORRECTNESS row the recall specs
+    * (statistical, ScalaTest-side) could not give n6. */
+  def n7IvfPqPlantedGate(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val planted = base
+      .filter(col("vec_id") % graft.dedup.Dedup.D7PlantStride === 0)
+      .select((col("vec_id") + graft.dedup.Dedup.D7PlantOffset)
+        .as("vec_id"), col("embedding"))
+    ivfPqTopkOf(s, base.union(planted),
+      col("vec_id") >= graft.dedup.Dedup.D7PlantOffset, k = 1)
+  }
+
+  /** The n6 body over an arbitrary (vec_id, embedding) corpus and
+    * query predicate — shared by the gated n6 query and the n7
+    * planted gate. */
+  private def ivfPqTopkOf(s: SparkSession, embIn: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
     GraftFunctions.register(s)
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
+    val emb = embIn.select("vec_id", "embedding")
     val total = emb.count()
     val (cells, probes) = n3AutoDial(total)
     val sampleCap = 16384L
     val mod = math.max(1L, total / sampleCap)
+    // BOUNDED BY CONSTRUCTION: key-hash sampling keeps ~sampleCap
+    // rows however large the corpus (mod scales with total) — ≈4 MB
+    // on the driver, same discipline as n4's sample and d5's tiles.
+    // DedupSimSpec asserts the cap.
     val sample: Array[Array[Float]] = emb
       .filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
       .select("vec_id", "embedding").as[(Long, Array[Float])]
@@ -657,7 +697,7 @@ object Similarity {
     // the query WORKLOAD (bounded by definition): raw vectors only —
     // each task derives probe lists and LUTs locally from the model
     val queryVecs: Array[(Long, Array[Float], Double)] = emb
-      .filter(col("vec_id") % 50 === 0)
+      .filter(queryPred)
       .select("vec_id", "embedding").as[(Long, Array[Float])]
       .collect().sortBy(_._1)
       .map { case (id, q) =>
@@ -768,10 +808,11 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"),
         GraftFunctions.floatCosine("q_embedding", "v_embedding")
           .as("cosine"))
-    topKRanked(scored, 5)
+    topKRanked(scored, k)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n7_ivfpq_planted_gate" -> n7IvfPqPlantedGate,
     "n5_embedding_quantize" -> n5EmbeddingQuantize,
     "n0_embedding_norms" -> n0EmbeddingNorms,
     "n1_sim_topk_bruteforce" -> n1SimTopkBruteforce,
@@ -781,6 +822,14 @@ object Similarity {
     "n6_sim_ivfpq_topk" -> n6SimIvfPqTopk)
 
   val oracle: Map[String, String] = Map(
+    // the planted-dup closed form: each planted copy's top-1 is its
+    // source at cosine exactly 1.0 (see n7IvfPqPlantedGate scaladoc)
+    "n7_ivfpq_planted_gate" ->
+      s"""SELECT vec_id + ${graft.dedup.Dedup.D7PlantOffset} AS q_id,
+           vec_id AS neighbor_id, cast(1 AS int) AS rank,
+           1.0 AS cosine
+         FROM embeddings
+         WHERE vec_id % ${graft.dedup.Dedup.D7PlantStride} = 0""",
     "n5_embedding_quantize" ->
       s"""WITH e AS (
            SELECT vec_id, embedding,

@@ -13,6 +13,62 @@ class DedupSimSpec extends SparkTestBase {
       a: String, b: String): Set[(Long, Long)] =
     df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("n4/n6 training-sample collect is bounded by construction") {
+    // the sample sites at Similarity n4/n6 collect rows passing
+    // xxhash64(vec_id) % mod == 0 with mod = max(1, total/16384):
+    // the expected sample size is ~16384 INDEPENDENT of corpus size.
+    // Assert the formula's bound across scales and the actual count
+    // on the gated corpus.
+    val sampleCap = 16384L
+    Seq(1000L, 100000L, 10000000L, 1000000000L).foreach { total =>
+      val mod = math.max(1L, total / sampleCap)
+      val expected = total / mod
+      assert(expected <= 2 * sampleCap,
+        s"total=$total expects $expected sampled rows")
+    }
+    val emb = Tables.embeddings(spark, sfSmoke)
+    val total = emb.count()
+    val mod = math.max(1L, total / sampleCap)
+    val sampled = emb
+      .filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0).count()
+    // hash uniformity: the realized count stays within 4× of the cap
+    assert(sampled <= 4 * sampleCap, s"sampled $sampled rows")
+  }
+
+  test("d8 paragraph dedup: planted buckets collapse to one kept copy") {
+    val out = Dedup.d8DedupParagraphs(spark, sfSmoke).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // one row per doc, nothing lost at doc grain
+    assert(out.size == Tables.documents(spark, sfSmoke).count())
+    // every planted bucket (25 buckets over the 50 planted docs at
+    // sf0.001) keeps its duplicate paragraph in EXACTLY one doc —
+    // the bucket's min pid, i.e. the smallest doc_id
+    val planted = out.keys.filter(_ % 10 == 0).toSeq
+    assert(planted.nonEmpty)
+    planted.groupBy(id => (id / 10) % 25).foreach { case (bucket, ids) =>
+      // count docs whose paragraphs are ALL kept (the planted para
+      // survived) among this bucket's members with >1 member
+      if (ids.size > 1) {
+        val fullyKept = ids.count(id => out(id)._2 == out(id)._1)
+        assert(fullyKept <= 1,
+          s"bucket $bucket kept the planted para in $fullyKept docs")
+      }
+    }
+    // kept mass never exceeds total mass; kept counts in range
+    out.foreach { case (id, (nParas, nKept, keptTok)) =>
+      assert(nKept <= nParas && nKept >= 0)
+      assert(keptTok <= nParas * 25)
+    }
+    // at least one organic paragraph-level near-dup pruned somewhere
+    // (46 docs at sf0.001 per the oracle prototype) — the operator
+    // must do more than the plant
+    val prunedDocs = out.count { case (id, (nParas, nKept, _)) =>
+      id % 10 != 0 && nKept < nParas
+    }
+    assert(prunedDocs > 0, "no organic paragraph was ever pruned")
+  }
+
   test("d3 minhash-LSH pairs are a subset of d2 exact-jaccard pairs") {
     val exact = pairSet(Dedup.d2DedupNgramJaccard(spark, sfTest),
       "doc_a", "doc_b")
