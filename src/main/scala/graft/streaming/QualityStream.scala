@@ -1,9 +1,12 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.Tables
 import graft.functions.GraftFunctions
+import graft.ops.Expectations
+import graft.ops.Expectations.Expectation
 import graft.text.TextAnalysis
 
 /** Streaming quality gate — x14's mixture filter and x15's
@@ -37,6 +40,53 @@ object QualityStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         IdempotentSink.writeBatch(batch, id, outDir)
+      }
+      .start()
+  }
+
+  /** The s16 declarative constraint set at DOCUMENT grain — every
+    * predicate row-level and stateless, so the identical gate runs in
+    * batch and in a stream with no watermark or state. Caller must
+    * have registered the graft kernels (`token_count`). */
+  val docExpectations: Seq[Expectation] = Seq(
+    Expectation("text_present",
+      col("text").isNotNull && length(col("text")) > 0),
+    Expectation("lang_known",
+      col("lang").isin("en", "de", "es", "fr")),
+    Expectation("min_tokens", expr("token_count(text)") >= 10))
+
+  /** The CONTINUOUS form of the s16 expectation gate (the DLT-style
+    * expect-or-quarantine pattern in the ingest job itself): each
+    * micro-batch splits once into
+    *
+    *   clean → mixture filter → repetition profile → `outDir`
+    *   violations (+ `failed_expectations` provenance) → `quarDir`
+    *
+    * both through the batch-id-keyed [[IdempotentSink]] — a replayed
+    * micro-batch overwrites ITS OWN previous attempt in BOTH sinks,
+    * so clean and quarantined rows land exactly once even though the
+    * two writes aren't atomic together (a crash between them replays
+    * the batch id and rewrites both deterministically).
+    * `failed_expectations` is serialized to a comma-joined string —
+    * declaration order, deterministic — so the quarantine parquet
+    * needs no array codec and diffs cleanly. Scale: the split is two
+    * scan-level filters of the micro-batch (Expectations' shape);
+    * nothing shuffles. */
+  def startGated(s: SparkSession, dir: String, outDir: String,
+      quarDir: String, checkpointDir: String): StreamingQuery = {
+    GraftFunctions.register(s)
+    Tables.documentsStream(s, dir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        val clean = Expectations.clean(batch, docExpectations)
+        IdempotentSink.writeBatch(
+          TextAnalysis.repetitionProfile(
+            TextAnalysis.mixtureFilter(clean)), id, outDir)
+        IdempotentSink.writeBatch(
+          Expectations.quarantine(batch, docExpectations)
+            .select(col("doc_id"), col("lang"),
+              array_join(col("failed_expectations"), ",")
+                .as("failed_expectations")), id, quarDir)
       }
       .start()
   }

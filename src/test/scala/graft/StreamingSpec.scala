@@ -148,6 +148,45 @@ class StreamingSpec extends SparkTestBase {
     assert(asSet(streamed) == asSet(batch))
   }
 
+  test("streaming expectations gate: clean+quarantine == batch, " +
+      "quarantine lands exactly-once incl. replay") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sgate").toString
+    val (outDir, quarDir, ckpt) = (s"$base/out", s"$base/quar", s"$base/ckpt")
+    val q = QualityStream.startGated(spark, sfSmoke, outDir, quarDir, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val streamedClean = IdempotentSink.readOutput(spark, outDir)
+      .drop("batch_id")
+    val streamedQuar = IdempotentSink.readOutput(spark, quarDir)
+      .drop("batch_id")
+    // batch twins through the IDENTICAL expectation set
+    functions.GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sfSmoke)
+    val batchClean = text.TextAnalysis.repetitionProfile(
+      text.TextAnalysis.mixtureFilter(graft.ops.Expectations.clean(
+        docs, QualityStream.docExpectations)))
+    val batchQuar = graft.ops.Expectations.quarantine(
+        docs, QualityStream.docExpectations)
+      .select(col("doc_id"), col("lang"),
+        array_join(col("failed_expectations"), ",")
+          .as("failed_expectations"))
+    assert(batchQuar.count() > 0, "fixture must quarantine something")
+    assert(asSet(streamedClean) == asSet(batchClean))
+    assert(asSet(streamedQuar) == asSet(batchQuar))
+    // exactly-once: no doc appears twice in quarantine, and a REPLAY
+    // of a committed batch (the at-least-once delivery case) changes
+    // nothing — the id-keyed overwrite absorbs it
+    assert(streamedQuar.count() ==
+      streamedQuar.select("doc_id").distinct().count())
+    // materialize before rewriting: the overwrite deletes the very
+    // files a lazy self-read would scan
+    val replayed = spark.read.parquet(s"$quarDir/batch_id=0")
+      .localCheckpoint(true)
+    IdempotentSink.writeBatch(replayed, 0L, quarDir)
+    val after = IdempotentSink.readOutput(spark, quarDir).drop("batch_id")
+    assert(asSet(after) == asSet(batchQuar), "replay must be a no-op")
+  }
+
   test("streaming quality gate == batch x14-filter + x15-profile") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_quality").toString
