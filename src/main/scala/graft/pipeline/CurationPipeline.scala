@@ -140,8 +140,18 @@ object CurationPipeline {
   /** Stages 6–7: near-dup keep-list over the survivors (d2b capped
     * pair graph → d6 star contraction → keep component minimum),
     * then x17 shard assignment. Returns one row per KEPT doc:
-    * (doc_id, text, n_tokens, shard). */
-  private[graft] def keptDocs(s: SparkSession, dir: String): DataFrame = {
+    * (doc_id, text, n_tokens, shard). Cached per (session, dir) like
+    * the survivors: the keep-list IS the pipeline's materialization
+    * point, and x26 consumes it right after x25 built it — without
+    * the cache the pair graph + star contraction run twice. */
+  private val keptCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private[graft] def keptDocs(s: SparkSession, dir: String): DataFrame =
+    keptCache.computeIfAbsent((s.sparkContext.applicationId, dir),
+      _ => keptPlan(s, dir).localCheckpoint(true))
+
+  private def keptPlan(s: SparkSession, dir: String): DataFrame = {
     val survived = survivedDocs(s, dir)
     val pairs = Dedup.d2PairsOf(
       survived.select("doc_id", "text"), Dedup.StopShingleCap)
