@@ -64,7 +64,7 @@ object CurationPipeline {
   /** Stages 1–5 (all per-row gates + the two bounded anti-sets),
     * ending in the curated multilingual corpus: (doc_id, lang, text,
     * n_tokens). */
-  private def survivedPlan(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def survivedPlan(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val docs = Tables.documents(s, dir)
     // stage 1 — per-row gates (x2's quality composite; n >= 10).

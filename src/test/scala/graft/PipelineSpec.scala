@@ -46,6 +46,25 @@ class PipelineSpec extends SparkTestBase {
     } finally kept.unpersist()
   }
 
+  test("pipeline plan shape: decontamination sides broadcast, no cartesian") {
+    // inspect the UN-cached stage-1..5 plan (survivedDocs checkpoints
+    // it away): both small sides of decontamination — the benchmark
+    // gram set and the contaminated-id hit list — must broadcast so
+    // the corpus side pays no exchange for stage 3
+    val plan = graft.pipeline.CurationPipeline
+      .survivedPlan(spark, sfSmoke)
+      .queryExecution.executedPlan.toString
+    val nBroadcast =
+      "BroadcastExchange".r.findAllIn(plan).length
+    assert(nBroadcast >= 2,
+      s"expected both decontamination sides broadcast, saw $nBroadcast")
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftAnti"),
+      "contaminated-id anti-join must be a broadcast hash join")
+    assert(!plan.contains("CartesianProduct"),
+      "pipeline plan must not contain a cartesian product")
+  }
+
   test("x26 tokenization agrees with the x25 manifest per shard") {
     val m25 = CurationPipeline.x25PipelineE2e(spark, sfSmoke)
       .select("shard", "n_docs", "sum_tokens").collect()
