@@ -604,8 +604,81 @@ object Dedup {
           .cast("long")).otherwise(0L)).as("n_kept_tokens"))
   }
 
+  private[graft] val D9PlantStride = 20L
+  private[graft] val D9PlantOffset = 2000000L
+  private[graft] val D9Tau = 0.9
+
+  /** D9 — SEMANTIC dedup (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then
+    * prune within each cluster any vector whose cosine to another
+    * cluster member exceeds τ, keeping one representative per
+    * duplicate group. The scalable shape is the paper's: clustering
+    * makes the pair graph BLOCK-LOCAL — within-cell pairs only, an
+    * equi-join on the cell id, never the n² cross join — and the
+    * clusterer is exactly the IVF coarse quantizer n3 already fits
+    * (shared [[graft.sim.Similarity.fitCentroids]] /
+    * [[graft.sim.Similarity.cosineAssign]] kernels: capped-sample
+    * k-means fit + broadcast zero-shuffle assignment).
+    *
+    * At 100 TB, cells dial with √(n/2) here (the n3 dial); a
+    * production deployment dials cells ∝ n / targetCellSize so
+    * per-cell pair cost is a CONSTANT independent of corpus size —
+    * the paper runs 50k clusters on LAION. Grouping uses the d6
+    * star-contraction keep-list (min-id representative — the paper
+    * keeps an arbitrary/centroid-far member; min-id is the
+    * deterministic choice every other dedup gate here uses).
+    *
+    * Organic cosines top out near 0.51 (see d5), so at τ=0.9 the
+    * organic corpus must survive intact and the planted exact
+    * duplicates (every `D9PlantStride`-th vector under offset ids —
+    * the d7/x13 precedent) are the complete truth: an exact copy
+    * assigns to its original's cell with p=1 (same vector, same
+    * deterministic argmax), collides at cosine 1.0, and the min-id
+    * rule keeps the original. The DuckDB oracle states that
+    * closed-form answer. */
+  def d9SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val planted = base.filter(col("vec_id") % D9PlantStride === 0)
+      .select((col("vec_id") + D9PlantOffset).as("vec_id"),
+        col("embedding"))
+    d9KeepList(base.union(planted), D9Tau)
+  }
+
+  /** D9 body over any (vec_id, embedding) corpus: fit → assign →
+    * within-cell τ-filtered pair graph → d6 keep-list. Returns
+    * (vec_id, rep, kept) for every input vector. */
+  private[graft] def d9KeepList(corpus: DataFrame, tau: Double)
+      : DataFrame = {
+    import graft.sim.Similarity
+    val total = corpus.count()
+    val (cells, _) = Similarity.n3AutoDial(total)
+    val cents = Similarity.fitCentroids(corpus, cells, total)
+    val assigned = Similarity.cosineAssign(corpus, cents)
+    // Within-cell pairs: both sides shuffle once on the cell id; the
+    // per-task pair expansion is cellSize² — bounded by the cell
+    // dial, and at √(n/2) cells the whole graph is O(n^1.5) cosines
+    // (constant per cell under the production n/targetCellSize dial).
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"))
+    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(GraftFunctions.floatCosine("ea", "eb") >= tau)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val (labels, _) = alternatingStarLabels(pairs)
+    corpus.select("vec_id")
+      .join(labels.withColumnRenamed("doc_id", "vec_id"),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("rep"), col("vec_id")).as("rep"))
+      .withColumn("kept", col("rep") === col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d8_dedup_paragraphs" -> d8DedupParagraphs,
+    "d9_semdedup" -> d9SemanticDedup,
     "d1_dedup_exact" -> d1DedupExact,
     "d7_dedup_embedding_lsh" -> d7DedupEmbeddingLsh,
     "d2_dedup_ngram_jaccard" -> d2DedupNgramJaccard,
@@ -644,6 +717,17 @@ object Dedup {
 
   /** DuckDB mirrors. d3/d4 are hash-scheme-specific → rows-only. */
   val oracle: Map[String, String] = Map(
+    "d9_semdedup" ->
+      s"""WITH corpus AS (
+           SELECT vec_id FROM embeddings
+           UNION ALL
+           SELECT vec_id + $D9PlantOffset AS vec_id FROM embeddings
+           WHERE vec_id % $D9PlantStride = 0)
+         SELECT vec_id,
+           CASE WHEN vec_id >= $D9PlantOffset
+                THEN vec_id - $D9PlantOffset ELSE vec_id END AS rep,
+           vec_id < $D9PlantOffset AS kept
+         FROM corpus""",
     "d8_dedup_paragraphs" ->
       s"""WITH RECURSIVE
          planted AS (

@@ -196,28 +196,40 @@ object Similarity {
     * shuffle), so a query's nearest cells are exactly where its
     * cosine-nearest vectors were filed. Recall vs n1 asserted in
     * ScalaTest; rows-only (k-means isn't SQL-expressible). */
-  def n3SimIvfTopk(s: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(s)
+  /** IVF coarse-quantizer fit: spark.ml k-means (seeded, 5 iters) on
+    * a deterministic key-hash sample capped at ~100k vectors — the
+    * model is `cells` rows; the sample bound, not the corpus, pays
+    * for training. Shared by n3 and d9 (the SemDeDup clusterer is
+    * exactly the IVF coarse quantizer). */
+  private[graft] def fitCentroids(emb: DataFrame, cells: Int,
+      total: Long): Array[(Int, Array[Float])] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    import s.implicits._
-    val emb = Tables.embeddings(s, dir)
-    val total = emb.count()
     val sampleCap = 100000L
     val mod = math.max(1L, total / sampleCap)
     val fitSet = emb
       .filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
       .withColumn("features", array_to_vector(col("embedding")))
-    val (cells, probes) = n3AutoDial(total)
     val model = new KMeans().setK(cells).setSeed(42).setMaxIter(5)
       .setFeaturesCol("features").fit(fitSet)
     // centroids as float arrays (cell-selection only — lossy cast OK)
-    val cents: Array[(Int, Array[Float])] =
-      model.clusterCenters.zipWithIndex.map {
-        case (c, i) => (i, c.toArray.map(_.toFloat))
-      }
+    model.clusterCenters.zipWithIndex.map {
+      case (c, i) => (i, c.toArray.map(_.toFloat))
+    }
+  }
+
+  /** Cell assignment by max cosine against the broadcast centroids —
+    * a zero-shuffle mapPartitions kernel over (vec_id, embedding).
+    * Deterministic: strict `>` argmax ties to the lowest cell index,
+    * so an exact-duplicate vector ALWAYS lands in its original's
+    * cell (the d9 planted-gate invariant). Returns
+    * (vec_id, embedding, cell). */
+  private[graft] def cosineAssign(emb: DataFrame,
+      cents: Array[(Int, Array[Float])]): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
     val bcCents = s.sparkContext.broadcast(cents)
-    val assigned = emb.select("vec_id", "embedding")
+    emb.select("vec_id", "embedding")
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bcCents.value
@@ -242,6 +254,16 @@ object Similarity {
           (id, v, best)
         }
       }.toDF("vec_id", "embedding", "cell")
+  }
+
+  def n3SimIvfTopk(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val total = emb.count()
+    val (cells, probes) = n3AutoDial(total)
+    val cents = fitCentroids(emb, cells, total)
+    val assigned = cosineAssign(emb, cents)
     val centroids = cents.toSeq.toDF("cell", "centroid")
     val queries = assigned.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"),

@@ -35,6 +35,44 @@ class DedupSimSpec extends SparkTestBase {
     assert(sampled <= 4 * sampleCap, s"sampled $sampled rows")
   }
 
+  test("d9 semdedup: planted exact copies removed, organic corpus intact") {
+    val out = Dedup.d9SemanticDedup(spark, sfSmoke).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val nBase = Tables.embeddings(spark, sfSmoke).count()
+    val planted = out.keys.filter(_ >= Dedup.D9PlantOffset).toSeq
+    assert(out.size == nBase + planted.size)
+    assert(planted.nonEmpty)
+    // every planted copy folds onto its original and is dropped; the
+    // clustering step cannot lose a pair (same vector → same cell)
+    planted.foreach { id =>
+      assert(out(id) == (id - Dedup.D9PlantOffset, false),
+        s"planted $id not deduped onto its original")
+    }
+    // at τ=0.9 no organic vector may be pruned (corpus max cos ≈ 0.51)
+    out.keys.filter(_ < Dedup.D9PlantOffset).foreach { id =>
+      assert(out(id) == (id, true), s"organic $id wrongly pruned")
+    }
+  }
+
+  test("d9 cell sizes stay within the pair-cost bound the dial promises") {
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val corpus = Tables.embeddings(spark, sfSmoke)
+      .select("vec_id", "embedding")
+    val total = corpus.count()
+    val (cells, _) = Similarity.n3AutoDial(total)
+    val assigned = Similarity.cosineAssign(
+      corpus, Similarity.fitCentroids(corpus, cells, total))
+    val maxCell = assigned.groupBy("cell").count()
+      .agg(max("count")).head().getLong(0)
+    // avg cell = total/cells; k-means imbalance may concentrate, but
+    // the per-task pair expansion (maxCell²) must stay far below the
+    // corpus-quadratic blowup the clustering exists to prevent
+    assert(maxCell * maxCell < total * total / 4,
+      s"hot cell of $maxCell vectors defeats the block-local bound")
+    assert(assigned.count() == total)
+  }
+
   test("d8 paragraph dedup: planted buckets collapse to one kept copy") {
     val out = Dedup.d8DedupParagraphs(spark, sfSmoke).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
