@@ -545,7 +545,65 @@ object TextAnalysis {
       .limit(20)
   }
 
+  private[graft] val DriftBins = 10
+
+  /** X28 — distribution-drift monitor: Population Stability Index
+    * between a reference corpus half (sources src0–src9) and a
+    * candidate half (src10+) per numeric feature — the standing gate
+    * a production ingest runs on every new crawl batch before it
+    * joins the training mix (PSI ≥ 0.2 is the conventional
+    * investigate threshold). Features: n_chars and whitespace token
+    * count, each in 10 fixed-width bins; proportions are
+    * Laplace-smoothed ((n+1)/(N+bins)) so empty bins stay defined.
+    *
+    * Shape: one scan → per-(feature, bin, shard) hash agg over ≤ 40
+    * cells → a broadcast-size grid join; all corpus-size-dependent
+    * work is the single agg. Cross-engine determinism is the x12
+    * recipe: ln() is the one op whose last ulp differs between
+    * engines, so each bin's ln ratio is quantized to 1e-4 and each
+    * PSI term to an integer at 1e-10 before the (exact, integer)
+    * sum — both engines add identical longs in any order. */
+  def x28DistributionDrift(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+      .select(
+        when(substring(col("source"), 4, 10).cast("int") < 10, "ref")
+          .otherwise("cand").as("shard"),
+        col("n_chars"),
+        nTokens.cast("long").as("n_tok"))
+    val feats = docs.select(col("shard"), lit("n_chars").as("feature"),
+        least(floor(col("n_chars") / 64.0), lit(DriftBins - 1))
+          .cast("long").as("bin"))
+      .union(docs.select(col("shard"), lit("n_tokens"),
+        least(floor(col("n_tok") / 16.0), lit(DriftBins - 1))
+          .cast("long")))
+    val counts = feats.groupBy("feature", "bin").agg(
+      sum(when(col("shard") === "ref", 1L).otherwise(0L)).as("nr"),
+      sum(when(col("shard") === "cand", 1L).otherwise(0L)).as("nc"))
+    import s.implicits._
+    val grid = Seq("n_chars", "n_tokens")
+      .flatMap(f => (0 until DriftBins).map(b => (f, b.toLong)))
+      .toDF("feature", "bin")
+    val full = broadcast(grid)
+      .join(counts, Seq("feature", "bin"), "left")
+      .na.fill(0L, Seq("nr", "nc"))
+    val tot = full.groupBy("feature")
+      .agg(sum("nr").as("tr"), sum("nc").as("tc"))
+    full.join(broadcast(tot), "feature")
+      .withColumn("pr", (col("nr") + 1).cast("double") /
+        (col("tr") + DriftBins).cast("double"))
+      .withColumn("pc", (col("nc") + 1).cast("double") /
+        (col("tc") + DriftBins).cast("double"))
+      .withColumn("lq", floor(log(col("pc") / col("pr")) * 1e4 + 0.5))
+      .withColumn("tq",
+        floor((col("pc") - col("pr")) * col("lq") * 1e6 + 0.5))
+      .groupBy("feature")
+      .agg(max("tr").as("n_ref"), max("tc").as("n_cand"),
+        Det.r6(sum(col("tq")).cast("double") / 1e10).as("psi"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x28_distribution_drift" -> x28DistributionDrift,
     "x20_inverted_index" -> x20InvertedIndex,
     "x21_index_retrieval" -> x21IndexRetrieval,
     "x16_pii_redaction" -> x16PiiRedaction,
@@ -565,6 +623,50 @@ object TextAnalysis {
     "x11_bm25" -> x11Bm25)
 
   val oracle: Map[String, String] = Map(
+    "x28_distribution_drift" ->
+      s"""WITH d AS (
+           SELECT CASE WHEN cast(substr(source, 4) AS int) < 10
+                  THEN 'ref' ELSE 'cand' END AS shard,
+             n_chars, len(string_split(text, ' ')) AS n_tok
+           FROM documents),
+         f AS (
+           SELECT shard, 'n_chars' AS feature,
+             least(cast(floor(n_chars / 64.0) AS bigint), 9) AS bin
+           FROM d
+           UNION ALL
+           SELECT shard, 'n_tokens',
+             least(cast(floor(n_tok / 16.0) AS bigint), 9) FROM d),
+         grid AS (
+           SELECT feature, i AS bin
+           FROM (SELECT 'n_chars' AS feature
+                 UNION ALL SELECT 'n_tokens'),
+             unnest(range(0, $DriftBins)) AS g(i)),
+         c AS (
+           SELECT g.feature, g.bin,
+             sum(CASE WHEN shard = 'ref' THEN 1 ELSE 0 END) AS nr,
+             sum(CASE WHEN shard = 'cand' THEN 1 ELSE 0 END) AS nc
+           FROM grid g LEFT JOIN f
+             ON f.feature = g.feature AND f.bin = g.bin
+           GROUP BY 1, 2),
+         t AS (SELECT feature, cast(sum(nr) AS bigint) AS tr,
+                 cast(sum(nc) AS bigint) AS tc FROM c GROUP BY 1),
+         terms AS (
+           SELECT c.feature, t.tr, t.tc,
+             cast(c.nr + 1 AS double)
+               / cast(t.tr + $DriftBins AS double) AS pr,
+             cast(c.nc + 1 AS double)
+               / cast(t.tc + $DriftBins AS double) AS pc
+           FROM c JOIN t ON c.feature = t.feature),
+         q AS (
+           SELECT feature, tr, tc,
+             cast(floor((pc - pr)
+               * floor(ln(pc / pr) * 10000.0 + 0.5)
+               * 1000000.0 + 0.5) AS bigint) AS tq
+           FROM terms)
+         SELECT feature, max(tr) AS n_ref, max(tc) AS n_cand,
+           ${Det.sql("cast(sum(tq) AS double) / 10000000000.0", 6)}
+             AS psi
+         FROM q GROUP BY 1""",
     "x21_index_retrieval" ->
       s"""WITH tok AS (
            SELECT doc_id, unnest(string_split(text, ' ')) AS token
