@@ -419,12 +419,67 @@ object SnapshotStore {
       col("s_dec").cast("double").as("sum_bal"))
   }
 
+  /** OPTIMIZE-style small-file compaction (the Delta OPTIMIZE /
+    * Iceberg rewrite_data_files maintenance op): bin the latest
+    * snapshot's SMALL files (< targetBytes/2) into ~targetBytes
+    * outputs and commit the result as the next snapshot. Files at or
+    * above the threshold are carried over BY REFERENCE — never read,
+    * never rewritten — so compaction cost scales with the small-file
+    * mass, not the table (at 100 TB the small-file tail of a
+    * streaming ingest is gigabytes; rewriting healthy files would be
+    * the whole table). The rewrite is one round-robin shuffle of the
+    * small-file rows into ceil(smallBytes/targetBytes) partitions.
+    * Old snapshots stay readable (time travel intact; `vacuum`
+    * reclaims them later). Plain manifests only — a stats manifest
+    * (commitWithStats) would need its per-file min/max recomputed for
+    * the rewritten files. Returns the new snapshot id (or the latest
+    * id unchanged when <2 small files exist — nothing to compact). */
+  def compact(s: SparkSession, root: String, targetBytes: Long): Long = {
+    val f = fs(s, root)
+    val files = manifestFiles(s, root, None)
+    val sized = files.map(p =>
+      p -> f.getFileStatus(new Path(p)).getLen)
+    val (small, keep) = sized.partition(_._2 < targetBytes / 2)
+    if (small.length < 2) return snapshots(s, root).last
+    val totalSmall = small.map(_._2).sum
+    val nOut = math.max(1,
+      math.ceil(totalSmall.toDouble / targetBytes).toInt)
+    val df = s.read.parquet(small.map(_._1): _*).repartition(nOut)
+    val (_, newFiles) = writeSnapshotData(df, root)
+    commitManifest(s, root,
+      (keep.map(_._1) ++ newFiles).sorted, maxRetries = 10)
+  }
+
+  /** S20 — compaction end-to-end: commit orders in a deliberately
+    * fragmented 64-file layout (a streaming ingest's small-file
+    * debt), OPTIMIZE it, and read the table back through the new
+    * manifest. The oracle gates ANSWER INVISIBILITY — the compacted
+    * table is row-for-row the base table; the file-count collapse,
+    * the large-file carry-over-by-reference, and pre-compaction
+    * time travel are pinned in SnapshotStoreSpec. */
+  def s20Compaction(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val root = new Path(
+      sys.props("java.io.tmpdir"), s"graft_s20$tag/t").toString
+    fs(s, root).delete(new Path(root).getParent, true)
+    commit(base.repartition(64), root)
+    compact(s, root, targetBytes = 1L << 20)
+    read(s, root)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s12_snapshot_changes" -> s12SnapshotChanges,
     "s14_snapshot_skipping" -> s14SnapshotSkipping,
-    "s15_incremental_mv" -> s15IncrementalMv)
+    "s15_incremental_mv" -> s15IncrementalMv,
+    "s20_compaction" -> s20Compaction)
 
   val oracle: Map[String, String] = Map(
+    "s20_compaction" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice
+         FROM orders""",
     "s15_incremental_mv" ->
       """WITH base AS (
            SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
