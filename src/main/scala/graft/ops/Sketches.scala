@@ -116,9 +116,77 @@ object Sketches {
       .toDF("token", "exact_count", "est_count")
   }
 
+  /** KLL dial: k=400 → single-sketch 99%-confidence rank error
+    * ≈0.87% (DataSketches KLL table), a few KiB per sketch regardless
+    * of input size. */
+  private val KllK = 400
+
+  /** x27 — mergeable QUANTILE sketch rollup (DataSketches KLL,
+    * Karnin-Lang-Liberty 2016), completing the shard-summary trio:
+    * x18 answers "how many distinct", x19 "how often does t occur",
+    * x27 "what does the distribution look like" — percentiles of
+    * l_extendedprice per ingest shard and globally, from fixed-size
+    * summaries, no corpus rescan.
+    *
+    * Shape: sketches build PARTITION-LOCALLY (one pass, a HashMap of
+    * ≤ Shards sketches per task — the x9 Misra-Gries pattern), merge
+    * per shard via groupByKey (the shuffle moves sketch blobs, never
+    * values), and the ≤ `Shards` fixed-size shard blobs fold
+    * driver-side into the global summary (the x19 bounded-collect
+    * pattern — the collect is Shards × a-few-KiB by construction).
+    *
+    * Unlike HLL/CMS, KLL compaction is RANDOMIZED (unseeded coin
+    * flips pick which half of a level survives), so SketchesSpec
+    * pins the paper's guarantee rather than replay equality: every
+    * estimated quantile's true rank within ±5% of target (>5× the
+    * 99% bound at k=400 — not a flake surface), and the exact-by-
+    * design invariants: per-shard n is exact, min/max are exact.
+    * Rows-only gate (17 rows: 16 shards + the global rollup). */
+  def x27KllRollup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    import s.implicits._
+    val rows = Tables.lineitem(s, dir)
+      .select(pmod(xxhash64(col("l_orderkey")), lit(Shards))
+          .cast("int").as("shard"),
+        col("l_extendedprice").cast("double").as("v"))
+      .as[(Int, Double)]
+    val partial = rows.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap
+        .empty[Int, KllDoublesSketch]
+      it.foreach { case (sh, v) =>
+        m.getOrElseUpdate(sh,
+          KllDoublesSketch.newHeapInstance(KllK)).update(v)
+      }
+      m.iterator.map { case (sh, sk) => (sh, sk.toByteArray) }
+    }
+    val shardBlobs = partial.groupByKey(_._1)
+      .mapGroups { (sh, it) =>
+        val sk = KllDoublesSketch.newHeapInstance(KllK)
+        it.foreach { case (_, b) =>
+          sk.merge(KllDoublesSketch.heapify(Memory.wrap(b))) }
+        (sh, sk.toByteArray)
+      }
+      .collect()   // ≤ Shards blobs of a few KiB — bounded by construction
+      .sortBy(_._1)
+    val sketches = shardBlobs.map { case (sh, b) =>
+      (sh, KllDoublesSketch.heapify(Memory.wrap(b))) }
+    val global = KllDoublesSketch.newHeapInstance(KllK)
+    sketches.foreach { case (_, sk) => global.merge(sk) }
+    val out = (sketches :+ ((-1, global))).map { case (sh, sk) =>
+      (sh, sk.getN, sk.getMinItem, sk.getQuantile(0.25),
+        sk.getQuantile(0.5), sk.getQuantile(0.75),
+        sk.getQuantile(0.95), sk.getMaxItem)
+    }
+    s.createDataFrame(out.toIndexedSeq)
+      .toDF("shard", "n_rows", "v_min", "p25", "p50", "p75", "p95",
+        "v_max")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_sketch_rollup" -> x18SketchRollup,
-    "x19_cms_rollup" -> x19CmsRollup)
+    "x19_cms_rollup" -> x19CmsRollup,
+    "x27_kll_rollup" -> x27KllRollup)
 
   /** Estimates are engine-specific — rows-only by contract. */
   val oracle: Map[String, String] = Map.empty

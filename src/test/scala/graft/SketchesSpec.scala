@@ -71,6 +71,40 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("x27: KLL quantiles inside the rank envelope; n/min/max exact") {
+    val dir = sfTest
+    val out = Sketches.x27KllRollup(spark, dir).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    val vals = Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice").cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    val n = vals.length
+    // 17 rows: 16 shards + global; shard ns partition the table
+    assert(out.size == Sketches.Shards + 1)
+    assert(out.filterKeys(_ >= 0).values.map(_.getLong(1)).sum == n)
+    val g = out(-1)
+    assert(g.getLong(1) == n)          // KLL tracks n exactly
+    assert(g.getDouble(2) == vals.head) // min exact
+    assert(g.getDouble(7) == vals.last) // max exact
+    // rank envelope: the true rank of each estimated quantile must
+    // sit within ±5% of its target (k=400 KLL 99% bound ≈ 0.87%;
+    // merging ≤17 sketches degrades it by a small constant — 5% is
+    // far outside any realistic draw of the compaction coin flips)
+    Seq(0.25 -> g.getDouble(3), 0.5 -> g.getDouble(4),
+      0.75 -> g.getDouble(5), 0.95 -> g.getDouble(6)).foreach {
+      case (q, est) =>
+        val trueRank = vals.count(_ <= est).toDouble / n
+        assert(math.abs(trueRank - q) < 0.05,
+          s"q=$q est=$est landed at rank $trueRank")
+    }
+    // quantiles are monotone and bracketed by min/max
+    assert(g.getDouble(2) <= g.getDouble(3) &&
+      g.getDouble(3) <= g.getDouble(4) &&
+      g.getDouble(4) <= g.getDouble(5) &&
+      g.getDouble(5) <= g.getDouble(6) &&
+      g.getDouble(6) <= g.getDouble(7))
+  }
+
   test("x18: shard doc counts partition the corpus; shape is stable") {
     val dir = sfTest
     val rows = Sketches.x18SketchRollup(spark, dir)
