@@ -100,7 +100,60 @@ object Joins {
     ordered.intersect(positive)
   }
 
+  /** J10 — FUZZY self-join of the corpus vocabulary at edit distance
+    * ≤ 1 (typo-variant detection, the entity-resolution primitive):
+    * SymSpell deletion-neighborhood blocking (Garbe's symmetric
+    * delete algorithm — public domain). Two tokens are within one
+    * edit iff their {self} ∪ {one-char-deletions} sets intersect, so
+    * candidates come from an EQUI-JOIN on the deletion variant — the
+    * blocking key — never the vocab² cross join; only candidates pay
+    * the (codegen'd) `levenshtein` verify that kills the false
+    * candidates blocking admits (e.g. transpositions at distance 2).
+    *
+    * Scale shape: the variant explode is ×(len+1) on the VOCAB
+    * (already aggregated — corpus-size-independent past saturation),
+    * the join shuffles on the variant string, and ≥4-char tokens
+    * keep hub variants bounded (one-char deletions of short tokens
+    * collide wholesale). At a 100-TB corpus the vocabulary, not the
+    * corpus, is the working set — exactly why the op aggregates
+    * first. Emits (tok_a, tok_b, n_a, n_b) with counts so the
+    * correction direction (low-freq → high-freq) is readable.
+    *
+    * The synthetic 31-word vocabulary has no organic typo pairs, so
+    * the query PLANTS them deterministically (the x13/d7 precedent):
+    * every 25th document is appended a copy of its first ≥4-char
+    * token with the 3rd character deleted — a guaranteed
+    * distance-1 (deletion) variant the oracle replays in SQL. */
+  def j10FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val tok1 = element_at(split(col("text"), " "), 1)
+    val typo = concat(substring(tok1, 1, 2),
+      expr("substring(element_at(split(text, ' '), 1), 4)"))
+    val docs = Tables.documents(s, dir).select(
+      when(col("doc_id") % 25 === 0 && length(tok1) >= 4,
+        concat(col("text"), lit(" "), typo))
+        .otherwise(col("text")).as("text"))
+    val vocab = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(length(col("token")) >= 4)
+    val vars = vocab.select(col("token"), col("n"),
+        explode(concat(array(col("token")),
+          expr("""transform(sequence(1, length(token)),
+                   i -> concat(substring(token, 1, i-1),
+                               substring(token, i+1,
+                                 length(token) - i)))""")))
+          .as("v"))
+      .distinct()
+    vars.as("a").join(vars.as("b"),
+        col("a.v") === col("b.v") && col("a.token") < col("b.token"))
+      .select(col("a.token").as("tok_a"), col("b.token").as("tok_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .distinct()
+      .filter(levenshtein(col("tok_a"), col("tok_b")) <= 1)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j10_fuzzy_join" -> j10FuzzyJoin,
     "j1_join_facts" -> j1JoinFacts,
     "j2_join_dims" -> j2JoinDims,
     "j3_anti_join" -> j3AntiJoin,
@@ -110,6 +163,34 @@ object Joins {
     "t3_intersect" -> t3Intersect)
 
   val oracle: Map[String, String] = Map(
+    "j10_fuzzy_join" ->
+      """WITH planted AS (
+           SELECT CASE WHEN doc_id % 25 = 0
+                    AND length(string_split(text, ' ')[1]) >= 4
+                  THEN text || ' '
+                    || substr(string_split(text, ' ')[1], 1, 2)
+                    || substr(string_split(text, ' ')[1], 4)
+                  ELSE text END AS text
+           FROM documents),
+         vocab AS (
+           SELECT token, cast(count(*) AS bigint) AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS token
+                 FROM planted)
+           GROUP BY 1 HAVING length(token) >= 4),
+         vars AS (
+           SELECT DISTINCT token, n, v FROM (
+             SELECT token, n, token AS v FROM vocab
+             UNION ALL
+             SELECT token, n,
+               substr(token, 1, i - 1) || substr(token, i + 1) AS v
+             FROM vocab, unnest(range(1, len(token) + 1)) AS g(i))),
+         cand AS (
+           SELECT DISTINCT a.token AS tok_a, b.token AS tok_b,
+             a.n AS n_a, b.n AS n_b
+           FROM vars a JOIN vars b
+             ON a.v = b.v AND a.token < b.token)
+         SELECT tok_a, tok_b, n_a, n_b FROM cand
+         WHERE levenshtein(tok_a, tok_b) <= 1""",
     "j1_join_facts" ->
       s"""SELECT o_orderpriority,
          cast(sum(${Det.sqlD2("l_extendedprice")}
