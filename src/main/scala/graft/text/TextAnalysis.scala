@@ -602,7 +602,54 @@ object TextAnalysis {
         Det.r6(sum(col("tq")).cast("double") / 1e10).as("psi"))
   }
 
+  /** X30 — DSIR data selection (Data Selection via Importance
+    * Resampling, Xie et al. 2023, arXiv:2302.03169): rank raw-corpus
+    * documents by how much more likely a TARGET-domain unigram LM
+    * makes them than the raw-corpus LM, and keep the top slice — the
+    * importance-weighting step a pretraining pipeline runs to tilt a
+    * web crawl toward a desired domain (here: target = the English
+    * slice, raw = everything).
+    *
+    * Shape: two hash aggs build the two smoothed (+1 over the shared
+    * vocab) unigram tables off ONE token scan; the per-token log
+    * ratio joins back by broadcast (the vocab is the working set,
+    * corpus-size-independent past saturation — the same argument as
+    * j10); the per-doc score is one keyed agg. ln quantizes to 1e-4
+    * integers per token before the doc sum (the x12 recipe), so both
+    * engines add identical longs and the top-100 cut (score desc,
+    * doc_id tiebreak) is deterministic. */
+  def x30DsirSelection(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(tokens).as("t"))
+    val stats = tok.agg(
+      countDistinct(col("t")).cast("double").as("v"),
+      count(lit(1)).cast("double").as("ns"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L))
+        .cast("double").as("nt"))
+    val src = tok.groupBy("t").agg(count(lit(1)).as("cs"))
+    val tgt = tok.filter(col("lang") === "en")
+      .groupBy("t").agg(count(lit(1)).as("ct"))
+    val lm = src.join(tgt, Seq("t"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(stats))
+      .select(col("t"),
+        (floor(log((col("ct") + 1).cast("double")
+            / (col("nt") + col("v"))) * 1e4 + 0.5)
+          - floor(log((col("cs") + 1).cast("double")
+            / (col("ns") + col("v"))) * 1e4 + 0.5)).as("lwq"))
+    tok.join(broadcast(lm), "t")
+      .groupBy("doc_id")
+      .agg(sum("lwq").as("sq"), count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"),
+        (col("sq").cast("double") / 1e4).as("dsir_logweight"),
+        col("n_tokens"))
+      .orderBy(col("dsir_logweight").desc, col("doc_id"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x30_dsir_selection" -> x30DsirSelection,
     "x28_distribution_drift" -> x28DistributionDrift,
     "x20_inverted_index" -> x20InvertedIndex,
     "x21_index_retrieval" -> x21IndexRetrieval,
@@ -623,6 +670,34 @@ object TextAnalysis {
     "x11_bm25" -> x11Bm25)
 
   val oracle: Map[String, String] = Map(
+    "x30_dsir_selection" ->
+      """WITH tok AS (
+           SELECT doc_id, lang,
+             unnest(string_split(text, ' ')) AS t
+           FROM documents),
+         stats AS (
+           SELECT cast(count(DISTINCT t) AS double) AS v,
+             cast(count(*) AS double) AS ns,
+             cast(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+               AS double) AS nt
+           FROM tok),
+         src AS (SELECT t, count(*) AS cs FROM tok GROUP BY 1),
+         tgt AS (SELECT t, count(*) AS ct FROM tok
+                 WHERE lang = 'en' GROUP BY 1),
+         lm AS (
+           SELECT src.t,
+             cast(floor(ln(cast(coalesce(ct, 0) + 1 AS double)
+                 / (nt + v)) * 10000.0 + 0.5) AS bigint)
+             - cast(floor(ln(cast(cs + 1 AS double)
+                 / (ns + v)) * 10000.0 + 0.5) AS bigint) AS lwq
+           FROM src LEFT JOIN tgt ON src.t = tgt.t CROSS JOIN stats)
+         SELECT doc_id,
+           cast(sum(lwq) AS double) / 10000.0 AS dsir_logweight,
+           cast(count(*) AS bigint) AS n_tokens
+         FROM tok JOIN lm ON tok.t = lm.t
+         GROUP BY 1
+         ORDER BY dsir_logweight DESC, doc_id
+         LIMIT 100""",
     "x28_distribution_drift" ->
       s"""WITH d AS (
            SELECT CASE WHEN cast(substr(source, 4) AS int) < 10
