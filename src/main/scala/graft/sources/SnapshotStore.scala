@@ -167,10 +167,22 @@ object SnapshotStore {
     finally in.close()
   }
 
-  /** The file list a snapshot pins (latest when `id` is None). */
+  /** The DATA file list a snapshot pins (latest when `id` is None).
+    * Deletion-vector sidecar lines (`dv\t<path>`, [[deleteWhere]]) are
+    * metadata, not data, and are excluded. */
   def manifestFiles(s: SparkSession, root: String,
       id: Option[Long] = None): Seq[String] =
-    manifestLines(s, root, id).map(_.split('\t').head)
+    manifestLines(s, root, id).map(_.split('\t'))
+      .filter(_.head != DvMarker).map(_.head)
+
+  private val DvMarker = "dv"
+
+  /** Deletion-vector sidecar paths of a snapshot (empty when no
+    * merge-on-read delete has run). */
+  def dvPaths(s: SparkSession, root: String,
+      id: Option[Long] = None): Seq[String] =
+    manifestLines(s, root, id).map(_.split('\t'))
+      .collect { case Array(DvMarker, p) => p }
 
   /** The files of a snapshot whose `statsCol` range can intersect
     * [lo, hi], resolved from manifest stats alone (no data file is
@@ -217,11 +229,90 @@ object SnapshotStore {
   def read(s: SparkSession, root: String): DataFrame =
     readSnapshot(s, root, None)
 
-  /** Time travel: read snapshot `id` (or latest). */
+  /** Time travel: read snapshot `id` (or latest). When the snapshot
+    * carries a deletion vector ([[deleteWhere]]), deleted positions
+    * are filtered out merge-on-read: every row is tagged with its
+    * (file, row-position) identity from the parquet reader's hidden
+    * `_metadata` column — no data was rewritten, so position IS
+    * identity — and a broadcast left-anti join against the (small)
+    * DV sidecar drops the dead rows. The join keys on `file_name`,
+    * not the full path: Spark part names embed the write job's UUID,
+    * so names are unique table-wide and sidestep scheme/URI
+    * normalization between `_metadata.file_path` and manifest paths. */
   def readSnapshot(s: SparkSession, root: String,
       id: Option[Long]): DataFrame = {
     val files = manifestFiles(s, root, id)
-    s.read.parquet(files: _*)
+    val data = s.read.parquet(files: _*)
+    val dvs = dvPaths(s, root, id)
+    if (dvs.isEmpty) data
+    else applyDv(data, s.read.parquet(dvs: _*))
+  }
+
+  /** Filter out DV-listed (file, position) rows: tag each row with
+    * its parquet identity from `_metadata`, broadcast-anti-join the
+    * sidecar (deletes are small relative to the table — that is the
+    * regime merge-on-read exists for), drop the tags. */
+  private def applyDv(data: DataFrame, dv: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    data
+      .withColumn("__dv_file", col("_metadata.file_name"))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+      .join(broadcast(dv),
+        col("__dv_file") === col("dv_file") &&
+          col("__dv_pos") === col("dv_pos"),
+        "left_anti")
+      .drop("__dv_file", "__dv_pos")
+  }
+
+  /** Merge-on-read DELETE — the deletion-vector half of the lakehouse
+    * write surface (the public Delta DV / Iceberg position-delete
+    * idea), beside the copy-on-write path ([[MergeInto]] rewrites
+    * every touched file). No data file is touched: rows matching
+    * `cond` in the CURRENT snapshot are recorded as (file name, row
+    * position) pairs in a parquet sidecar, and the new manifest pins
+    * the SAME data files plus the sidecar. Cost is O(matched rows)
+    * write + one manifest commit — at 100 TB a DELETE of 0.01% of
+    * rows costs 0.01%, where copy-on-write pays for every file a
+    * matching row lands in. Readers pay a broadcast anti-join until
+    * [[compact]] (or any rewrite) materializes the deletes away.
+    * Sidecars merge cumulatively: each delete writes one sidecar
+    * holding ALL dead positions, so reads join one DV regardless of
+    * delete count. Returns the new snapshot id (latest id unchanged
+    * when nothing matched — deletes are idempotent). */
+  def deleteWhere(s: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions._
+    val ids = snapshots(s, root)
+    require(ids.nonEmpty, s"no committed snapshot at $root")
+    val files = manifestFiles(s, root, None)
+    val dataLines = manifestLines(s, root, None)
+      .filterNot(_.startsWith(DvMarker + "\t"))
+    val dvs = dvPaths(s, root, None)
+    val tagged = s.read.parquet(files: _*)
+      .withColumn("dv_file", col("_metadata.file_name"))
+      .withColumn("dv_pos", col("_metadata.row_index"))
+    // only LIVE rows can die: apply the existing DV before matching,
+    // so re-running the same predicate finds nothing (idempotence)
+    val live =
+      if (dvs.isEmpty) tagged
+      else tagged.join(
+        broadcast(s.read.parquet(dvs: _*)
+          .withColumnRenamed("dv_file", "old_file")
+          .withColumnRenamed("dv_pos", "old_pos")),
+        col("dv_file") === col("old_file") &&
+          col("dv_pos") === col("old_pos"),
+        "left_anti")
+    val newDead = live.filter(cond).select("dv_file", "dv_pos")
+    if (newDead.isEmpty) return ids.last
+    val merged =
+      if (dvs.isEmpty) newDead
+      else s.read.parquet(dvs: _*).unionByName(newDead)
+    val f = fs(s, root)
+    val dvDir = new Path(root, s"data/dv-${UUID.randomUUID()}")
+    merged.coalesce(1).write.parquet(dvDir.toString)
+    require(f.exists(dvDir), s"DV write failed at $dvDir")
+    commitManifest(s, root,
+      dataLines :+ s"$DvMarker\t$dvDir", maxRetries = 10)
   }
 
   /** Keyed row-level CHANGES between two snapshots — the incremental
@@ -435,6 +526,7 @@ object SnapshotStore {
     * the rewritten files. Returns the new snapshot id (or the latest
     * id unchanged when <2 small files exist — nothing to compact). */
   def compact(s: SparkSession, root: String, targetBytes: Long): Long = {
+    import org.apache.spark.sql.functions._
     val f = fs(s, root)
     val files = manifestFiles(s, root, None)
     val sized = files.map(p =>
@@ -444,10 +536,30 @@ object SnapshotStore {
     val totalSmall = small.map(_._2).sum
     val nOut = math.max(1,
       math.ceil(totalSmall.toDouble / targetBytes).toInt)
-    val df = s.read.parquet(small.map(_._1): _*).repartition(nOut)
+    val dvs = dvPaths(s, root, None)
+    val smallRaw = s.read.parquet(small.map(_._1): _*)
+    // a rewrite MATERIALIZES deletes: apply the DV to the rewritten
+    // rows (else compaction would resurrect them) and carry forward
+    // only the positions of files kept by reference
+    val df = (if (dvs.isEmpty) smallRaw
+              else applyDv(smallRaw, s.read.parquet(dvs: _*)))
+      .repartition(nOut)
     val (_, newFiles) = writeSnapshotData(df, root)
+    val dvCarry: Seq[String] =
+      if (dvs.isEmpty) Seq.empty
+      else {
+        val keepNames = keep.map(p => new Path(p._1).getName)
+        val rows = s.read.parquet(dvs: _*)
+          .filter(col("dv_file").isin(keepNames: _*))
+        if (rows.isEmpty) Seq.empty
+        else {
+          val dvDir = new Path(root, s"data/dv-${UUID.randomUUID()}")
+          rows.coalesce(1).write.parquet(dvDir.toString)
+          Seq(s"$DvMarker\t$dvDir")
+        }
+      }
     commitManifest(s, root,
-      (keep.map(_._1) ++ newFiles).sorted, maxRetries = 10)
+      (keep.map(_._1) ++ newFiles).sorted ++ dvCarry, maxRetries = 10)
   }
 
   /** S20 — compaction end-to-end: commit orders in a deliberately
@@ -470,13 +582,41 @@ object SnapshotStore {
     read(s, root)
   }
 
+  /** S21 — merge-on-read DELETE end-to-end: commit orders, run two
+    * cumulative [[deleteWhere]] passes (a key-residue slice, then a
+    * value-range slice), and read the survivors back through the
+    * DV-applying reader. No data file is rewritten at any point
+    * (SnapshotStoreSpec pins names+mtimes identical across deletes,
+    * time travel to the pre-delete rows, idempotent re-delete, and
+    * delete-then-compact materialization); the oracle replays both
+    * predicates against the base table. */
+  def s21DeleteVectors(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val root = new Path(
+      sys.props("java.io.tmpdir"), s"graft_s21$tag/t").toString
+    fs(s, root).delete(new Path(root).getParent, true)
+    commit(base.repartition(8), root)
+    deleteWhere(s, root, col("o_orderkey") % 7 === 3)
+    deleteWhere(s, root, col("o_totalprice") > 400000.0)
+    read(s, root)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s12_snapshot_changes" -> s12SnapshotChanges,
     "s14_snapshot_skipping" -> s14SnapshotSkipping,
     "s15_incremental_mv" -> s15IncrementalMv,
-    "s20_compaction" -> s20Compaction)
+    "s20_compaction" -> s20Compaction,
+    "s21_delete_vectors" -> s21DeleteVectors)
 
   val oracle: Map[String, String] = Map(
+    "s21_delete_vectors" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice
+         FROM orders
+         WHERE NOT (o_orderkey % 7 = 3)
+           AND NOT (o_totalprice > 400000.0)""",
     "s20_compaction" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice
          FROM orders""",
@@ -545,8 +685,12 @@ object SnapshotStore {
     val f = fs(s, root)
     val ids = snapshots(s, root)
     val (drop, keep) = ids.splitAt(math.max(0, ids.length - keepLast))
-    val keptFiles = keep.flatMap(i => manifestFiles(s, root, Some(i)))
-      .map(p => new Path(p).getParent.toUri.getPath).toSet
+    // retained data dirs: parents of kept data files, plus kept DV
+    // sidecar dirs (they live directly under data/)
+    val keptFiles = (keep.flatMap(i => manifestFiles(s, root, Some(i)))
+      .map(p => new Path(p).getParent.toUri.getPath) ++
+      keep.flatMap(i => dvPaths(s, root, Some(i)))
+        .map(p => new Path(p).toUri.getPath)).toSet
     drop.foreach(i => f.delete(manifestPath(root, i), false))
     val dataRoot = new Path(root, "data")
     if (!f.exists(dataRoot)) return 0

@@ -236,4 +236,57 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(spark.read.parquet(dst).collect().map(_.getLong(0)).toSet
       == Set(4L))
   }
+  test("deleteWhere: no data file is rewritten; reads drop dead rows; " +
+      "time travel sees them; re-delete is a no-op") {
+    val root = freshRoot()
+    val base = spark.range(0, 1000L)
+      .select(col("id"), (col("id") * 2).as("v"))
+    val id0 = SnapshotStore.commit(base.repartition(4), root)
+    val filesBefore = SnapshotStore.manifestFiles(spark, root)
+
+    val id1 = SnapshotStore.deleteWhere(spark, root, col("id") % 10 === 3)
+    // merge-on-read: the data file set is bit-identical (same names)
+    assert(SnapshotStore.manifestFiles(spark, root) == filesBefore)
+    assert(SnapshotStore.read(spark, root).count() == 900)
+    assert(SnapshotStore.read(spark, root)
+      .filter(col("id") % 10 === 3).count() == 0)
+    // pre-delete snapshot still has every row (time travel)
+    assert(SnapshotStore.readSnapshot(spark, root, Some(id0))
+      .count() == 1000)
+    // idempotence: nothing left to match → no new snapshot
+    assert(SnapshotStore.deleteWhere(spark, root,
+      col("id") % 10 === 3) == id1)
+  }
+
+  test("deleteWhere: sidecars merge cumulatively and compaction " +
+      "materializes deletes without resurrecting rows") {
+    val root = freshRoot()
+    val base = spark.range(0, 2000L)
+      .select(col("id"), (col("id") % 7).as("v"))
+    // fragmented layout so compact has a small-file tail to rewrite
+    SnapshotStore.commit(base.repartition(16), root)
+    SnapshotStore.deleteWhere(spark, root, col("id") < 100)
+    SnapshotStore.deleteWhere(spark, root, col("id") >= 1900)
+    // one merged DV serves both deletes
+    assert(SnapshotStore.dvPaths(spark, root).length == 1)
+    assert(SnapshotStore.read(spark, root).count() == 1800)
+
+    SnapshotStore.compact(spark, root, targetBytes = 1L << 20)
+    val after = SnapshotStore.read(spark, root)
+    assert(after.count() == 1800)
+    assert(after.filter(col("id") < 100 || col("id") >= 1900)
+      .count() == 0)
+    // every small file was rewritten → deletes are materialized and
+    // the carried DV vanished with them
+    assert(SnapshotStore.dvPaths(spark, root).isEmpty)
+  }
+
+  test("vacuum keeps a live DV sidecar; readers stay correct after") {
+    val root = freshRoot()
+    SnapshotStore.commit(
+      spark.range(0, 500L).select(col("id")).repartition(2), root)
+    SnapshotStore.deleteWhere(spark, root, col("id") % 5 === 0)
+    assert(SnapshotStore.vacuum(spark, root, keepLast = 1) == 0)
+    assert(SnapshotStore.read(spark, root).count() == 400)
+  }
 }
