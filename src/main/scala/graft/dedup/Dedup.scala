@@ -676,7 +676,50 @@ object Dedup {
       .withColumn("kept", col("rep") === col("vec_id"))
   }
 
+  /** D10 — duplicated-substring spans (the ExactSubstr semantics of
+    * Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better": remove any token run that appears verbatim more
+    * than once in the corpus). The suffix-array formulation is
+    * inherently sequential; the distributed re-expression is k-gram
+    * cover: a token position lies in a duplicated run of ≥ k tokens
+    * iff some k-token window through it repeats, so (1) stream ALL
+    * k-windows with positions through the native `ngrams` Generator,
+    * (2) keep windows whose gram occurs >1 time corpus-wide (same
+    * doc or not — one hash agg on the gram), (3) merge each doc's
+    * surviving window positions into maximal spans (overlap or
+    * adjacency ⇒ same run) with one per-doc window sort over the
+    * small hit set. Work is one shuffle on grams + one on the
+    * (sparse) hits — never all-pairs; the dup-gram join is left to
+    * AQE (broadcast when sparse, shuffled when a crawl is
+    * pathologically self-similar). Emits (doc, span) rows:
+    * span_start/span_end are 0-based token offsets, inclusive. */
+  def d10SubstringSpans(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val k = 8
+    val wins = Tables.documents(s, dir)
+      .select(col("doc_id"), expr(s"ngrams(text, $k)"))
+    val dup = wins.groupBy("ngram")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+      .select("ngram")
+    val hits = wins.join(dup, "ngram").select("doc_id", "pos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val run = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) > k, 1).otherwise(0))
+      .withColumn("span_id", sum("brk").over(run))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + lit(k - 1)).as("span_end"))
+      .withColumn("n_span_tokens",
+        col("span_end") - col("span_start") + 1)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_substring_spans" -> d10SubstringSpans,
     "d8_dedup_paragraphs" -> d8DedupParagraphs,
     "d9_semdedup" -> d9SemanticDedup,
     "d1_dedup_exact" -> d1DedupExact,
@@ -717,6 +760,34 @@ object Dedup {
 
   /** DuckDB mirrors. d3/d4 are hash-scheme-specific → rows-only. */
   val oracle: Map[String, String] = Map(
+    "d10_substring_spans" ->
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s
+                     FROM documents),
+         g AS (SELECT doc_id,
+                 unnest(range(1, greatest(len(s) - 6, 1))) - 1 AS pos,
+                 unnest(list_transform(
+                   range(1, greatest(len(s) - 6, 1)),
+                   i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2] || ' '
+                     || s[i+3] || ' ' || s[i+4] || ' ' || s[i+5]
+                     || ' ' || s[i+6] || ' ' || s[i+7])) AS gram
+               FROM sp),
+         dup AS (SELECT gram FROM g GROUP BY gram
+                 HAVING count(*) > 1),
+         hits AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+         seq AS (SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (
+                       PARTITION BY doc_id ORDER BY pos) > 8
+                     THEN 1 ELSE 0 END AS brk
+                 FROM hits),
+         spn AS (SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS span_id
+                 FROM seq)
+         SELECT doc_id, cast(span_id AS bigint) AS span_id,
+           min(pos) AS span_start, max(pos) + 7 AS span_end,
+           max(pos) + 7 - min(pos) + 1 AS n_span_tokens
+         FROM spn GROUP BY doc_id, span_id""",
     "d9_semdedup" ->
       s"""WITH corpus AS (
            SELECT vec_id FROM embeddings

@@ -648,7 +648,30 @@ object TextAnalysis {
       .limit(100)
   }
 
+  /** X31 — per-domain document caps (the RefinedWeb/C4
+    * domain-balancing step: uncapped, a handful of mega-domains
+    * dominate the training mixture). Keep at most `cap` docs per
+    * `source`, chosen by a DETERMINISTIC seeded shuffle — priority =
+    * the modular multiplicative mix of doc_id (x17's within-shard
+    * permutation), doc_id tie-break — so each domain's survivors are
+    * an unbiased, reproducible sample rather than "first N by ingest
+    * order" (which biases toward the oldest crawl). Runs through the
+    * o4 TopKPerKey operator: per-partition bounded heaps mean ≤
+    * cap·partitions rows per domain cross the one exchange; a window
+    * row_number would shuffle and sort EVERY row, and the hot
+    * mega-domains — exactly the rows the cap exists to cut — would
+    * pile into single sort buffers. */
+  def x31DomainCaps(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        ((col("doc_id") * 2654435761L) % 1000000007L).as("prio"))
+    graft.plans.TopK.topKPerKey(docs,
+      Seq(col("source")),
+      Seq(col("prio").asc, col("doc_id").asc), 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x31_domain_caps" -> x31DomainCaps,
     "x30_dsir_selection" -> x30DsirSelection,
     "x28_distribution_drift" -> x28DistributionDrift,
     "x20_inverted_index" -> x20InvertedIndex,
@@ -670,6 +693,15 @@ object TextAnalysis {
     "x11_bm25" -> x11Bm25)
 
   val oracle: Map[String, String] = Map(
+    "x31_domain_caps" ->
+      """SELECT source, doc_id, prio FROM
+         (SELECT source, doc_id,
+            (doc_id * 2654435761) % 1000000007 AS prio,
+            row_number() OVER (PARTITION BY source
+              ORDER BY (doc_id * 2654435761) % 1000000007, doc_id)
+              AS rn
+          FROM documents)
+         WHERE rn <= 10""",
     "x30_dsir_selection" ->
       """WITH tok AS (
            SELECT doc_id, lang,
