@@ -12,7 +12,7 @@ import graft.sources.{BloomSkip, Bucketing, MergeInto,
   PartitionPruning, SnapshotStore, ZOrder}
 import graft.pipeline.CurationPipeline
 import graft.streaming.EventStreams
-import graft.text.{BpeMerges, SequencePacking, TextAnalysis}
+import graft.text.{BpeMerges, QualityClassifier, SequencePacking, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -40,6 +40,7 @@ object SparkEntry {
       Bucketing.queries ++ SnapshotStore.queries ++ Sketches.queries ++
       Expectations.queries ++ PartitionPruning.queries ++
       BpeMerges.queries ++ BloomSkip.queries ++
+      QualityClassifier.queries ++
       CurationPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -55,5 +56,6 @@ object SparkEntry {
       Bucketing.oracle ++ SnapshotStore.oracle ++ Sketches.oracle ++
       Expectations.oracle ++ PartitionPruning.oracle ++
       BpeMerges.oracle ++ BloomSkip.oracle ++
+      QualityClassifier.oracle ++
       CurationPipeline.oracle
 }

@@ -291,6 +291,47 @@ object TextAnalysis {
     * the corpus pays is the final per-doc count agg over matched
     * rows. Emits each contaminated doc with its distinct shared-gram
     * count (the drop/flag decision input). */
+  /** X33 — interpolated bigram-LM NLL, the tier between x12's
+    * unigram proxy and a real LM pass: per-doc mean −ln p(t|prev)
+    * under a Jelinek–Mercer mixture (λ·c(prev,t)/c(prev) +
+    * (1−λ)·c(t)/N, λ=0.8) fit on the corpus itself. Bigram instances
+    * come from the native `ngrams` Generator — a pure scan, no
+    * per-doc window sort — and the three count tables (bigram,
+    * context, unigram) are one hash agg each, broadcast back while
+    * the bigram vocabulary is bounded (at open-vocab crawl scale the
+    * c(prev,t) join falls back to one keyed exchange on the gram;
+    * everything else stays scan-level). Per-instance NLL quantizes
+    * to 1e−4 integers before the per-doc sum (the x12 trick:
+    * order-independent integer arithmetic, cross-engine identical),
+    * and the probability expression is written operation-for-
+    * operation identically in the DuckDB oracle. Docs shorter than
+    * two tokens have no bigrams and drop out on both sides. */
+  def x33BigramNll(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+    val bg = docs.select(col("doc_id"), expr("ngrams(text, 2)"))
+      .select(col("doc_id"),
+        split(col("ngram"), " ").getItem(0).as("p"),
+        split(col("ngram"), " ").getItem(1).as("t"))
+    val tok = docs.select(col("doc_id"), explode(tokens).as("t"))
+    val bc = bg.groupBy("p", "t").agg(count(lit(1)).as("cpt"))
+    val pc = bg.groupBy("p").agg(count(lit(1)).as("cp"))
+    val uni = tok.groupBy("t").agg(count(lit(1)).as("ct"))
+    val total = uni.agg(sum(col("ct")).cast("double").as("n"))
+    val prob =
+      lit(0.8) * (col("cpt").cast("double") / col("cp").cast("double")) +
+        lit(0.2) * (col("ct").cast("double") / col("n"))
+    bg.join(broadcast(bc), Seq("p", "t"))
+      .join(broadcast(pc), Seq("p"))
+      .join(broadcast(uni), Seq("t"))
+      .crossJoin(broadcast(total))
+      .withColumn("q", floor(-log(prob) * 10000.0 + 0.5))
+      .groupBy("doc_id")
+      .agg(Det.r6(sum(col("q")) / (lit(10000.0) * count(lit(1))))
+          .as("nll_per_bigram"),
+        count(lit(1)).as("n_bigrams"))
+  }
+
   def x13Contamination(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     def grams(df: DataFrame): DataFrame =
@@ -672,6 +713,7 @@ object TextAnalysis {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x31_domain_caps" -> x31DomainCaps,
+    "x33_bigram_nll" -> x33BigramNll,
     "x30_dsir_selection" -> x30DsirSelection,
     "x28_distribution_drift" -> x28DistributionDrift,
     "x20_inverted_index" -> x20InvertedIndex,
@@ -869,6 +911,33 @@ object TextAnalysis {
               ELSE 0.0 END""", 6)} AS dup_3gram_ratio
          FROM documents"""
     },
+    "x33_bigram_nll" ->
+      s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s
+                      FROM documents),
+         bg AS (SELECT doc_id,
+                  unnest(list_transform(
+                    range(1, greatest(len(s), 1)), i -> s[i])) AS p,
+                  unnest(list_transform(
+                    range(1, greatest(len(s), 1)), i -> s[i+1])) AS t
+                FROM sp),
+         tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+         bc AS (SELECT p, t, count(*) AS cpt FROM bg GROUP BY 1, 2),
+         pc AS (SELECT p, count(*) AS cp FROM bg GROUP BY 1),
+         v AS (SELECT t, count(*) AS ct FROM tok GROUP BY 1),
+         tot AS (SELECT cast(sum(ct) AS double) AS n FROM v),
+         q AS (SELECT doc_id,
+                 floor(-ln(0.8 * (cast(cpt AS double)
+                     / cast(cp AS double))
+                   + 0.2 * (cast(ct AS double) / n)) * 10000.0 + 0.5)
+                   AS q
+               FROM bg JOIN bc USING (p, t) JOIN pc USING (p)
+                 JOIN v USING (t) CROSS JOIN tot)
+         SELECT doc_id,
+           ${Det.sql("sum(q) / (10000.0 * count(*))", 6)}
+             AS nll_per_bigram,
+           cast(count(*) AS bigint) AS n_bigrams
+         FROM q GROUP BY 1""",
     "x12_unigram_nll" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
                        FROM documents),
