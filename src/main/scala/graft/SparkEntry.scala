@@ -5,7 +5,8 @@ import graft.dedup.Dedup
 import graft.ml.Models
 import graft.multimodal.Multimodal
 import graft.ops.{Aggregates, BloomJoin, Expectations, Joins, Ordering,
-  Relational, Reshape, SkewJoin, Sketches, SqlSurface, TemporalJoins}
+  PageRank, Relational, Reshape, SkewJoin, Sketches, SqlSurface,
+  TemporalJoins}
 import graft.plans.TopK
 import graft.sim.Similarity
 import graft.sources.{BloomSkip, Bucketing, MergeInto,
@@ -40,7 +41,7 @@ object SparkEntry {
       Bucketing.queries ++ SnapshotStore.queries ++ Sketches.queries ++
       Expectations.queries ++ PartitionPruning.queries ++
       BpeMerges.queries ++ BloomSkip.queries ++
-      QualityClassifier.queries ++
+      QualityClassifier.queries ++ PageRank.queries ++
       CurationPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -56,6 +57,6 @@ object SparkEntry {
       Bucketing.oracle ++ SnapshotStore.oracle ++ Sketches.oracle ++
       Expectations.oracle ++ PartitionPruning.oracle ++
       BpeMerges.oracle ++ BloomSkip.oracle ++
-      QualityClassifier.oracle ++
+      QualityClassifier.oracle ++ PageRank.oracle ++
       CurationPipeline.oracle
 }

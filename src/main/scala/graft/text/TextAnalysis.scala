@@ -377,6 +377,44 @@ object TextAnalysis {
     docs.filter(shiftright(col("doc_id") * 2654435761L, 16) % 100 < pct)
   }
 
+  /** X37 — temperature-based mixture sampling (the T5/mT5
+    * α-sampling step, α = 0.5): where x14 takes HAND-SET per-language
+    * percentages, this derives them from the corpus itself — target
+    * share ∝ √(n_lang) — so low-resource languages are upsampled
+    * relative to their raw share, the standard multilingual
+    * rebalancing. Fully deterministic cross-engine by construction:
+    * √ is correctly rounded in IEEE 754 (unlike pow/exp, identical
+    * in every engine), the per-language weight quantizes to
+    * `floor(√n·1e6)` BIGINT before the cross-language sum (integer
+    * addition — order-independent), the keep-fraction is one
+    * double division of integers, and membership is the o3/x14
+    * key-mix against a `floor(f·1e5)` integer threshold. Two tiny
+    * aggs (per-lang counts, one global weight row) broadcast back;
+    * the filter itself is scan-level. Targets ~half the corpus. */
+  def x37TemperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_l"))
+      .withColumn("w_q",
+        floor(sqrt(col("n_l").cast("double")) * 1e6).cast("long"))
+    val tot = counts.agg(sum(col("n_l")).as("n_tot"),
+      sum(col("w_q")).as("w_tot"))
+    val frac = counts.crossJoin(broadcast(tot))
+      // target count for lang l: (n_tot/2) · w_l/Σw, capped at n_l
+      .withColumn("thresh",
+        least(lit(100000L),
+          floor((col("n_tot").cast("double") / 2.0)
+            * col("w_q").cast("double")
+            / (col("w_tot").cast("double")
+              * col("n_l").cast("double")) * 100000.0).cast("long")))
+      .select("lang", "thresh")
+    docs.join(broadcast(frac), "lang")
+      .filter(
+        shiftright(col("doc_id") * 2654435761L, 16) % 100000 <
+          col("thresh"))
+      .select("doc_id", "lang")
+  }
+
   /** X17 — deterministic training shards: the global-shuffle + shard
     * step every pretraining corpus pays between curation and
     * tokenization. Shard assignment derives from the o3/x14
@@ -714,6 +752,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x31_domain_caps" -> x31DomainCaps,
     "x33_bigram_nll" -> x33BigramNll,
+    "x37_temperature_mixture" -> x37TemperatureMixture,
     "x30_dsir_selection" -> x30DsirSelection,
     "x28_distribution_drift" -> x28DistributionDrift,
     "x20_inverted_index" -> x20InvertedIndex,
@@ -911,6 +950,23 @@ object TextAnalysis {
               ELSE 0.0 END""", 6)} AS dup_3gram_ratio
          FROM documents"""
     },
+    "x37_temperature_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS n_l,
+               cast(floor(sqrt(cast(count(*) AS double)) * 1e6)
+                 AS bigint) AS w_q
+             FROM documents GROUP BY 1),
+         tot AS (SELECT cast(sum(n_l) AS bigint) AS n_tot,
+                   cast(sum(w_q) AS bigint) AS w_tot FROM c),
+         f AS (SELECT lang,
+                 least(100000,
+                   cast(floor((cast(n_tot AS double) / 2.0)
+                     * cast(w_q AS double)
+                     / (cast(w_tot AS double) * cast(n_l AS double))
+                     * 100000.0) AS bigint)) AS thresh
+               FROM c CROSS JOIN tot)
+         SELECT doc_id, lang
+         FROM documents JOIN f USING (lang)
+         WHERE ((doc_id * 2654435761) >> 16) % 100000 < thresh""",
     "x33_bigram_nll" ->
       s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s
                       FROM documents),
