@@ -659,6 +659,16 @@ object TextAnalysis {
     val counts = feats.groupBy("feature", "bin").agg(
       sum(when(col("shard") === "ref", 1L).otherwise(0L)).as("nr"),
       sum(when(col("shard") === "cand", 1L).otherwise(0L)).as("nc"))
+    psiFromCounts(s, counts)
+  }
+
+  /** The PSI formula over (feature, bin, nr, nc) counts — shared by
+    * the batch x28 query and the streaming per-crawl-batch monitor
+    * ([[graft.streaming.DriftStream]]): dense bin grid (Laplace
+    * smoothing keeps empty bins defined), ln terms quantized to
+    * integers before the sum so the result is order-independent. */
+  private[graft] def psiFromCounts(s: SparkSession,
+      counts: DataFrame): DataFrame = {
     import s.implicits._
     val grid = Seq("n_chars", "n_tokens")
       .flatMap(f => (0 until DriftBins).map(b => (f, b.toLong)))
@@ -679,6 +689,20 @@ object TextAnalysis {
       .groupBy("feature")
       .agg(max("tr").as("n_ref"), max("tc").as("n_cand"),
         Det.r6(sum(col("tq")).cast("double") / 1e10).as("psi"))
+  }
+
+  /** The (feature, bin) instance rows x28's histograms count —
+    * per-row arithmetic only, so the same expression runs on a
+    * micro-batch unchanged. */
+  private[graft] def driftBinned(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("n_chars"),
+      nTokens.cast("long").as("n_tok"))
+    base.select(lit("n_chars").as("feature"),
+        least(floor(col("n_chars") / 64.0), lit(DriftBins - 1))
+          .cast("long").as("bin"))
+      .union(base.select(lit("n_tokens"),
+        least(floor(col("n_tok") / 16.0), lit(DriftBins - 1))
+          .cast("long")))
   }
 
   /** X30 — DSIR data selection (Data Selection via Importance

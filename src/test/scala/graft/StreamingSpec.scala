@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.streaming.{CurationStream, EventStreams, IdempotentSink,
+import graft.streaming.{DriftStream,
+  CurationStream, EventStreams, IdempotentSink,
   MvStream, QualityStream}
 import graft.sources.SnapshotStore
 
@@ -250,5 +251,16 @@ class StreamingSpec extends SparkTestBase {
     // event conservation
     val total = sessions.agg(sum("n_events")).head().getLong(0)
     assert(total == Tables.events(spark, sfSmoke).count())
+  }
+  test("streaming drift monitor: one-batch PSI verdict == batch x28") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_drift").toString
+    val q = DriftStream.start(spark, sfSmoke, s"$base/out", s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = IdempotentSink.readOutput(spark, s"$base/out")
+      .drop("batch_id")
+    val batch = text.TextAnalysis.x28DistributionDrift(spark, sfSmoke)
+    assert(batch.count() == 2)
+    assert(asSet(streamed) == asSet(batch))
   }
 }
