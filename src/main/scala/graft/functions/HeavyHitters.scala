@@ -52,20 +52,7 @@ object HeavyHitters {
 
       override def merge(a: Buf, b: Buf): Buf = {
         val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
-        small.foreach { case (t, c) =>
-          big.update(t, big.getOrElse(t, 0L) + c)
-        }
-        if (big.size > k) {
-          // subtract the (k+1)-th largest count, keep strictly positive
-          val counts = big.values.toArray
-          java.util.Arrays.sort(counts)
-          val cut = counts(counts.length - (k + 1))
-          val dead = mutable.ArrayBuffer.empty[String]
-          big.mapValuesInPlace((_, c) => c - cut)
-          big.foreach { case (t, c) => if (c <= 0) dead += t }
-          dead.foreach(big.remove)
-        }
-        big
+        mergeInto(big, small, k)
       }
 
       override def finish(b: Buf): Map[String, Long] = b.toMap
@@ -74,6 +61,38 @@ object HeavyHitters {
       override def outputEncoder: Encoder[Map[String, Long]] =
         ExpressionEncoder()
     }
+
+  /** The MG summary merge: add the smaller side in, then restore the
+    * k-counter bound by the subtract-the-(k+1)th construction —
+    * preserves the n/(k+1) lower-bound envelope (Agarwal et al.
+    * 2012, mergeable summaries). Shared by the Aggregator's shuffle
+    * merge and the streaming state fold. */
+  private[graft] def mergeInto(big: Buf,
+      small: Iterable[(String, Long)], k: Int): Buf = {
+    small.foreach { case (t, c) =>
+      big.update(t, big.getOrElse(t, 0L) + c)
+    }
+    if (big.size > k) {
+      // subtract the (k+1)-th largest count, keep strictly positive
+      val counts = big.values.toArray
+      java.util.Arrays.sort(counts)
+      val cut = counts(counts.length - (k + 1))
+      val dead = mutable.ArrayBuffer.empty[String]
+      big.mapValuesInPlace((_, c) => c - cut)
+      big.foreach { case (t, c) => if (c <= 0) dead += t }
+      dead.foreach(big.remove)
+    }
+    big
+  }
+
+  /** Immutable-map form of the merge, for driver-side state folds
+    * (both sides are ≤ k entries — trivially bounded). */
+  def mergeMaps(a: Map[String, Long], b: Map[String, Long],
+      k: Int): Map[String, Long] = {
+    val buf = mutable.HashMap.empty[String, Long]
+    buf ++= a
+    mergeInto(buf, b, k).toMap
+  }
 
   /** Column form: `heavyHitters(64)(col("token"))` → map<string,bigint>
     * of surviving keys and their lower-bound counts. */

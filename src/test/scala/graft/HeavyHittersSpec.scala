@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.HeavyHitters
+import graft.sources.SnapshotStore
+import graft.streaming.HeavyHitterStream
 
 class HeavyHittersSpec extends SparkTestBase {
   import spark.implicits._
@@ -41,5 +43,45 @@ class HeavyHittersSpec extends SparkTestBase {
     assert(mg.contains("hot"))
     assert(mg("hot") >= hot.length - n / (k + 1))
     assert(mg("hot") <= hot.length)
+  }
+  test("streaming MG state: bounded at k, envelope holds across " +
+      "batch merges, replay is a no-op") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_hhs").toString + "/t"
+    val docs = Tables.documents(spark, sfSmoke)
+    val k = 8
+    // two crawl batches fold sequentially through the state table
+    HeavyHitterStream.applyBatch(spark,
+      docs.filter(col("doc_id") % 2 === 0), 0L, root, k)
+    HeavyHitterStream.applyBatch(spark,
+      docs.filter(col("doc_id") % 2 === 1), 1L, root, k)
+    val state = SnapshotStore.read(spark, root)
+      .select("token", "count_lb").as[(String, Long)].collect().toMap
+    assert(state.size <= k)
+    val truth = docs
+      .select(explode(split(col("text"), " ")).as("t"))
+      .groupBy("t").count().as[(String, Long)].collect().toMap
+    val n = truth.values.sum
+    val slack = n / (k + 1)
+    truth.foreach { case (t, c) =>
+      if (c > slack) assert(state.contains(t),
+        s"frequent token $t (true $c > n/(k+1) = $slack) missing")
+    }
+    state.foreach { case (t, lb) =>
+      assert(lb <= truth(t), s"$t: lb $lb above true ${truth(t)}")
+      assert(lb >= truth(t) - slack,
+        s"$t: lb $lb below envelope ${truth(t) - slack}")
+    }
+    // a redelivered batch id must not move the state
+    val snaps = SnapshotStore.snapshots(spark, root)
+    HeavyHitterStream.applyBatch(spark, docs, 1L, root, k)
+    assert(SnapshotStore.snapshots(spark, root) == snaps)
+    // end-to-end streaming plumbing over the same corpus
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_hhq").toString
+    val q = HeavyHitterStream.start(spark, sfSmoke,
+      s"$base/state", s"$base/ckpt", k)
+    try q.processAllAvailable() finally q.stop()
+    assert(SnapshotStore.read(spark, s"$base/state").count() <= k)
   }
 }
