@@ -662,6 +662,41 @@ object TextAnalysis {
     psiFromCounts(s, counts)
   }
 
+  /** X38 — two-sample Kolmogorov–Smirnov statistic between the same
+    * ref/cand shard halves x28 monitors: D = max |F_ref − F_cand|
+    * over the doc-length empirical CDFs. Where PSI needs binning and
+    * smoothing choices, KS is parameter-free — the natural second
+    * opinion in a drift gate. Exactly deterministic WITHOUT
+    * quantization: cumulative counts are integers, each CDF value is
+    * one integer division, and max is order-independent, so Spark
+    * and DuckDB agree bit-for-bit. The single unpartitioned window
+    * runs over the DISTINCT length values (bounded — hundreds of
+    * rows after the first hash agg), not the corpus. */
+  def x38KsTest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(
+        when(substring(col("source"), 4, 10).cast("int") < 10, "ref")
+          .otherwise("cand").as("shard"),
+        col("n_chars"))
+    val counts = docs.groupBy("n_chars").agg(
+      sum(when(col("shard") === "ref", 1L).otherwise(0L)).as("cr"),
+      sum(when(col("shard") === "cand", 1L).otherwise(0L)).as("cc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("n_chars")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = counts.agg(sum("cr").as("nr"), sum("cc").as("nc"))
+    counts
+      .withColumn("ar", sum("cr").over(w))
+      .withColumn("ac", sum("cc").over(w))
+      .crossJoin(broadcast(tot))
+      .select(abs(col("ar").cast("double") / col("nr").cast("double")
+        - col("ac").cast("double") / col("nc").cast("double")).as("d"),
+        col("nr"), col("nc"))
+      .agg(max("nr").as("n_ref"), max("nc").as("n_cand"),
+        Det.r6(max(col("d"))).as("ks"))
+  }
+
   /** The PSI formula over (feature, bin, nr, nc) counts — shared by
     * the batch x28 query and the streaming per-crawl-batch monitor
     * ([[graft.streaming.DriftStream]]): dense bin grid (Laplace
@@ -777,6 +812,7 @@ object TextAnalysis {
     "x31_domain_caps" -> x31DomainCaps,
     "x33_bigram_nll" -> x33BigramNll,
     "x37_temperature_mixture" -> x37TemperatureMixture,
+    "x38_ks_test" -> x38KsTest,
     "x30_dsir_selection" -> x30DsirSelection,
     "x28_distribution_drift" -> x28DistributionDrift,
     "x20_inverted_index" -> x20InvertedIndex,
@@ -798,6 +834,31 @@ object TextAnalysis {
     "x11_bm25" -> x11Bm25)
 
   val oracle: Map[String, String] = Map(
+    "x38_ks_test" ->
+      ("""WITH d AS (SELECT
+             CASE WHEN cast(substring(source, 4, 10) AS int) < 10
+               THEN 'ref' ELSE 'cand' END AS shard, n_chars
+           FROM documents),
+         c AS (SELECT n_chars,
+             sum(CASE WHEN shard = 'ref' THEN 1 ELSE 0 END) AS cr,
+             sum(CASE WHEN shard = 'cand' THEN 1 ELSE 0 END) AS cc
+           FROM d GROUP BY 1),
+         cum AS (SELECT n_chars,
+             sum(cr) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ar,
+             sum(cc) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS ac
+           FROM c),
+         tot AS (SELECT cast(sum(cr) AS bigint) AS nr,
+             cast(sum(cc) AS bigint) AS nc FROM c)
+         SELECT max(nr) AS n_ref, max(nc) AS n_cand,
+           """ + Det.sql(
+        """max(abs(cast(ar AS double) / cast(nr AS double)
+             - cast(ac AS double) / cast(nc AS double)))""", 6) +
+        """ AS ks
+         FROM cum CROSS JOIN tot"""),
     "x31_domain_caps" ->
       """SELECT source, doc_id, prio FROM
          (SELECT source, doc_id,
