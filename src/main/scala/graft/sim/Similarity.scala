@@ -99,9 +99,16 @@ object Similarity {
     * sf0.001–sf0.1 behavior — and the oracle's pinned (8, 4) —
     * byte-identical. */
   private[graft] def n2AutoDial(n: Long): (Int, Int) = {
-    val doublings = math.max(0,
-      math.ceil(math.log(n / 8192.0) / math.log(2.0)).toInt)
-    (8, math.min(16, 4 + 2 * doublings))
+    // tables = min(16, 4 + 2·⌈log2(n/8192)⌉), computed by INTEGER
+    // thresholds (8192·2^d) so the dial is exact at power-of-two
+    // corpus sizes (a floating log2 can double-round there) and so
+    // the n2 oracle SQL can restate the identical CASE ladder from
+    // count(*) — the sf1.0 sweep caught the previous hardcoded
+    // 4-table oracle diverging the moment the dial moved
+    var d = 0
+    var cap = 8192L
+    while (cap < n && d < 6) { cap *= 2; d += 1 }
+    (8, 4 + 2 * d)
   }
 
   private[graft] def n2Buckets(s: SparkSession, dir: String,
@@ -994,8 +1001,17 @@ object Similarity {
     // 2000 vectors) sit under the floor, asserted by DedupSimSpec.
     "n2_sim_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         dial AS (SELECT CASE WHEN n <= 8192 THEN 4
+                     WHEN n <= 16384 THEN 6
+                     WHEN n <= 32768 THEN 8
+                     WHEN n <= 65536 THEN 10
+                     WHEN n <= 131072 THEN 12
+                     WHEN n <= 262144 THEN 14
+                     ELSE 16 END AS tables
+                  FROM (SELECT count(*) AS n FROM e)),
          tj AS (SELECT t, j, (t*8 + j) AS flat
-                FROM (SELECT unnest(range(0,4)) AS t),
+                FROM (SELECT unnest(range(0,
+                       (SELECT tables FROM dial))) AS t),
                      (SELECT unnest(range(0,8)) AS j)),
          bits AS (
            SELECT e.vec_id, tj.t, tj.j,
