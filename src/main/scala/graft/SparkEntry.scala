@@ -13,7 +13,8 @@ import graft.sources.{BloomSkip, Bucketing, MergeInto,
   PartitionPruning, SnapshotStore, ZOrder}
 import graft.pipeline.CurationPipeline
 import graft.streaming.EventStreams
-import graft.text.{BpeMerges, QualityClassifier, SequencePacking, TextAnalysis}
+import graft.text.{BpeMerges, Chunking, QualityClassifier,
+  SequencePacking, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,7 +43,7 @@ object SparkEntry {
       Expectations.queries ++ PartitionPruning.queries ++
       BpeMerges.queries ++ BloomSkip.queries ++
       QualityClassifier.queries ++ PageRank.queries ++
-      CurationPipeline.queries
+      CurationPipeline.queries ++ Chunking.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -58,5 +59,5 @@ object SparkEntry {
       Expectations.oracle ++ PartitionPruning.oracle ++
       BpeMerges.oracle ++ BloomSkip.oracle ++
       QualityClassifier.oracle ++ PageRank.oracle ++
-      CurationPipeline.oracle
+      CurationPipeline.oracle ++ Chunking.oracle
 }

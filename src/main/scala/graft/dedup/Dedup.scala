@@ -758,6 +758,29 @@ object Dedup {
          n AS (SELECT doc_id, len(sh) AS n FROM w)"""
   }
 
+  /** The d6 cluster-label CTE chain (capped pair graph → symmetric
+    * edge list → transitive closure → per-doc min-reachable rep),
+    * ending in `labels(doc_id, rep)` over EVERY document (isolated
+    * docs label themselves via the closure's base case). Must be
+    * prefixed with `WITH RECURSIVE`. Shared by the d6 oracle and any
+    * oracle that consumes cluster identity (x39 leakage-safe split)
+    * so "cluster" means the identical pair graph everywhere. */
+  private[graft] def d6LabelCtes: String =
+    s"""${d2PairCtes(Some(StopShingleCap))},
+       dup AS (SELECT doc_a, doc_b
+               FROM p JOIN n na ON na.doc_id = doc_a
+                      JOIN n nb ON nb.doc_id = doc_b
+               WHERE shared / (na.n + nb.n - shared) >= 0.4),
+       ed AS (SELECT doc_a AS src, doc_b AS dst FROM dup
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM dup),
+       reach AS (SELECT doc_id AS a, doc_id AS b FROM documents
+                 UNION
+                 SELECT r.a, ed.dst AS b
+                 FROM reach r JOIN ed ON r.b = ed.src),
+       labels AS (SELECT a AS doc_id, min(b) AS rep
+                  FROM reach GROUP BY 1)"""
+
   /** DuckDB mirrors. d3/d4 are hash-scheme-specific → rows-only. */
   val oracle: Map[String, String] = Map(
     "d10_substring_spans" ->
@@ -874,19 +897,8 @@ object Dedup {
                 JOIN n nb ON nb.doc_id = doc_b
          WHERE shared / (na.n + nb.n - shared) >= 0.4""",
     "d6_dedup_clusters" ->
-      s"""WITH RECURSIVE ${d2PairCtes(Some(StopShingleCap))},
-         dup AS (SELECT doc_a, doc_b
-                 FROM p JOIN n na ON na.doc_id = doc_a
-                        JOIN n nb ON nb.doc_id = doc_b
-                 WHERE shared / (na.n + nb.n - shared) >= 0.4),
-         ed AS (SELECT doc_a AS src, doc_b AS dst FROM dup
-                UNION ALL
-                SELECT doc_b AS src, doc_a AS dst FROM dup),
-         reach AS (SELECT doc_id AS a, doc_id AS b FROM documents
-                   UNION
-                   SELECT r.a, ed.dst AS b
-                   FROM reach r JOIN ed ON r.b = ed.src)
-         SELECT a AS doc_id, min(b) AS rep FROM reach GROUP BY 1""",
+      s"""WITH RECURSIVE $d6LabelCtes
+         SELECT doc_id, rep FROM labels""",
     "d7_dedup_embedding_lsh" ->
       s"""WITH c AS (
            SELECT vec_id, embedding FROM embeddings

@@ -808,7 +808,47 @@ object TextAnalysis {
       Seq(col("prio").asc, col("doc_id").asc), 10)
   }
 
+  /** X40 — CCNet perplexity bucketing (Wenzek et al. 2020 §4.4):
+    * split the corpus into head/middle/tail TERCILES of the x12
+    * unigram NLL (head = lowest perplexity = cleanest). Thresholds
+    * are exact order statistics derived from a VALUE HISTOGRAM of the
+    * per-doc NLL, not a corpus sort: the per-doc score is already
+    * quantized (x12's 1e−4 integer arithmetic rounded at 1e−6), so
+    * the histogram's distinct-value count is bounded by the score
+    * grid — a few million rows at ANY corpus size — and the one
+    * unpartitioned cumulative window runs over that bounded histogram
+    * (the x38/g11 pattern), never the documents. Boundary ties go
+    * wholly to the lower bucket (value-based, deterministic — bucket
+    * sizes are ⌈n/3⌉ ± ties). Cost: the x12 scan + two hash aggs +
+    * a broadcast of two scalars back over the doc scores. The doc
+    * count driving ⌈n/3⌉ is one scalar driver action, bounded by
+    * construction. */
+  def x40PplBuckets(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nll = x12UnigramNll(s, dir)
+    val n = nll.count()
+    val (k1, k2) = ((n + 2) / 3, (2 * n + 2) / 3)
+    val hist = nll.groupBy("nll_per_token").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum", sum("c").over(Window
+      .orderBy("nll_per_token")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val th = cum.agg(
+      min(when(col("cum") >= k1, col("nll_per_token"))).as("t1"),
+      min(when(col("cum") >= k2, col("nll_per_token"))).as("t2"))
+    nll.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        when(col("nll_per_token") <= col("t1"), "head")
+          .when(col("nll_per_token") <= col("t2"), "middle")
+          .otherwise("tail"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        min("nll_per_token").as("min_nll"),
+        max("nll_per_token").as("max_nll"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x40_ppl_buckets" -> x40PplBuckets,
     "x31_domain_caps" -> x31DomainCaps,
     "x33_bigram_nll" -> x33BigramNll,
     "x37_temperature_mixture" -> x37TemperatureMixture,
@@ -834,6 +874,34 @@ object TextAnalysis {
     "x11_bm25" -> x11Bm25)
 
   val oracle: Map[String, String] = Map(
+    "x40_ppl_buckets" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                       FROM documents),
+         v AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+         tot AS (SELECT cast(sum(c) AS double) AS n FROM v),
+         q AS (SELECT doc_id,
+                 floor(ln(n / cast(c AS double)) * 10000.0 + 0.5) AS q
+               FROM tok JOIN v USING (t) CROSS JOIN tot),
+         t AS (SELECT doc_id,
+                 ${Det.sql("sum(q) / (10000.0 * count(*))", 6)} AS nll,
+                 cast(count(*) AS bigint) AS n_tokens
+               FROM q GROUP BY 1),
+         h AS (SELECT nll, count(*) AS c FROM t GROUP BY 1),
+         cum AS (SELECT nll, sum(c) OVER (ORDER BY nll
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum FROM h),
+         nn AS (SELECT count(*) AS n FROM t),
+         th AS (SELECT
+                  min(CASE WHEN cum >= (n + 2) // 3 THEN nll END) AS t1,
+                  min(CASE WHEN cum >= (2*n + 2) // 3 THEN nll END) AS t2
+                FROM cum CROSS JOIN nn)
+         SELECT CASE WHEN nll <= t1 THEN 'head'
+                     WHEN nll <= t2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(n_tokens) AS bigint) AS sum_tokens,
+           min(nll) AS min_nll, max(nll) AS max_nll
+         FROM t CROSS JOIN th GROUP BY 1""",
     "x38_ks_test" ->
       ("""WITH d AS (SELECT
              CASE WHEN cast(substring(source, 4, 10) AS int) < 10

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.Chunking
+
+/** x35 line gates / x36 chunk windows / x39 leakage-safe split. */
+class ChunkingSpec extends SparkTestBase {
+
+  private def physicalString(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("x35: per-doc line accounting is internally consistent") {
+    val r = Chunking.x35LineGates(spark, sfSmoke).cache()
+    val docs = Tables.documents(spark, sfSmoke).count()
+    assert(r.count() == docs, "one row per document")
+    // kept is a subset of lines; token mass bounded by 15/kept line
+    assert(r.filter(col("n_kept") > col("n_lines")).isEmpty)
+    assert(r.filter(col("n_kept_tokens") > col("n_kept") * 15).isEmpty)
+    assert(r.filter(col("n_kept_tokens") < col("n_kept") * 5).isEmpty,
+      "every kept line passed the >=5 token gate")
+    // the gates BIND on this corpus (drop something, keep something)
+    val agg = r.agg(sum("n_lines"), sum("n_kept")).head()
+    assert(agg.getLong(1) > 0 && agg.getLong(1) < agg.getLong(0))
+    r.unpersist()
+  }
+
+  test("x35: planted lines hit each gate; clean text round-trips") {
+    import spark.implicits._
+    // line 1: 15 distinct tokens incl. a stopword  -> kept
+    val good = (1 to 14).map(i => s"tok$i").mkString("the ", " ", "")
+    // line 2: repeats one token 15x                -> distinct gate
+    val boiler = Seq.fill(15)("menu").mkString(" ")
+    // line 3: 15 distinct tokens, NO stopword      -> prose gate
+    val noStop = (21 to 35).map(i => s"tok$i").mkString(" ")
+    // line 4: 3 tokens                             -> length gate
+    val short = "the tail x"
+    val docs = Seq(
+      (1L, s"$good $boiler $noStop $short"),
+      (2L, s"$good $good")).toDF("doc_id", "text")
+    val r = Chunking.lineGatesOf(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getLong(1) == 4 && r(1L).getLong(2) == 1 &&
+      r(1L).getLong(3) == 15)
+    // doc 2 is fully kept: cleaned text == original text
+    assert(r(2L).getLong(1) == 2 && r(2L).getLong(2) == 2)
+    val wantMd5 = docs.filter(col("doc_id") === 2)
+      .select(md5(col("text"))).head().getString(0)
+    assert(r(2L).getString(4) == wantMd5)
+  }
+
+  test("x36: windows tile every token with stride overlap") {
+    val r = Chunking.x36ChunkWindows(spark, sfSmoke).cache()
+    val docs = Tables.documents(spark, sfSmoke)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+    // chunk_idx 0..nWin-1 dense per doc, nWin = 1+ceil(max(n-64,0)/48)
+    val per = r.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), max("chunk_idx").as("max_idx"),
+        sum("n_tok").as("tok_sum"), min("n_tok").as("min_tok"))
+      .join(docs, "doc_id")
+    assert(per.filter(col("n_chunks") =!= col("max_idx") + 1).isEmpty)
+    assert(per.filter(col("n_chunks") =!=
+      ceil(greatest(col("n") - 64, lit(0)) / 48.0) + 1).isEmpty)
+    // coverage: total chunk tokens = n + 16-token overlap per interior
+    // boundary (each of the nWin-1 overlaps re-emits 64-48 tokens)
+    assert(per.filter(col("tok_sum") =!=
+      col("n") + (col("n_chunks") - 1) * (64 - 48)).isEmpty)
+    assert(per.filter(col("min_tok") <= 0).isEmpty, "no empty chunk")
+    r.unpersist()
+  }
+
+  test("x36: chunk 0 is the document prefix, verbatim") {
+    val prefix = Tables.documents(spark, sfSmoke)
+      .select(col("doc_id"),
+        md5(array_join(slice(split(col("text"), " "), 1, 64), " "))
+          .as("prefix_md5"))
+    val c0 = Chunking.x36ChunkWindows(spark, sfSmoke)
+      .filter(col("chunk_idx") === 0)
+    assert(c0.join(prefix, "doc_id")
+      .filter(col("chunk_md5") =!= col("prefix_md5")).isEmpty)
+  }
+
+  test("x35/x36 plan: zero exchanges — pure scan-level generators") {
+    for (df <- Seq(Chunking.x35LineGates(spark, sfSmoke),
+        Chunking.x36ChunkWindows(spark, sfSmoke))) {
+      val s = physicalString(df)
+      assert(!s.contains("Exchange"), s"expected shuffle-free plan:\n$s")
+    }
+  }
+
+  test("x39: no near-dup pair crosses splits (the leakage property)") {
+    val labels = Dedup.d6DedupClusters(spark, sfSmoke).cache()
+    val split = labels.withColumn("m",
+        shiftright(col("rep") * 2654435761L, 16) % 10)
+      .select(col("doc_id"),
+        when(col("m") < 8, "train").when(col("m") === 8, "val")
+          .otherwise("test").as("split"))
+    val pairs = Dedup.d2bDedupNgramCapped(spark, sfSmoke)
+    val crossing = pairs
+      .join(split.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("split", "split_a"), "doc_a")
+      .join(split.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("split", "split_b"), "doc_b")
+      .filter(col("split_a") =!= col("split_b"))
+    assert(crossing.isEmpty,
+      "cluster-keyed assignment must keep near-dup pairs split-local")
+    labels.unpersist()
+  }
+
+  test("x39: split summary accounts for every doc and cluster once") {
+    val r = Chunking.x39LeakageSafeSplit(spark, sfSmoke).cache()
+    val docs = Tables.documents(spark, sfSmoke).count()
+    assert(r.agg(sum("n_docs")).head().getLong(0) == docs)
+    // every cluster in exactly one split => per-split cluster counts
+    // sum to the global cluster count
+    val clusters = Dedup.d6DedupClusters(spark, sfSmoke)
+      .select("rep").distinct().count()
+    assert(r.agg(sum("n_clusters")).head().getLong(0) == clusters)
+    assert(r.count() == 3)
+    r.unpersist()
+  }
+}

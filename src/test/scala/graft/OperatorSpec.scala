@@ -148,6 +148,20 @@ class OperatorSpec extends SparkTestBase {
     assert(out(1L) == ((r6((ln43 + q(math.log(4.0))) / (10000.0 * 2)), 2L)))
   }
 
+  test("x40 ppl buckets: terciles ordered, exhaustive, tie-stable") {
+    val r = text.TextAnalysis.x40PplBuckets(spark, sfSmoke)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3), x.getDouble(4))).toMap
+    val docs = Tables.documents(spark, sfSmoke).count()
+    assert(r.values.map(_._1).sum == docs, "every doc lands in a bucket")
+    // value ranges are disjoint and ordered head < middle < tail
+    assert(r("head")._4 < r("middle")._3 && r("middle")._4 < r("tail")._3)
+    // terciles within tie slack of n/3 (boundary ties go low)
+    assert(r("head")._1 >= docs / 3 &&
+      r("tail")._1 <= docs - 2 * (docs / 3),
+      s"head takes its tercile plus ties: $r")
+  }
+
   test("x13 contamination flags only docs sharing a 4-gram with bench") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_x13").toString
