@@ -847,7 +847,37 @@ object TextAnalysis {
         max("nll_per_token").as("max_nll"))
   }
 
+  /** X41 — n-gram novelty scoring: the fraction of a document's
+    * DISTINCT 3-grams that appear nowhere else in the corpus (df = 1
+    * counts same-doc repeats once — the x13/per-doc-set semantics).
+    * Low novelty ⇒ the doc is assembled from corpus-common phrasing
+    * (template/boilerplate mass the d-series pair graphs only catch
+    * when whole docs align); high novelty ⇒ unique content worth
+    * keeping. Shape: per-doc-distinct grams stream out of the native
+    * `ngrams_distinct` UDTF (row-local dedup, no corpus-wide
+    * distinct), document frequencies are ONE hash agg on the gram
+    * key, and the join back is gram-keyed — aggregation-only reuse
+    * of the d2 shingle backbone with no pair expansion anywhere, so
+    * skewed grams cost a fat aggregation cell, never a quadratic
+    * blow-up. Docs under 3 tokens have no grams and drop out on both
+    * sides. */
+  def x41NoveltyScore(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), expr("ngrams_distinct(text, 3)"))
+      .select("doc_id", "ngram")
+    val freq = grams.groupBy("ngram").agg(count(lit(1)).as("df"))
+    grams.join(freq, "ngram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        Det.r6(col("n_novel").cast("double") /
+          col("n_grams").cast("double")).as("novelty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x41_novelty_score" -> x41NoveltyScore,
     "x40_ppl_buckets" -> x40PplBuckets,
     "x31_domain_caps" -> x31DomainCaps,
     "x33_bigram_nll" -> x33BigramNll,
@@ -874,6 +904,23 @@ object TextAnalysis {
     "x11_bm25" -> x11Bm25)
 
   val oracle: Map[String, String] = Map(
+    "x41_novelty_score" ->
+      s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s
+                      FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(s) - 1, 1)),
+                 i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2])))
+                 AS ngram
+               FROM sp),
+         f AS (SELECT ngram, count(*) AS df FROM g GROUP BY 1)
+         SELECT doc_id,
+           cast(count(*) AS bigint) AS n_grams,
+           cast(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS bigint)
+             AS n_novel,
+           ${Det.sql(
+        """cast(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS double)
+             / cast(count(*) AS double)""", 6)} AS novelty
+         FROM g JOIN f USING (ngram) GROUP BY 1""",
     "x40_ppl_buckets" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
                        FROM documents),

@@ -162,6 +162,25 @@ class OperatorSpec extends SparkTestBase {
       s"head takes its tercile plus ties: $r")
   }
 
+  test("x41 novelty: df=1 fractions, per-doc-distinct repeat handling") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_x41").toString
+    Seq(
+      (0L, "p q r s"),      // "p q r" shared with doc 1, "q r s" unique
+      (1L, "p q r t"),
+      (2L, "u v w x y"),    // all three grams unique
+      (3L, "m m m m"))      // repeated gram counts once (df=1 -> novel)
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = text.TextAnalysis.x41NoveltyScore(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out == Map(
+      0L -> ((2L, 1L, 0.5)), 1L -> ((2L, 1L, 0.5)),
+      2L -> ((3L, 3L, 1.0)), 3L -> ((1L, 1L, 1.0))), s"got $out")
+  }
+
   test("x13 contamination flags only docs sharing a 4-gram with bench") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_x13").toString
