@@ -604,14 +604,82 @@ object SnapshotStore {
     read(s, root)
   }
 
+  /** APPEND commit: land `df` as new data files and pin them in a new
+    * manifest TOGETHER WITH the previous snapshot's lines verbatim —
+    * carried data files keep their stats metadata, DV sidecars stay
+    * attached, nothing is rewritten. Cost is O(new data) regardless of
+    * table size (the full-[[commit]] path rewrites the table). The
+    * appended frame may carry ADDITIONAL columns — see
+    * [[readEvolved]] for how mixed-schema snapshots read back. */
+  def appendCommit(df: DataFrame, root: String): Long = {
+    val (s, files) = writeSnapshotData(df, root)
+    commitManifest(s, root, manifestLines(s, root, None) ++ files, 10)
+  }
+
+  /** Schema-evolving read: like [[readSnapshot]] but unions the pinned
+    * files' schemas BY NAME (`mergeSchema`), so rows from files written
+    * before an additive evolution surface NULL for the later columns.
+    * A production manifest would pin the table schema itself and skip
+    * the per-file footer union (the Delta/Iceberg design); reading the
+    * footers keeps this store engine-portable at the cost of one
+    * footer read per file — metadata, not data. Old snapshots read
+    * through [[readSnapshot]] keep their ORIGINAL schema: evolution is
+    * append-only and never rewrites history. */
+  def readEvolved(s: SparkSession, root: String,
+      id: Option[Long] = None): DataFrame = {
+    val data = s.read.option("mergeSchema", "true")
+      .parquet(manifestFiles(s, root, id): _*)
+    val dvs = dvPaths(s, root, id)
+    if (dvs.isEmpty) data
+    else applyDv(data, s.read.parquet(dvs: _*))
+  }
+
+  /** S22 — additive schema evolution end-to-end THROUGH the commit
+    * protocol: commit even-keyed orders WITHOUT the status column
+    * (snapshot 0), [[appendCommit]] the odd-keyed rows WITH it
+    * (snapshot 1 — old files carried by reference, never rewritten),
+    * then read the mixed-schema table back evolved and aggregate per
+    * status, pre-evolution rows surfacing as the NULL→'pre_evolution'
+    * bucket. The oracle replays the same split against the base
+    * table; SnapshotStoreSpec pins the protocol side (carry-by-
+    * reference, time-travel keeps the narrow schema, null placement).
+    * At 100 TB additive evolution MUST be O(new data) — this is the
+    * operator that proves the store never rewrites history for a
+    * column add. */
+  def s22SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.orders(s, dir)
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val root = new Path(
+      sys.props("java.io.tmpdir"), s"graft_s22$tag/t").toString
+    fs(s, root).delete(new Path(root).getParent, true)
+    commit(base.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice"), root)
+    appendCommit(base.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderstatus"), root)
+    readEvolved(s, root)
+      .groupBy(coalesce(col("o_orderstatus"), lit("pre_evolution"))
+        .as("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.ops.Det.dsum2(col("o_totalprice")).as("sum_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s12_snapshot_changes" -> s12SnapshotChanges,
     "s14_snapshot_skipping" -> s14SnapshotSkipping,
     "s15_incremental_mv" -> s15IncrementalMv,
     "s20_compaction" -> s20Compaction,
-    "s21_delete_vectors" -> s21DeleteVectors)
+    "s21_delete_vectors" -> s21DeleteVectors,
+    "s22_schema_evolution" -> s22SchemaEvolution)
 
   val oracle: Map[String, String] = Map(
+    "s22_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
+                     ELSE 'pre_evolution' END AS status,
+           cast(count(*) AS bigint) AS n_orders,
+           cast(sum(cast(o_totalprice AS decimal(12,2))) AS double)
+             AS sum_price
+         FROM orders GROUP BY 1""",
     "s21_delete_vectors" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice
          FROM orders

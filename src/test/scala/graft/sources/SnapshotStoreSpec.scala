@@ -236,6 +236,43 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(spark.read.parquet(dst).collect().map(_.getLong(0)).toSet
       == Set(4L))
   }
+  test("appendCommit/readEvolved: column add is O(new data), history " +
+      "keeps the narrow schema, old rows read the new column as null") {
+    import spark.implicits._
+    val root = freshRoot()
+    val v0 = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "bal")
+    val id0 = SnapshotStore.commit(v0, root)
+    val files0 = SnapshotStore.manifestFiles(spark, root)
+
+    val v1 = Seq((3L, 30.0, "gold"), (4L, 40.0, "dust"))
+      .toDF("id", "bal", "tier")
+    val id1 = SnapshotStore.appendCommit(v1, root)
+    val files1 = SnapshotStore.manifestFiles(spark, root)
+    // carried BY REFERENCE: snapshot 0's files are a strict prefix
+    // subset of snapshot 1's — no rewrite for a column add
+    assert(files0.toSet.subsetOf(files1.toSet) &&
+      files1.size > files0.size)
+
+    val evolved = SnapshotStore.readEvolved(spark, root)
+    assert(evolved.columns.sorted.toSeq == Seq("bal", "id", "tier"))
+    val byId = evolved.collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("tier")))
+      .toMap
+    assert(byId == Map(1L -> None, 2L -> None,
+      3L -> Some("gold"), 4L -> Some("dust")))
+
+    // time travel: the pre-evolution snapshot still has ONLY its own
+    // columns — evolution never rewrote history
+    assert(SnapshotStore.readSnapshot(spark, root, Some(id0))
+      .columns.sorted.toSeq == Seq("bal", "id"))
+    assert(id1 == id0 + 1)
+
+    // a DV delete layered on the evolved table still reads clean
+    SnapshotStore.deleteWhere(spark, root, col("id") === 3L)
+    assert(SnapshotStore.readEvolved(spark, root)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L))
+  }
+
   test("deleteWhere: no data file is rewritten; reads drop dead rows; " +
       "time travel sees them; re-delete is a no-op") {
     val root = freshRoot()
