@@ -718,7 +718,62 @@ object Dedup {
         col("span_end") - col("span_start") + 1)
   }
 
+  /** The d11 corpus/batch split: every 10th doc (residue 7) plays the
+    * ARRIVING crawl batch; the rest is the standing corpus. Shared
+    * literal-for-literal with the oracle. */
+  private[graft] val D11DeltaResidue = 7
+
+  /** D11 — incremental delta-vs-corpus dedup, the batch twin of the
+    * streaming NearDupStream gate: admit an arriving batch's documents
+    * only if they are neither EXACT copies (md5) nor NEAR-dups
+    * (capped-shingle Jaccard ≥ 0.4) of the STANDING corpus. This is
+    * the daily-crawl ingest shape — cost scales with the DELTA, never
+    * O(corpus²): the corpus side is one shingle-keyed table (in
+    * production, the standing index a store would persist — the n8
+    * pattern), hot corpus shingles are stop-capped before the join,
+    * and candidate pairs exist only where a batch doc shares a
+    * surviving shingle. Intra-batch duplicates are d1/d2b applied to
+    * the batch itself, deliberately out of scope here. Emits the
+    * ADMITTED batch docs with their fingerprint (the rows an ingest
+    * job would append to the corpus). */
+  def d11DeltaDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val isDelta = col("doc_id") % 10 === D11DeltaResidue
+    def shingles(df: DataFrame): DataFrame =
+      df.select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, t) => shingleSet(t).map((id, _)) }
+        .toDF("doc_id", "s")
+    val cs = shingles(docs.filter(!isDelta))
+    val ds = shingles(docs.filter(isDelta))
+    // stop-cap on CORPUS shingle document-frequency (the d2b guard:
+    // a ubiquitous shingle never enters the candidate join)
+    val csCapped = cs.join(
+      cs.groupBy("s").agg(count(lit(1)).as("cdf"))
+        .filter(col("cdf") <= StopShingleCap).select("s"), "s")
+    val shared = ds
+      .join(csCapped.withColumnRenamed("doc_id", "c_id"), "s")
+      .groupBy("doc_id", "c_id").agg(count(lit(1)).as("shared"))
+    val na = ds.groupBy("doc_id").agg(count(lit(1)).as("na"))
+    val nb = cs.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+      .withColumnRenamed("doc_id", "c_id")
+    val near = shared.join(na, "doc_id").join(nb, "c_id")
+      .filter(col("shared") / (col("na") + col("nb") - col("shared"))
+        >= 0.4)
+      .select("doc_id").distinct()
+    val exact = docs.filter(isDelta)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .join(docs.filter(!isDelta)
+        .select(md5(col("text").cast("binary")).as("fp")).distinct(),
+        "fp")
+      .select("doc_id").distinct()
+    docs.filter(isDelta)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .join(near.union(exact).distinct(), Seq("doc_id"), "left_anti")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_delta_dedup" -> d11DeltaDedup,
     "d10_substring_spans" -> d10SubstringSpans,
     "d8_dedup_paragraphs" -> d8DedupParagraphs,
     "d9_semdedup" -> d9SemanticDedup,
@@ -783,6 +838,42 @@ object Dedup {
 
   /** DuckDB mirrors. d3/d4 are hash-scheme-specific → rows-only. */
   val oracle: Map[String, String] = Map(
+    "d11_delta_dedup" ->
+      s"""WITH corp AS (SELECT doc_id, text FROM documents
+                        WHERE doc_id % 10 <> $D11DeltaResidue),
+         del AS (SELECT doc_id, text FROM documents
+                 WHERE doc_id % 10 = $D11DeltaResidue),
+         wc AS (SELECT doc_id, list_distinct(list_transform(
+                  range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                  i -> string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i+1] || ' ' ||
+                       string_split(text, ' ')[i+2])) AS sh
+                FROM corp),
+         wd AS (SELECT doc_id, list_distinct(list_transform(
+                  range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+                  i -> string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i+1] || ' ' ||
+                       string_split(text, ' ')[i+2])) AS sh
+                FROM del),
+         ce AS (SELECT doc_id, unnest(sh) AS s FROM wc),
+         de AS (SELECT doc_id, unnest(sh) AS s FROM wd),
+         cek AS (SELECT * FROM ce WHERE s IN
+                   (SELECT s FROM ce GROUP BY s
+                    HAVING count(*) <= $StopShingleCap)),
+         p AS (SELECT d.doc_id AS doc_id, c.doc_id AS c_id,
+                 count(*) AS shared
+               FROM de d JOIN cek c ON d.s = c.s GROUP BY 1, 2),
+         na AS (SELECT doc_id, len(sh) AS n FROM wd),
+         nb AS (SELECT doc_id, len(sh) AS n FROM wc),
+         near AS (SELECT DISTINCT p.doc_id
+                  FROM p JOIN na ON na.doc_id = p.doc_id
+                         JOIN nb ON nb.doc_id = p.c_id
+                  WHERE shared / (na.n + nb.n - shared) >= 0.4),
+         exact AS (SELECT DISTINCT d.doc_id
+                   FROM del d JOIN corp c ON md5(d.text) = md5(c.text))
+         SELECT doc_id, md5(text) AS fp FROM del
+         WHERE doc_id NOT IN (SELECT doc_id FROM near)
+           AND doc_id NOT IN (SELECT doc_id FROM exact)""",
     "d10_substring_spans" ->
       """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s
                      FROM documents),

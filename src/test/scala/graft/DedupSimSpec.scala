@@ -13,6 +13,23 @@ class DedupSimSpec extends SparkTestBase {
       a: String, b: String): Set[(Long, Long)] =
     df.select(a, b).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("d11 delta dedup: exact copy and near-dup rejected, novel kept") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d11").toString
+    val corpus0 = "alpha beta gamma delta epsilon zeta"
+    Seq(
+      (0L, corpus0),                                // corpus
+      (1L, "one two three four five six"),          // corpus
+      (7L, corpus0),                                // delta: exact copy
+      (17L, "one two three four five seven"),       // delta: jacc 3/5
+      (27L, "totally different content here now"))  // delta: novel
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = Dedup.d11DeltaDedup(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(27L), s"got $kept")
+  }
+
   test("n4/n6 training-sample collect is bounded by construction") {
     // the sample sites at Similarity n4/n6 collect rows passing
     // xxhash64(vec_id) % mod == 0 with mod = max(1, total/16384):
