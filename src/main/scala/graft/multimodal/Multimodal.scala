@@ -235,9 +235,76 @@ object Multimodal {
         "sample_rate", "bits", "n_bytes")
   }
 
+  /** Nearest-neighbor resize of a 24bpp bottom-up BMP to (ow, oh) — a
+    * REAL pixel-grid transform, not a stub: each output pixel copies
+    * the source pixel at (⌊x·w/ow⌋, ⌊y·h/oh⌋), re-encoded as a valid
+    * BMP. Integer-only arithmetic so the oracle can replay pixel
+    * selection exactly. */
+  private[graft] def resizeBmp(b: Array[Byte], ow: Int,
+      oh: Int): Array[Byte] = {
+    val (w, h, bpp) = decodeBmp(b)
+    require(bpp == 24, s"resize expects 24bpp, got $bpp")
+    val srcRow = ((w * 3 + 3) / 4) * 4
+    val dstRow = ((ow * 3 + 3) / 4) * 4
+    val out = encodeBmp(ow, oh, Array.emptyByteArray)
+    var y = 0
+    while (y < oh) {
+      val sy = y * h / oh
+      var x = 0
+      while (x < ow) {
+        val sx = x * w / ow
+        val so = 54 + sy * srcRow + sx * 3
+        val dofs = 54 + y * dstRow + x * 3
+        out(dofs) = b(so); out(dofs + 1) = b(so + 1)
+        out(dofs + 2) = b(so + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** X5c — batched resize over the encoded image lake: every BMP
+    * payload downsampled to a 4×3 thumbnail through [[resizeBmp]]
+    * (decode → pixel-grid sample → re-encode), per-partition batches
+    * like the other decode tiers. Emitted per image: geometry plus the
+    * SUM of the thumbnail's 36 pixel bytes — a value the DuckDB
+    * oracle recomputes INDEPENDENTLY from doc_id arithmetic and the
+    * text fill pattern (pixel (x,y,c) of the thumbnail is source
+    * byte sy·row + sx·3 + c, which the encoder filled with
+    * text[offset mod len]), so the whole decode→resize→re-encode
+    * path is hash-gated, not just smoke-tested. */
+  def x5cMultimodalResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    encodedMediaTable(s, dir).as[(Long, String, Array[Byte])]
+      .filter(_._2 == "image")
+      .mapPartitions { it =>
+        val dstRow = ((4 * 3 + 3) / 4) * 4
+        it.map { case (id, _, content) =>
+          val out = resizeBmp(content, 4, 3)
+          var sum = 0L
+          var y = 0
+          while (y < 3) {
+            var x = 0
+            while (x < 4) {
+              var c = 0
+              while (c < 3) {
+                sum += (out(54 + y * dstRow + x * 3 + c) & 0xff)
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          (id, 4, 3, sum)
+        }
+      }.toDF("media_id", "out_w", "out_h", "pix_sum")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x5_multimodal_features" -> x5MultimodalFeatures,
-    "x5b_multimodal_decode" -> x5bMultimodalDecode)
+    "x5b_multimodal_decode" -> x5bMultimodalDecode,
+    "x5c_multimodal_resize" -> x5cMultimodalResize)
 
   /** x5b ground truth re-derived from the generation arithmetic —
     * independent of the binary parse under test. */
@@ -260,5 +327,25 @@ object Multimodal {
                      ELSE 44 + (doc_id % 100 + 10)
                             * ((doc_id // 2) % 2 + 1) * 2
                 END AS bigint) AS n_bytes
-         FROM documents""")
+         FROM documents""",
+    // Independent replay of decode→resize→re-encode: thumbnail pixel
+    // (y, x, c) is source byte sy·srcRow + sx·3 + c of the pixel
+    // area, which encodeBmp filled with text[offset mod len]. k runs
+    // over the 36 output bytes: y = k//12, x = (k%12)//3, c = k%3.
+    "x5c_multimodal_resize" ->
+      """WITH img AS (SELECT doc_id, text, len(text) AS L,
+             doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h,
+             ((doc_id % 16 + 1) * 3 + 3) // 4 * 4 AS srow
+           FROM documents WHERE doc_id % 2 = 0),
+         g AS (SELECT doc_id, unnest(range(0, 36)) AS k FROM img),
+         p AS (SELECT g.doc_id,
+                 ((g.k // 12) * i.h // 3) * i.srow
+                   + ((g.k % 12) // 3 * i.w // 4) * 3 + g.k % 3 AS so,
+                 i.L, i.text
+               FROM g JOIN img i ON g.doc_id = i.doc_id)
+         SELECT doc_id AS media_id,
+           cast(4 AS int) AS out_w, cast(3 AS int) AS out_h,
+           cast(sum(ord(substr(text, cast(so % L AS int) + 1, 1)))
+             AS bigint) AS pix_sum
+         FROM p GROUP BY 1""")
 }

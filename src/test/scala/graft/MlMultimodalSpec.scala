@@ -149,6 +149,34 @@ class MlMultimodalSpec extends SparkTestBase {
     assert(feats.select(countDistinct("kind")).head().getLong(0) == 3)
   }
 
+  test("x5c: resize identity preserves pixels; downsample picks the " +
+      "nearest-neighbor grid; output is a valid BMP") {
+    // identity: same dims in and out → pixel area byte-identical
+    val src = Multimodal.encodeBmp(6, 4, "stripe".getBytes)
+    val same = Multimodal.resizeBmp(src, 6, 4)
+    assert(Multimodal.decodeBmp(same) == ((6, 4, 24)))
+    // pixel bytes identical row by row (padding content is
+    // format-unspecified and deliberately not compared)
+    val row = ((6 * 3 + 3) / 4) * 4
+    for (y <- 0 until 4)
+      assert(same.slice(54 + y * row, 54 + y * row + 18).toSeq ==
+        src.slice(54 + y * row, 54 + y * row + 18).toSeq)
+    // downsample 4x2 -> 2x1: output pixels = src (0,0) and (2,0)
+    val s2 = Multimodal.encodeBmp(4, 2,
+      Array.tabulate[Byte](24)(_.toByte))
+    val thumb = Multimodal.resizeBmp(s2, 2, 1)
+    assert(Multimodal.decodeBmp(thumb) == ((2, 1, 24)))
+    // srcRow = 12; px(0,0)=bytes 0,1,2; px(2,0)=bytes 6,7,8
+    assert(thumb.slice(54, 60).toSeq ==
+      Seq[Byte](0, 1, 2, 6, 7, 8))
+    // wrong depth is rejected loudly, not guessed
+    val bad = Multimodal.encodeBmp(2, 2, Array.emptyByteArray)
+    bad(28) = 8 // claim 8bpp
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeBmp(bad, 1, 1)
+    }
+  }
+
   test("x5b: BMP/WAV encode→decode round-trips; garbage is rejected") {
     // kernel round-trip on planted params (no Spark needed)
     val bmp = Multimodal.encodeBmp(7, 5, "abc".getBytes)
