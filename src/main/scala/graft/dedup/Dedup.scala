@@ -111,8 +111,19 @@ object Dedup {
     * docs (the overwhelming majority of a real corpus) never enter
     * the loop and rejoin at the end with rep = doc_id.
     * Oracle: DuckDB recursive-CTE reachability closure + min. */
+  /** Session cache of the DEFAULT (d2b-sourced) cluster labels, keyed
+    * like the pipeline's kept-list cache: d6's labels are consumed by
+    * x39's leakage-safe split and the curation DAG in the same
+    * session, and without the cache each consumer re-runs the pair
+    * graph + star contraction (~5 s at sf0.1). localCheckpoint
+    * materializes eagerly and truncates lineage; the table is one
+    * (doc_id, rep) row per doc — bounded, executor-memory safe. */
+  private val clusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
   def d6DedupClusters(s: SparkSession, dir: String): DataFrame =
-    d6ClustersOf(s, dir, d2bDedupNgramCapped)
+    clusterCache.computeIfAbsent((s.sparkContext.applicationId, dir),
+      _ => d6ClustersOf(s, dir, d2bDedupNgramCapped).localCheckpoint(true))
 
   /** D6 body over an arbitrary (doc_a, doc_b) pair source. */
   def d6ClustersOf(s: SparkSession, dir: String,

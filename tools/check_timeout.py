@@ -2,9 +2,13 @@
 """Dev-only sf1.0 oracle sweep: tools/check.py semantics with a
 per-query wall-clock budget.
 
-At sf1.0 a handful of oracles are quadratic BY DESIGN (d5/d2/d7
-all-pairs CTEs — 2e10 list-arithmetic pairs in DuckDB) and cannot
-finish in sane time; the driver's gate never runs them at this scale.
+At sf1.0 a handful of oracles cannot finish in sane time — the
+embedding all-pairs CTEs (d5/d7, quadratic by design) and the
+sequential recursive-CTE replays (x8's packing recurrence, x34's
+unrolled PageRank, x25's full-pipeline statement); the measured round-7
+sweep (BASELINE.md) confirmed exactly that set, while d2/d2b's shingle
+pair CTEs DO finish (~2-3 min). The driver's gate never runs oracles
+at this scale.
 Each oracle query therefore runs in its own subprocess with a
 timeout; exceeded budgets are recorded as SKIP(timeout) — an honest
 "oracle infeasible at this scale", distinct from a mismatch.
