@@ -671,7 +671,50 @@ object Aggregates {
         expr("approx_percentile(o_totalprice, 0.5, 10000)")
           .as("approx_p50"))
 
+  /** G19 — grouped winsorization (the feature-cleaning staple: cap a
+    * heavy-tailed column at per-group order statistics before model
+    * fitting). Thresholds are EXACT order statistics, not
+    * interpolated percentiles: lo = the ⌈0.05·n⌉-th and hi = the
+    * ⌈0.95·n⌉-th smallest value per group, rank deterministically
+    * tie-broken by o_orderkey — the k-th ROW of a total order, so
+    * both engines agree bit-for-bit and no percentile-interpolation
+    * arithmetic enters. Shape: one per-group sort (the window that
+    * computes row numbers — the price of exact order statistics;
+    * rank-sketch g17/g18 are the approximate scale path), a 5-row
+    * threshold table broadcast back, and one clamp+agg scan. Sums
+    * accumulate as exact decimals (cents), so before/after mass is
+    * order-independent. */
+  def g19Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+    val r = Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+    val th = r
+      .filter(col("rn") === ceil(lit(0.05) * col("n")) ||
+        col("rn") === ceil(lit(0.95) * col("n")))
+      .groupBy("o_orderpriority")
+      .agg(
+        min(when(col("rn") === ceil(lit(0.05) * col("n")),
+          col("o_totalprice"))).as("lo"),
+        min(when(col("rn") === ceil(lit(0.95) * col("n")),
+          col("o_totalprice"))).as("hi"))
+    r.join(broadcast(th), "o_orderpriority")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("lo")).as("lo"), min(col("hi")).as("hi"),
+        Det.dsum2(col("o_totalprice")).as("sum_raw"),
+        Det.dsum2(greatest(least(col("o_totalprice"), col("hi")),
+          col("lo"))).as("sum_capped"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g19_winsorize" -> g19Winsorize,
     "g13_approx_stats" -> g13ApproxStats,
     "g18_grouped_approx_stats" -> g18GroupedApproxStats,
     "g12_histogram" -> g12Histogram,
@@ -710,6 +753,27 @@ object Aggregates {
       "o_totalprice")
 
   val oracle: Map[String, String] = Map(
+    "g19_winsorize" ->
+      s"""WITH r AS (SELECT o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+           FROM orders),
+         th AS (SELECT o_orderpriority,
+             min(CASE WHEN rn = ceil(0.05 * n) THEN o_totalprice END)
+               AS lo,
+             min(CASE WHEN rn = ceil(0.95 * n) THEN o_totalprice END)
+               AS hi
+           FROM r
+           WHERE rn = ceil(0.05 * n) OR rn = ceil(0.95 * n)
+           GROUP BY 1)
+         SELECT r.o_orderpriority,
+           cast(count(*) AS bigint) AS n_orders,
+           min(lo) AS lo, min(hi) AS hi,
+           ${Det.sqlDsum2("o_totalprice")} AS sum_raw,
+           ${Det.sqlDsum2(
+        "greatest(least(o_totalprice, hi), lo)")} AS sum_capped
+         FROM r JOIN th USING (o_orderpriority) GROUP BY 1""",
     "g12_histogram" ->
       """SELECT cast(least(floor(o_totalprice / 50000.0), 11) AS bigint)
            AS bucket,

@@ -109,6 +109,38 @@ object EventStreams {
         unix_micros(col("w.start")).as("session_start_us"),
         col("n_events"), col("sum_value"))
 
+  /** E5 — conversion funnel (the product-analytics staple): per user,
+    * the earliest strictly-ordered view → click → purchase chain —
+    * t₁ = first view, t₂ = first click AFTER t₁, t₃ = first purchase
+    * AFTER t₂ — reported as per-stage user counts (the funnel chart
+    * feed). Sequential-pattern semantics need the chain, not three
+    * independent mins: a click before any view must not count.
+    * Shape: three hash aggs + two joins, ALL keyed on user_id — one
+    * partitioning reused end-to-end, no sort, no window over the raw
+    * events; per-stage state is one timestamp per user. Integer
+    * epoch-micros comparisons for cross-engine parity. */
+  def e5Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("us")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("us") > col("t1"))
+      .groupBy("user_id").agg(min(col("us")).as("t2"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("us") > col("t2"))
+      .groupBy("user_id").agg(min(col("us")).as("t3"))
+    v.agg(count(lit(1)).as("n_users")).select(lit("view").as("stage"),
+        col("n_users"))
+      .union(c.agg(count(lit(1)).as("n_users"))
+        .select(lit("click").as("stage"), col("n_users")))
+      .union(p.agg(count(lit(1)).as("n_users"))
+        .select(lit("purchase").as("stage"), col("n_users")))
+  }
+
   /** E4 — the BATCH form of [[intervalJoinStream]]'s event-time
     * interval join, oracle-gated: each 'error' pairs with the same
     * user's 'click's from the preceding 10 minutes (blame-window
@@ -189,7 +221,8 @@ object EventStreams {
     "e2_stream_sliding" -> e2StreamSliding,
     "e3_stream_session" -> e3StreamSession,
     "e3b_session_window" -> e3bSessionWindowBatch,
-    "e4_interval_join" -> e4IntervalJoin)
+    "e4_interval_join" -> e4IntervalJoin,
+    "e5_funnel" -> e5Funnel)
 
   val oracle: Map[String, String] = Map(
     "e1_stream_tumbling" ->
@@ -251,5 +284,23 @@ object EventStreams {
          FROM events e JOIN events c ON e.user_id = c.user_id
          WHERE e.event_type = 'error' AND c.event_type = 'click'
            AND c.ts > e.ts - INTERVAL 10 MINUTE
-           AND c.ts <= e.ts""")
+           AND c.ts <= e.ts""",
+    "e5_funnel" ->
+      """WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t1
+                    FROM events WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+               FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+               GROUP BY 1),
+         p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+               FROM events e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase'
+                 AND epoch_us(e.ts) > c.t2
+               GROUP BY 1)
+         SELECT 'view' AS stage, cast(count(*) AS bigint) AS n_users
+         FROM v
+         UNION ALL
+         SELECT 'click', cast(count(*) AS bigint) FROM c
+         UNION ALL
+         SELECT 'purchase', cast(count(*) AS bigint) FROM p""")
 }

@@ -108,6 +108,52 @@ class ChunkingSpec extends SparkTestBase {
     labels.unpersist()
   }
 
+  test("e5 funnel: stage chain is strictly ordered per user") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_e5").toString
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // A: view<click<purchase (full chain); B: click BEFORE its view
+    // (click must not count, so neither can the purchase); C: no click
+    Seq(
+      (1L, ts(1), 100L, "view", 1.0, ""),
+      (2L, ts(2), 100L, "click", 1.0, ""),
+      (3L, ts(3), 100L, "purchase", 1.0, ""),
+      (4L, ts(1), 200L, "click", 1.0, ""),
+      (5L, ts(2), 200L, "view", 1.0, ""),
+      (6L, ts(3), 200L, "purchase", 1.0, ""),
+      (7L, ts(1), 300L, "view", 1.0, ""),
+      (8L, ts(2), 300L, "purchase", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.streaming.EventStreams.e5Funnel(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("view" -> 3L, "click" -> 1L, "purchase" -> 1L),
+      s"got $got")
+  }
+
+  test("g19 winsorize: caps bind, mass shrinks, thresholds are " +
+      "in-group order statistics") {
+    val r = ops.Aggregates.g19Winsorize(spark, sfSmoke).cache()
+    assert(r.count() == 5)
+    // lo <= hi; capped mass bounded by the caps; caps actually bind
+    // (two-sided winsorize RAISES the low tail too, so capped vs raw
+    // ordering is data-dependent — only the bound is an invariant)
+    assert(r.filter(col("lo") > col("hi")).isEmpty)
+    assert(r.filter(col("sum_capped") < col("n_orders") * col("lo") ||
+      col("sum_capped") > col("n_orders") * col("hi")).isEmpty)
+    assert(r.filter(col("sum_capped") =!= col("sum_raw")).count() > 0)
+    // thresholds are real in-group values
+    val th = r.select("o_orderpriority", "lo", "hi").collect()
+      .map(x => (x.getString(0), x.getDouble(1), x.getDouble(2)))
+    val byG = Tables.orders(spark, sfSmoke)
+      .select("o_orderpriority", "o_totalprice").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).toSet).toMap
+    for ((g, lo, hi) <- th)
+      assert(byG(g).contains(lo) && byG(g).contains(hi))
+    r.unpersist()
+  }
+
   test("x39: split summary accounts for every doc and cluster once") {
     val r = Chunking.x39LeakageSafeSplit(spark, sfSmoke).cache()
     val docs = Tables.documents(spark, sfSmoke).count()
