@@ -61,10 +61,35 @@ object Ordering {
       .filter(shiftright(col("c_custkey") * 2654435761L, 16) % 10 < 8)
       .select("c_custkey", "c_mktsegment")
 
+  /** O5 — deterministic weighted sampling WITHOUT replacement
+    * (Efraimidis–Spirakis 2006): keep the k docs with the largest
+    * u^(1/w) — equivalently the largest ln(u)/w, the log form so no
+    * cross-engine `pow` enters — where u is the o3/x14 key-mix mapped
+    * onto (0,1] (reproducible "randomness": same corpus ⇒ same
+    * sample) and w = n_chars (longer docs proportionally likelier —
+    * in production, a quality score). Priorities quantize to 1e−6
+    * integers (the x12 ln discipline) and ties break by doc_id, so
+    * selection is total-ordered and engine-independent. Plan shape:
+    * scan-level priority projection + global top-k =
+    * TakeOrderedAndProject — per-partition bounded heaps, only
+    * k·partitions rows reach the driver side of the sort, never a
+    * full corpus sort. */
+  def o5WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = ((shiftright(col("doc_id") * 2654435761L, 16) % 1000000L)
+      + 1L) / lit(1000000.0)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").as("w"),
+        floor(log(u) / col("n_chars") * 1000000.0).cast("long")
+          .as("priority_q"))
+      .orderBy(col("priority_q").desc, col("doc_id").asc)
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "o1_order_by" -> o1OrderBy,
     "o2_limit" -> o2Limit,
-    "o3_stratified_sample" -> o3StratifiedSample)
+    "o3_stratified_sample" -> o3StratifiedSample,
+    "o5_weighted_sample" -> o5WeightedSample)
 
   val oracle: Map[String, String] = Map(
     "o1_order_by" ->
@@ -79,5 +104,13 @@ object Ordering {
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
     "o3_stratified_sample" ->
       """SELECT c_custkey, c_mktsegment FROM customer
-         WHERE ((c_custkey * 2654435761) >> 16) % 10 < 8""")
+         WHERE ((c_custkey * 2654435761) >> 16) % 10 < 8""",
+    "o5_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, n_chars AS w,
+             ((doc_id * 2654435761 >> 16) % 1000000 + 1) / 1000000.0
+               AS u
+           FROM documents)
+         SELECT doc_id, w,
+           cast(floor(ln(u) / w * 1000000.0) AS bigint) AS priority_q
+         FROM t ORDER BY priority_q DESC, doc_id LIMIT 100""")
 }

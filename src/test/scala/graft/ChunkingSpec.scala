@@ -154,6 +154,22 @@ class ChunkingSpec extends SparkTestBase {
     r.unpersist()
   }
 
+  test("o5 weighted sample: k rows, weight-biased, bounded-heap plan") {
+    val df = ops.Ordering.o5WeightedSample(spark, sfSmoke)
+    val rows = df.collect()
+    assert(rows.length == 100)
+    // ES sampling ∝ w: the sample's mean weight must exceed the
+    // corpus mean (longer docs overrepresented)
+    val sampleMean = rows.map(_.getLong(1)).sum.toDouble / rows.length
+    val corpusMean = Tables.documents(spark, sfSmoke)
+      .agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean <= corpus mean $corpusMean")
+    // global top-k plans as bounded per-partition heaps, not a sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("x39: split summary accounts for every doc and cluster once") {
     val r = Chunking.x39LeakageSafeSplit(spark, sfSmoke).cache()
     val docs = Tables.documents(spark, sfSmoke).count()
