@@ -100,6 +100,40 @@ object Joins {
     ordered.intersect(positive)
   }
 
+  /** T4 — set difference under BAG semantics (EXCEPT ALL): each
+    * occurrence counts, so a customer segment appearing 3× on the
+    * left and 1× on the right survives twice — the multiplicity-aware
+    * form T2's DISTINCT set semantics can't express (reconciliation /
+    * inventory-diff workloads need the counts). Spark plans exceptAll
+    * as a counted hash aggregation + generate, one keyed exchange. */
+  def t4ExceptAll(s: SparkSession, dir: String): DataFrame = {
+    val ordered = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"))
+    val highValue = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 200000)
+      .join(Tables.customer(s, dir),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"))
+    // one row per UNMATCHED occurrence; aggregate for a stable gate
+    ordered.exceptAll(highValue)
+      .groupBy("seg").agg(count(lit(1)).as("n_residual"))
+  }
+
+  /** T5 — intersection under BAG semantics (INTERSECT ALL):
+    * min(multiplicity-left, multiplicity-right) copies survive. */
+  def t5IntersectAll(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_custkey").as("custkey"))
+    val b = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 100000)
+      .select(col("o_custkey").as("custkey"))
+    a.intersectAll(b)
+      .groupBy("custkey").agg(count(lit(1)).as("n_common"))
+  }
+
   /** J10 — FUZZY self-join of the corpus vocabulary at edit distance
     * ≤ 1 (typo-variant detection, the entity-resolution primitive):
     * SymSpell deletion-neighborhood blocking (Garbe's symmetric
@@ -160,7 +194,9 @@ object Joins {
     "j4_zip_join" -> j4ZipJoin,
     "t1_union" -> t1Union,
     "t2_except" -> t2Except,
-    "t3_intersect" -> t3Intersect)
+    "t3_intersect" -> t3Intersect,
+    "t4_except_all" -> t4ExceptAll,
+    "t5_intersect_all" -> t5IntersectAll)
 
   val oracle: Map[String, String] = Map(
     "j10_fuzzy_join" ->
@@ -232,5 +268,23 @@ object Joins {
     "t3_intersect" ->
       """SELECT DISTINCT o_custkey AS custkey FROM orders
          INTERSECT
-         SELECT c_custkey FROM customer WHERE c_acctbal > 0""")
+         SELECT c_custkey FROM customer WHERE c_acctbal > 0""",
+    "t4_except_all" ->
+      """WITH residual AS (
+           SELECT c_mktsegment AS seg FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           EXCEPT ALL
+           SELECT c_mktsegment FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           WHERE o_totalprice > 200000)
+         SELECT seg, cast(count(*) AS bigint) AS n_residual
+         FROM residual GROUP BY 1""",
+    "t5_intersect_all" ->
+      """WITH common AS (
+           SELECT o_custkey AS custkey FROM orders
+           WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+           INTERSECT ALL
+           SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+         SELECT custkey, cast(count(*) AS bigint) AS n_common
+         FROM common GROUP BY 1""")
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.streaming.{DriftStream,
-  CurationStream, EventStreams, IdempotentSink,
+  CurationStream, EventStreams, FunnelStream, IdempotentSink,
   MvStream, QualityStream}
 import graft.sources.SnapshotStore
 
@@ -24,6 +24,28 @@ class StreamingSpec extends SparkTestBase {
 
   private def asSet(df: org.apache.spark.sql.DataFrame): Set[String] =
     df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).toSet
+
+  test("funnel stream: per-user O(1) state machine == batch e5 counts") {
+    val q = FunnelStream.funnelStream(spark, sfSmoke)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("funnel_out").start()
+    try q.processAllAvailable() finally q.stop()
+    // latest stage per user (update mode may emit a row per batch)
+    val streamed = spark.table("funnel_out")
+      .groupBy("user_id").agg(max("stage").as("stage"))
+    val counts = streamed
+      .select(
+        sum(when(col("stage") >= 1, 1).otherwise(0)).as("view"),
+        sum(when(col("stage") >= 2, 1).otherwise(0)).as("click"),
+        sum(when(col("stage") >= 3, 1).otherwise(0)).as("purchase"))
+      .head()
+    val batch = EventStreams.e5Funnel(spark, sfSmoke).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getLong(0) == batch("view") &&
+      counts.getLong(1) == batch("click") &&
+      counts.getLong(2) == batch("purchase"),
+      s"stream $counts vs batch $batch")
+  }
 
   test("tumbling window: streaming result == batch result") {
     val batch = EventStreams.e1StreamTumbling(spark, sfSmoke)
