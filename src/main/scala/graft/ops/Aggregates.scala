@@ -671,6 +671,32 @@ object Aggregates {
         expr("approx_percentile(o_totalprice, 0.5, 10000)")
           .as("approx_p50"))
 
+  /** W5 — per-user EWMA over the event stream (the time-series
+    * feature a behavioral model consumes): yₜ = (yₜ₋₁ + xₜ)/2, i.e.
+    * α = ½ chosen deliberately — halving is EXACT in IEEE doubles, so
+    * the whole recurrence is bit-identical across engines with no
+    * quantization as long as both fold in the same order (pinned by
+    * (ts, event_id)). A recurrence has no window-function form;
+    * the shape is ONE shuffle (groupByKey on user) + an in-memory
+    * sort-and-fold per user — per-group state is the group itself,
+    * bounded by per-user event counts, the same regime as the e3
+    * sessionizer. DuckDB replays the identical fold via
+    * list_reduce over an ORDER BY-pinned list. */
+  def w5Ewma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(col("user_id"), col("value"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .as[(Long, Double, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (user, it) =>
+        val xs = it.toSeq.sortBy(e => (e._3, e._4)).map(_._2)
+        val ewma = xs.tail.foldLeft(xs.head)((acc, x) => (acc + x) / 2)
+        (user, xs.length.toLong, ewma)
+      }
+      .toDF("user_id", "n_events", "ewma")
+  }
+
   /** G19 — grouped winsorization (the feature-cleaning staple: cap a
     * heavy-tailed column at per-group order statistics before model
     * fitting). Thresholds are EXACT order statistics, not
@@ -714,6 +740,7 @@ object Aggregates {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w5_ewma" -> w5Ewma,
     "g19_winsorize" -> g19Winsorize,
     "g13_approx_stats" -> g13ApproxStats,
     "g18_grouped_approx_stats" -> g18GroupedApproxStats,
@@ -753,6 +780,12 @@ object Aggregates {
       "o_totalprice")
 
   val oracle: Map[String, String] = Map(
+    "w5_ewma" ->
+      """SELECT user_id,
+           cast(count(*) AS bigint) AS n_events,
+           list_reduce(list(value ORDER BY epoch_us(ts), event_id),
+             (acc, x) -> (acc + x) / 2) AS ewma
+         FROM events GROUP BY 1""",
     "g19_winsorize" ->
       s"""WITH r AS (SELECT o_orderpriority, o_totalprice,
              row_number() OVER (PARTITION BY o_orderpriority

@@ -170,6 +170,23 @@ class ChunkingSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("w5 ewma: golden fold on a planted sequence, order pinned") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_w5").toString
+    def ts(sec: Int) = new java.sql.Timestamp(sec * 1000L)
+    // values arrive OUT of event-time order in the file; the fold
+    // must still run in (ts, event_id) order: ((8+4)/2+2)/2 = 4.0
+    Seq(
+      (3L, ts(3), 1L, "view", 2.0, ""),
+      (1L, ts(1), 1L, "view", 8.0, ""),
+      (2L, ts(2), 1L, "view", 4.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = ops.Aggregates.w5Ewma(spark, dir).collect()
+    assert(r.length == 1 && r(0).getLong(1) == 3 &&
+      r(0).getDouble(2) == 4.0, s"got ${r.toSeq}")
+  }
+
   test("x39: split summary accounts for every doc and cluster once") {
     val r = Chunking.x39LeakageSafeSplit(spark, sfSmoke).cache()
     val docs = Tables.documents(spark, sfSmoke).count()
