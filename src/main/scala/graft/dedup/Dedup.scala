@@ -747,44 +747,99 @@ object Dedup {
     * the batch itself, deliberately out of scope here. Emits the
     * ADMITTED batch docs with their fingerprint (the rows an ingest
     * job would append to the corpus). */
-  def d11DeltaDedup(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc (doc_id, s) distinct-shingle pairs for any (doc_id,
+    * text) frame — the flatMap kernel shared by d11's inline and
+    * index-served forms. */
+  private[graft] def shinglePairs(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
     import s.implicits._
+    df.select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, t) => shingleSet(t).map((id, _)) }
+      .toDF("doc_id", "s")
+  }
+
+  /** The d11 admission gate against a prebuilt corpus index:
+    * `csCapped` = corpus (doc_id, s) with stop-shingles removed,
+    * `nb` = per-corpus-doc distinct-shingle counts, `fps` = corpus
+    * fingerprint set. Everything the gate needs — whether computed
+    * inline (d11) or read back from a persisted index (d11b). */
+  private def deltaGateOf(delta: DataFrame, csCapped: DataFrame,
+      nb: DataFrame, fps: DataFrame): DataFrame = {
+    val ds = shinglePairs(delta)
+    val shared = ds
+      .join(csCapped.withColumnRenamed("doc_id", "c_id"), "s")
+      .groupBy("doc_id", "c_id").agg(count(lit(1)).as("shared"))
+    val na = ds.groupBy("doc_id").agg(count(lit(1)).as("na"))
+    val near = shared.join(na, "doc_id")
+      .join(nb.withColumnRenamed("doc_id", "c_id"), "c_id")
+      .filter(col("shared") / (col("na") + col("nb") - col("shared"))
+        >= 0.4)
+      .select("doc_id").distinct()
+    val deltaFp = delta
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    val exact = deltaFp.join(fps, "fp").select("doc_id").distinct()
+    deltaFp.join(near.union(exact).distinct(), Seq("doc_id"),
+      "left_anti")
+  }
+
+  def d11DeltaDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val isDelta = col("doc_id") % 10 === D11DeltaResidue
-    def shingles(df: DataFrame): DataFrame =
-      df.select("doc_id", "text").as[(Long, String)]
-        .flatMap { case (id, t) => shingleSet(t).map((id, _)) }
-        .toDF("doc_id", "s")
-    val cs = shingles(docs.filter(!isDelta))
-    val ds = shingles(docs.filter(isDelta))
+    val cs = shinglePairs(docs.filter(!isDelta))
     // stop-cap on CORPUS shingle document-frequency (the d2b guard:
     // a ubiquitous shingle never enters the candidate join)
     val csCapped = cs.join(
       cs.groupBy("s").agg(count(lit(1)).as("cdf"))
         .filter(col("cdf") <= StopShingleCap).select("s"), "s")
-    val shared = ds
-      .join(csCapped.withColumnRenamed("doc_id", "c_id"), "s")
-      .groupBy("doc_id", "c_id").agg(count(lit(1)).as("shared"))
-    val na = ds.groupBy("doc_id").agg(count(lit(1)).as("na"))
     val nb = cs.groupBy("doc_id").agg(count(lit(1)).as("nb"))
-      .withColumnRenamed("doc_id", "c_id")
-    val near = shared.join(na, "doc_id").join(nb, "c_id")
-      .filter(col("shared") / (col("na") + col("nb") - col("shared"))
-        >= 0.4)
-      .select("doc_id").distinct()
-    val exact = docs.filter(isDelta)
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
-      .join(docs.filter(!isDelta)
+    val fps = docs.filter(!isDelta)
+      .select(md5(col("text").cast("binary")).as("fp")).distinct()
+    deltaGateOf(docs.filter(isDelta), csCapped, nb, fps)
+  }
+
+  /** D11b — the gate SERVED from a persisted standing index (the n8
+    * build-once/query-many split applied to ingest dedup): the corpus
+    * side — stop-capped shingle postings, per-doc set sizes, and the
+    * fingerprint set — is built once and committed as THREE
+    * snapshot-store tables; arriving batches are admitted by reading
+    * the index back, with NO corpus text rescan and no shingle
+    * recomputation on the serving path. At 100 TB this is the only
+    * viable shape: the index builds incrementally as batches are
+    * admitted (append the admitted docs' postings — the s22 append
+    * path), while the inline d11 form would re-shingle the corpus per
+    * batch. Deterministic build + exact round-trip ⇒ byte-identical
+    * to d11, so the SAME oracle SQL gates this path. */
+  def d11bDeltaDedupServed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val docs = Tables.documents(s, dir)
+    val isDelta = col("doc_id") % 10 === D11DeltaResidue
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val root = new Path(sys.props("java.io.tmpdir"),
+      s"graft_d11b${tag}_${s.sparkContext.applicationId}").toString
+    new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+      .delete(new Path(root), true)
+    // BUILD once: three index tables into the snapshot store
+    val cs = shinglePairs(docs.filter(!isDelta))
+    val csCapped = cs.join(
+      cs.groupBy("s").agg(count(lit(1)).as("cdf"))
+        .filter(col("cdf") <= StopShingleCap).select("s"), "s")
+    graft.sources.SnapshotStore.commit(csCapped, s"$root/postings")
+    graft.sources.SnapshotStore.commit(
+      cs.groupBy("doc_id").agg(count(lit(1)).as("nb")), s"$root/sizes")
+    graft.sources.SnapshotStore.commit(
+      docs.filter(!isDelta)
         .select(md5(col("text").cast("binary")).as("fp")).distinct(),
-        "fp")
-      .select("doc_id").distinct()
-    docs.filter(isDelta)
-      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
-      .join(near.union(exact).distinct(), Seq("doc_id"), "left_anti")
+      s"$root/fps")
+    // SERVE: admit the arriving batch from the persisted index alone
+    deltaGateOf(docs.filter(isDelta),
+      graft.sources.SnapshotStore.read(s, s"$root/postings"),
+      graft.sources.SnapshotStore.read(s, s"$root/sizes"),
+      graft.sources.SnapshotStore.read(s, s"$root/fps"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d11_delta_dedup" -> d11DeltaDedup,
+    "d11b_delta_dedup_served" -> d11bDeltaDedupServed,
     "d10_substring_spans" -> d10SubstringSpans,
     "d8_dedup_paragraphs" -> d8DedupParagraphs,
     "d9_semdedup" -> d9SemanticDedup,
@@ -847,10 +902,11 @@ object Dedup {
        labels AS (SELECT a AS doc_id, min(b) AS rep
                   FROM reach GROUP BY 1)"""
 
-  /** DuckDB mirrors. d3/d4 are hash-scheme-specific → rows-only. */
-  val oracle: Map[String, String] = Map(
-    "d11_delta_dedup" ->
-      s"""WITH corp AS (SELECT doc_id, text FROM documents
+  /** d11's oracle — shared verbatim by d11b: the persisted-index path
+    * is deterministic-build + exact-round-trip, so its answer is
+    * byte-identical to the inline gate's. */
+  private def d11OracleSql: String =
+    s"""WITH corp AS (SELECT doc_id, text FROM documents
                         WHERE doc_id % 10 <> $D11DeltaResidue),
          del AS (SELECT doc_id, text FROM documents
                  WHERE doc_id % 10 = $D11DeltaResidue),
@@ -884,7 +940,12 @@ object Dedup {
                    FROM del d JOIN corp c ON md5(d.text) = md5(c.text))
          SELECT doc_id, md5(text) AS fp FROM del
          WHERE doc_id NOT IN (SELECT doc_id FROM near)
-           AND doc_id NOT IN (SELECT doc_id FROM exact)""",
+           AND doc_id NOT IN (SELECT doc_id FROM exact)"""
+
+  /** DuckDB mirrors. d3/d4 are hash-scheme-specific → rows-only. */
+  val oracle: Map[String, String] = Map(
+    "d11_delta_dedup" -> d11OracleSql,
+    "d11b_delta_dedup_served" -> d11OracleSql,
     "d10_substring_spans" ->
       """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s
                      FROM documents),
