@@ -763,7 +763,7 @@ object Dedup {
     * `nb` = per-corpus-doc distinct-shingle counts, `fps` = corpus
     * fingerprint set. Everything the gate needs — whether computed
     * inline (d11) or read back from a persisted index (d11b). */
-  private def deltaGateOf(delta: DataFrame, csCapped: DataFrame,
+  private[graft] def deltaGateOf(delta: DataFrame, csCapped: DataFrame,
       nb: DataFrame, fps: DataFrame): DataFrame = {
     val ds = shinglePairs(delta)
     val shared = ds
@@ -809,6 +809,53 @@ object Dedup {
     * path), while the inline d11 form would re-shingle the corpus per
     * batch. Deterministic build + exact round-trip ⇒ byte-identical
     * to d11, so the SAME oracle SQL gates this path. */
+  /** Build the standing d11 index for `corpus`: stop-capped shingle
+    * postings, per-doc set sizes, fingerprint set — three snapshot-
+    * store tables under `root`. */
+  def buildDeltaIndex(corpus: DataFrame, root: String): Unit = {
+    val cs = shinglePairs(corpus)
+    val csCapped = cs.join(
+      cs.groupBy("s").agg(count(lit(1)).as("cdf"))
+        .filter(col("cdf") <= StopShingleCap).select("s"), "s")
+    graft.sources.SnapshotStore.commit(csCapped, s"$root/postings")
+    graft.sources.SnapshotStore.commit(
+      cs.groupBy("doc_id").agg(count(lit(1)).as("nb")), s"$root/sizes")
+    graft.sources.SnapshotStore.commit(
+      corpus.select(md5(col("text").cast("binary")).as("fp"))
+        .distinct(), s"$root/fps")
+  }
+
+  /** Admit an arriving batch from the persisted index alone — no
+    * corpus text rescan. */
+  def deltaGateServed(delta: DataFrame, root: String): DataFrame = {
+    val s = delta.sparkSession
+    deltaGateOf(delta,
+      graft.sources.SnapshotStore.read(s, s"$root/postings"),
+      graft.sources.SnapshotStore.read(s, s"$root/sizes"),
+      graft.sources.SnapshotStore.read(s, s"$root/fps"))
+  }
+
+  /** Day-2 ingest: grow the index by the ADMITTED docs — their
+    * postings/sizes/fps append through the snapshot store's O(new
+    * data) append path (old files carried by reference), so the next
+    * batch gates against corpus ∪ admitted. Incremental-cap caveat,
+    * stated honestly: appended postings are not re-screened against
+    * the GLOBAL stop-shingle frequency (that would rescan the index);
+    * a shingle that crosses the cap only via increments keeps
+    * admitting candidate pairs until a periodic recap/compaction
+    * rebuilds the postings — the same maintenance trade every
+    * standing inverted index makes (cf. x20). DedupSimSpec pins the
+    * two-batch evolve-and-regate sequence. */
+  def appendDeltaIndex(admitted: DataFrame, root: String): Unit = {
+    val cs = shinglePairs(admitted)
+    graft.sources.SnapshotStore.appendCommit(cs, s"$root/postings")
+    graft.sources.SnapshotStore.appendCommit(
+      cs.groupBy("doc_id").agg(count(lit(1)).as("nb")), s"$root/sizes")
+    graft.sources.SnapshotStore.appendCommit(
+      admitted.select(md5(col("text").cast("binary")).as("fp"))
+        .distinct(), s"$root/fps")
+  }
+
   def d11bDeltaDedupServed(s: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
     val docs = Tables.documents(s, dir)
@@ -818,23 +865,8 @@ object Dedup {
       s"graft_d11b${tag}_${s.sparkContext.applicationId}").toString
     new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
       .delete(new Path(root), true)
-    // BUILD once: three index tables into the snapshot store
-    val cs = shinglePairs(docs.filter(!isDelta))
-    val csCapped = cs.join(
-      cs.groupBy("s").agg(count(lit(1)).as("cdf"))
-        .filter(col("cdf") <= StopShingleCap).select("s"), "s")
-    graft.sources.SnapshotStore.commit(csCapped, s"$root/postings")
-    graft.sources.SnapshotStore.commit(
-      cs.groupBy("doc_id").agg(count(lit(1)).as("nb")), s"$root/sizes")
-    graft.sources.SnapshotStore.commit(
-      docs.filter(!isDelta)
-        .select(md5(col("text").cast("binary")).as("fp")).distinct(),
-      s"$root/fps")
-    // SERVE: admit the arriving batch from the persisted index alone
-    deltaGateOf(docs.filter(isDelta),
-      graft.sources.SnapshotStore.read(s, s"$root/postings"),
-      graft.sources.SnapshotStore.read(s, s"$root/sizes"),
-      graft.sources.SnapshotStore.read(s, s"$root/fps"))
+    buildDeltaIndex(docs.filter(!isDelta), root)
+    deltaGateServed(docs.filter(isDelta), root)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -30,6 +30,35 @@ class DedupSimSpec extends SparkTestBase {
     assert(kept == Set(27L), s"got $kept")
   }
 
+  test("d11b index evolves: admitted docs gate the NEXT batch") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_d11c").toString + "/idx"
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "one two three four five six")).toDF("doc_id", "text")
+    Dedup.buildDeltaIndex(corpus, root)
+    // batch 1: near-dup of doc 1 rejected, novel doc admitted
+    val batch1 = Seq(
+      (17L, "one two three four five seven"),
+      (27L, "totally different content here now")).toDF("doc_id", "text")
+    val admitted1 = Dedup.deltaGateServed(batch1, root)
+    assert(admitted1.select("doc_id").as[Long].collect().toSet ==
+      Set(27L))
+    // evolve: append ONLY the admitted docs to the standing index
+    Dedup.appendDeltaIndex(
+      batch1.filter(col("doc_id") === 27L), root)
+    // batch 2: a NEAR-dup of the just-admitted doc (shares 2 of 3
+    // shingles -> jaccard 0.5) must be rejected through the APPENDED
+    // postings, not the fingerprint set; a novel doc still passes
+    val batch2 = Seq(
+      (37L, "totally different content here then"),
+      (47L, "fresh words nobody used before ok")).toDF("doc_id", "text")
+    val admitted2 = Dedup.deltaGateServed(batch2, root)
+    assert(admitted2.select("doc_id").as[Long].collect().toSet ==
+      Set(47L), "the evolved index must reject yesterday's admit")
+  }
+
   test("n4/n6 training-sample collect is bounded by construction") {
     // the sample sites at Similarity n4/n6 collect rows passing
     // xxhash64(vec_id) % mod == 0 with mod = max(1, total/16384):
