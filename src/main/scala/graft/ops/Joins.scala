@@ -100,6 +100,30 @@ object Joins {
     ordered.intersect(positive)
   }
 
+  /** J13 — FULL OUTER reconciliation: big spenders (orders side)
+    * against high-balance customers (dimension side), keeping the
+    * unmatched rows of BOTH sides — the two-way diff a reconciliation
+    * job needs (each side's misses are findings, so neither inner nor
+    * left join can express it). One keyed exchange per side; the
+    * coalesced key + side tag is the standard output shape. */
+  def j13FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val spenders = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 400000)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big_orders"))
+    val rich = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), col("c_acctbal"))
+    spenders.join(rich,
+        col("o_custkey") === col("c_custkey"), "full_outer")
+      .select(
+        coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+        col("n_big_orders"), col("c_acctbal"),
+        when(col("o_custkey").isNull, "dimension_only")
+          .when(col("c_custkey").isNull, "fact_only")
+          .otherwise("both").as("side"))
+  }
+
   /** T4 — set difference under BAG semantics (EXCEPT ALL): each
     * occurrence counts, so a customer segment appearing 3× on the
     * left and 1× on the right survives twice — the multiplicity-aware
@@ -196,7 +220,8 @@ object Joins {
     "t2_except" -> t2Except,
     "t3_intersect" -> t3Intersect,
     "t4_except_all" -> t4ExceptAll,
-    "t5_intersect_all" -> t5IntersectAll)
+    "t5_intersect_all" -> t5IntersectAll,
+    "j13_full_outer" -> j13FullOuter)
 
   val oracle: Map[String, String] = Map(
     "j10_fuzzy_join" ->
@@ -286,5 +311,17 @@ object Joins {
            INTERSECT ALL
            SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
          SELECT custkey, cast(count(*) AS bigint) AS n_common
-         FROM common GROUP BY 1""")
+         FROM common GROUP BY 1""",
+    "j13_full_outer" ->
+      """WITH a AS (SELECT o_custkey,
+             cast(count(*) AS bigint) AS n_big_orders
+           FROM orders WHERE o_totalprice > 400000 GROUP BY 1),
+         b AS (SELECT c_custkey, c_acctbal FROM customer
+               WHERE c_acctbal > 9000)
+         SELECT coalesce(o_custkey, c_custkey) AS custkey,
+           n_big_orders, c_acctbal,
+           CASE WHEN o_custkey IS NULL THEN 'dimension_only'
+                WHEN c_custkey IS NULL THEN 'fact_only'
+                ELSE 'both' END AS side
+         FROM a FULL OUTER JOIN b ON o_custkey = c_custkey""")
 }
