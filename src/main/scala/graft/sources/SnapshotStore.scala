@@ -634,6 +634,38 @@ object SnapshotStore {
     else applyDv(data, s.read.parquet(dvs: _*))
   }
 
+  /** RESTORE (the Delta `RESTORE TABLE ... TO VERSION` verb): roll
+    * the table back to snapshot `toId` by committing a NEW manifest
+    * that pins the OLD snapshot's lines verbatim — data files carried
+    * by reference (stats and DV sidecars included), so a rollback is
+    * O(metadata) no matter the table size, readers resolve it like
+    * any commit, and nothing after `toId` is deleted: the mistaken
+    * snapshots stay time-travelable for the post-mortem (vacuum
+    * reclaims them when policy says so). Returns the new snapshot id. */
+  def restore(s: SparkSession, root: String, toId: Long): Long =
+    commitManifest(s, root, manifestLines(s, root, Some(toId)), 10)
+
+  /** S23 — restore end-to-end: commit orders (v0), "fat-finger" a
+    * destructive overwrite that drops every high-value row (v1), then
+    * RESTORE to v0 and read the table back — the answer must be the
+    * unfiltered base table, the v1 mistake must remain readable via
+    * time travel, and the restore itself must write no data files.
+    * The oracle checks answer-equality with the base table;
+    * SnapshotStoreSpec pins the metadata-only + history contracts. */
+  def s23Restore(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val root = new Path(
+      sys.props("java.io.tmpdir"), s"graft_s23$tag/t").toString
+    fs(s, root).delete(new Path(root).getParent, true)
+    val v0 = commit(base, root)
+    commit(base.filter(col("o_totalprice") <= 300000.0), root)
+    restore(s, root, v0)
+    read(s, root)
+  }
+
   /** S22 — additive schema evolution end-to-end THROUGH the commit
     * protocol: commit even-keyed orders WITHOUT the status column
     * (snapshot 0), [[appendCommit]] the odd-keyed rows WITH it
@@ -670,9 +702,13 @@ object SnapshotStore {
     "s15_incremental_mv" -> s15IncrementalMv,
     "s20_compaction" -> s20Compaction,
     "s21_delete_vectors" -> s21DeleteVectors,
-    "s22_schema_evolution" -> s22SchemaEvolution)
+    "s22_schema_evolution" -> s22SchemaEvolution,
+    "s23_restore" -> s23Restore)
 
   val oracle: Map[String, String] = Map(
+    "s23_restore" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice
+         FROM orders""",
     "s22_schema_evolution" ->
       """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus
                      ELSE 'pre_evolution' END AS status,

@@ -236,6 +236,25 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(spark.read.parquet(dst).collect().map(_.getLong(0)).toSet
       == Set(4L))
   }
+  test("restore: metadata-only rollback, mistake stays time-travelable") {
+    import spark.implicits._
+    val root = freshRoot()
+    val v0Data = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("id", "v")
+    val v0 = SnapshotStore.commit(v0Data, root)
+    val files0 = SnapshotStore.manifestFiles(spark, root)
+    SnapshotStore.commit(v0Data.filter(col("id") =!= 2L), root) // oops
+    val v2 = SnapshotStore.restore(spark, root, v0)
+    // rollback pins v0's EXACT files — no data written, pure metadata
+    assert(SnapshotStore.manifestFiles(spark, root) == files0)
+    assert(v2 == v0 + 2)
+    assert(SnapshotStore.read(spark, root)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // the mistaken snapshot remains readable for the post-mortem
+    assert(SnapshotStore.readSnapshot(spark, root, Some(v0 + 1))
+      .count() == 2)
+  }
+
   test("appendCommit/readEvolved: column add is O(new data), history " +
       "keeps the narrow schema, old rows read the new column as null") {
     import spark.implicits._
