@@ -25,13 +25,16 @@ import graft.Tables
   * scalar aggregate per iteration.
   *
   * Spark shape at scale: edges build once (one distinct over the
-  * fact join), the per-iteration work is one join of the rank
-  * vector to the edge list on its src + one hash agg on dst —
-  * shuffle keyed the same way every round, so a co-partitioned
-  * edge cache serves all iterations. Each round localCheckpoints its
-  * rank vector (the d6 pattern): the dangling-mass scalar is an
-  * ACTION per round, and an un-materialized plan would replay every
-  * earlier round inside it — quadratic in the iteration count. */
+  * fact join), pre-partitioned on src and cached so every round's
+  * keyed join reuses ONE partitioning. The iterated state is
+  * (node_id, outdeg, r) — outdeg is static, so folding it into the
+  * checkpointed state means no round ever re-joins the degree
+  * table: the dangling-mass scalar is a filter+sum over the
+  * checkpointed state alone, and the contribution join touches only
+  * state⋈edges. Each round localCheckpoints its rank vector (the
+  * d6 pattern): the dangling-mass scalar is an ACTION per round,
+  * and an un-materialized plan would replay every earlier round
+  * inside it — quadratic in the iteration count. */
 object PageRank {
 
   private val Scale = 1000000000000L // 1e12 micro-units
@@ -49,34 +52,40 @@ object PageRank {
       .select(col("o_custkey").as("src"),
         (col("l_suppkey") + SuppOffset).as("dst"))
       .distinct()
+      // pre-partition on the per-round join key: the distinct's
+      // (src,dst) partitioning would force a fresh edge shuffle every
+      // iteration; keyed on src the cache satisfies all 5 rounds
+      .repartition(col("src"))
       .cache()
     val nodes = edges.select(col("src").as("node_id"))
       .union(edges.select(col("dst").as("node_id")))
       .distinct()
-      .cache()
-    val n = nodes.count()
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // iterated state = (node_id, outdeg, r): outdeg is static, so
+    // carrying it in the checkpointed state means no round re-joins
+    // the degree table — built exactly once here
+    val state0 = nodes.as("nd")
+      .join(outdeg.as("od"), col("nd.node_id") === col("od.src"), "left")
+      .select(col("nd.node_id").as("node_id"), col("od.outdeg").as("outdeg"))
+      .localCheckpoint(true)
+    val n = state0.count()
     // init + per-iteration constants, all integer micro-units
     val init = java.lang.Math.floorDiv(Scale, n)
     val base = math.floor(0.15 * Scale / n).toLong
 
-    var ranks = nodes.withColumn("r", lit(init))
+    var ranks = state0.withColumn("r", lit(init))
     for (_ <- 1 to Iters) {
-      // string-aliased refs throughout: ranks' lineage re-joins the
-      // same cached edges/outdeg every round, and df("col")-style
-      // references would capture stale attribute ids
-      val withDeg = ranks.as("rk")
-        .join(outdeg.as("od"),
-          col("rk.node_id") === col("od.src"), "left")
-        .select(col("rk.node_id").as("node_id"), col("rk.r").as("r"),
-          col("od.outdeg").as("outdeg"))
       // dangling nodes: no out-edges → their whole damped mass is
-      // shared uniformly (one scalar agg per round)
-      val dang = withDeg.filter(col("outdeg").isNull)
+      // shared uniformly; a filter+sum over the checkpointed state
+      // alone (one cheap scalar action per round, no join)
+      val dang = ranks.filter(col("outdeg").isNull)
         .agg(coalesce(sum(col("r")), lit(0L)).as("d"))
         .head().getLong(0)
       val dangShare = math.floor(0.85 * dang / n).toLong
-      val contrib = withDeg.filter(col("outdeg").isNotNull).as("wd")
+      // string-aliased refs: ranks' lineage re-joins the same cached
+      // edges every round, and df("col")-style references would
+      // capture stale attribute ids
+      val contrib = ranks.filter(col("outdeg").isNotNull).as("wd")
         .join(edges.as("ed"), col("wd.node_id") === col("ed.src"))
         .select(col("ed.dst").as("node_id"),
           floor(lit(0.85) * col("wd.r") / col("wd.outdeg"))
@@ -86,12 +95,13 @@ object PageRank {
       // materialize each round: the dangling-mass head() is an ACTION
       // per iteration, so an un-checkpointed ranks plan would replay
       // rounds 1..k-1 inside round k's action (quadratic-in-rounds
-      // work — measured 13.0 s → 10.5 s at sf0.1; the residue is the
-      // honest 5 × (join + agg) iterative price). Integer arithmetic
-      // ⇒ the checkpoint cannot change a single bit of the result.
-      ranks = nodes.join(contrib, Seq("node_id"), "left")
-        .select(col("node_id"),
-          (lit(base) + coalesce(col("cs"), lit(0L)) + lit(dangShare))
+      // work). Integer arithmetic ⇒ the checkpoint cannot change a
+      // single bit of the result.
+      ranks = ranks.as("st").join(contrib.as("ct"),
+          col("st.node_id") === col("ct.node_id"), "left")
+        .select(col("st.node_id").as("node_id"),
+          col("st.outdeg").as("outdeg"),
+          (lit(base) + coalesce(col("ct.cs"), lit(0L)) + lit(dangShare))
             .as("r"))
         .localCheckpoint(true)
     }
