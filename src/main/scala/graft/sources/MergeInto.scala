@@ -101,7 +101,8 @@ object MergeInto {
       .select("o_orderkey", "o_orderpriority", "o_totalprice")
     val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
     val root = new org.apache.hadoop.fs.Path(
-      sys.props("java.io.tmpdir"), s"graft_s13$tag").toString
+      sys.props("java.io.tmpdir"),
+      s"graft_s13${tag}_${s.sparkContext.applicationId}").toString
     org.apache.hadoop.fs.FileSystem
       .get(new java.net.URI(root), s.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(root), true)

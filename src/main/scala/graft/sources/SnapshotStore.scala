@@ -451,7 +451,7 @@ object SnapshotStore {
         .withColumn("c_custkey", col("c_custkey") + 3000000L))
     val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
     val root = new Path(
-      sys.props("java.io.tmpdir"), s"graft_s12$tag/t").toString
+      sys.props("java.io.tmpdir"), s"graft_s12${tag}_${s.sparkContext.applicationId}/t").toString
     fs(s, root).delete(new Path(root).getParent, true)
     commit(base, root)
     commit(v1, root)
@@ -473,7 +473,7 @@ object SnapshotStore {
       .select("o_orderkey", "o_orderpriority", "o_totalprice")
     val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
     val root = new Path(
-      sys.props("java.io.tmpdir"), s"graft_s14$tag/t").toString
+      sys.props("java.io.tmpdir"), s"graft_s14${tag}_${s.sparkContext.applicationId}/t").toString
     fs(s, root).delete(new Path(root).getParent, true)
     commitWithStats(base.repartitionByRange(8, col("o_orderkey")),
       root, "o_orderkey")
@@ -575,7 +575,7 @@ object SnapshotStore {
       .select("o_orderkey", "o_orderpriority", "o_totalprice")
     val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
     val root = new Path(
-      sys.props("java.io.tmpdir"), s"graft_s20$tag/t").toString
+      sys.props("java.io.tmpdir"), s"graft_s20${tag}_${s.sparkContext.applicationId}/t").toString
     fs(s, root).delete(new Path(root).getParent, true)
     commit(base.repartition(64), root)
     compact(s, root, targetBytes = 1L << 20)
@@ -596,7 +596,7 @@ object SnapshotStore {
       .select("o_orderkey", "o_orderpriority", "o_totalprice")
     val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
     val root = new Path(
-      sys.props("java.io.tmpdir"), s"graft_s21$tag/t").toString
+      sys.props("java.io.tmpdir"), s"graft_s21${tag}_${s.sparkContext.applicationId}/t").toString
     fs(s, root).delete(new Path(root).getParent, true)
     commit(base.repartition(8), root)
     deleteWhere(s, root, col("o_orderkey") % 7 === 3)
@@ -658,7 +658,7 @@ object SnapshotStore {
       .select("o_orderkey", "o_orderpriority", "o_totalprice")
     val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
     val root = new Path(
-      sys.props("java.io.tmpdir"), s"graft_s23$tag/t").toString
+      sys.props("java.io.tmpdir"), s"graft_s23${tag}_${s.sparkContext.applicationId}/t").toString
     fs(s, root).delete(new Path(root).getParent, true)
     val v0 = commit(base, root)
     commit(base.filter(col("o_totalprice") <= 300000.0), root)
@@ -683,7 +683,7 @@ object SnapshotStore {
     val base = graft.Tables.orders(s, dir)
     val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
     val root = new Path(
-      sys.props("java.io.tmpdir"), s"graft_s22$tag/t").toString
+      sys.props("java.io.tmpdir"), s"graft_s22${tag}_${s.sparkContext.applicationId}/t").toString
     fs(s, root).delete(new Path(root).getParent, true)
     commit(base.filter(col("o_orderkey") % 2 === 0)
       .select("o_orderkey", "o_totalprice"), root)
@@ -696,7 +696,39 @@ object SnapshotStore {
         graft.ops.Det.dsum2(col("o_totalprice")).as("sum_price"))
   }
 
+  /** S24 — VACUUM end-to-end (the Delta `VACUUM` / Iceberg
+    * expire-snapshots verb): commit orders (v0), overwrite with the
+    * sub-threshold slice (v1), then vacuum with keepLast=1 — v0's
+    * manifest AND the data directories only it references are
+    * physically reclaimed — and read the live table back. Inline
+    * requires pin the reclaim really happened (history shrank to one
+    * snapshot, ≥1 data dir deleted); the oracle checks the surviving
+    * answer is exactly v1, i.e. the reclaim touched only dead files.
+    * At 100 TB vacuum is the storage-cost control every snapshot
+    * store needs: cost is O(manifest lines + dead dirs), never a
+    * data scan, and the manifest-first delete order keeps concurrent
+    * readers consistent (see [[vacuum]]). SnapshotStoreSpec pins the
+    * file-level contract incl. live-DV survival. */
+  def s24Vacuum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val root = new Path(
+      sys.props("java.io.tmpdir"),
+      s"graft_s24${tag}_${s.sparkContext.applicationId}/t").toString
+    fs(s, root).delete(new Path(root).getParent, true)
+    commit(base.repartition(4), root)
+    commit(base.filter(col("o_orderkey") % 5 =!= 2), root)
+    val removed = vacuum(s, root, keepLast = 1)
+    require(removed >= 1, s"vacuum reclaimed nothing (removed=$removed)")
+    val left = snapshots(s, root)
+    require(left.length == 1, s"history not pruned: $left")
+    read(s, root)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s24_vacuum" -> s24Vacuum,
     "s12_snapshot_changes" -> s12SnapshotChanges,
     "s14_snapshot_skipping" -> s14SnapshotSkipping,
     "s15_incremental_mv" -> s15IncrementalMv,
@@ -706,6 +738,9 @@ object SnapshotStore {
     "s23_restore" -> s23Restore)
 
   val oracle: Map[String, String] = Map(
+    "s24_vacuum" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice
+         FROM orders WHERE o_orderkey % 5 <> 2""",
     "s23_restore" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice
          FROM orders""",

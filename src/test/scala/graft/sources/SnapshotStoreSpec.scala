@@ -135,6 +135,28 @@ class SnapshotStoreSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet == Set(3L))
   }
 
+  test("s24 composition leaves one manifest and only live data dirs") {
+    val sf = "/root/testdata/sf0.001"
+    val n = SnapshotStore.s24Vacuum(spark, sf).count()
+    assert(n > 0)
+    val tag = sf.replaceAll("[^A-Za-z0-9]+", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      sys.props("java.io.tmpdir"),
+      s"graft_s24${tag}_${spark.sparkContext.applicationId}/t").toString
+    assert(SnapshotStore.snapshots(spark, root).length == 1)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = SnapshotStore
+      .manifestFiles(spark, root, None)
+      .map(p => new org.apache.hadoop.fs.Path(p).getParent.toUri.getPath)
+      .toSet
+    val onDisk = fs
+      .listStatus(new org.apache.hadoop.fs.Path(root, "data"))
+      .map(_.getPath.toUri.getPath).toSet
+    assert(onDisk == live,
+      s"stale dirs survive vacuum: ${onDisk -- live}")
+  }
+
   test("data skipping: stats commit prunes files from the manifest " +
       "alone; plain commits are kept conservatively") {
     import spark.implicits._
