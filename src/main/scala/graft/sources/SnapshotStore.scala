@@ -696,6 +696,90 @@ object SnapshotStore {
         graft.ops.Det.dsum2(col("o_totalprice")).as("sum_price"))
   }
 
+  /** INCREMENTAL JOIN-VIEW MAINTENANCE — the bilinear delta rule
+    * (V = A⋈B ⇒ ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB) specialized to the
+    * PK-FK shape every star schema has: the view is keyed by A's
+    * primary key, so maintenance is a keyed upsert, not a bag merge.
+    * Two passes, both churn-proportional:
+    *   1. ΔB patch: existing view rows with a churned FK get the
+    *      dim's new attributes in place; a dim DELETE cascades (inner
+    *      join semantics — the row leaves the view). One keyed join
+    *      of the view against the (tiny) ΔB set — in production the
+    *      MV is bucketed on the FK, making this co-located.
+    *   2. ΔA replace: view rows whose PK was touched are dropped
+    *      (anti join on the ΔA key set) and re-derived by joining the
+    *      ΔA postimage against B1 — post-churn B, so the ΔA⋈ΔB cross
+    *      term needs no special case (an inserted fact referencing an
+    *      updated dim lands with the NEW dim attributes).
+    * Dim INSERTS need no view pass at all: in an FK-valid base no
+    * existing fact references a customer that did not exist yet.
+    * Work = O(|ΔA| + |ΔB| + view fan-out of the churned FKs) — the
+    * last term is rows that genuinely change; the full A1⋈B1
+    * recompute never runs. At 100 TB this is how a denormalized
+    * serving table tracks a churning warehouse within seconds. */
+  def applyJoinDelta(mv: DataFrame, dA: DataFrame, dB: DataFrame,
+      b1: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val bDel = dB.filter(col("change_type") === "delete")
+      .select(col("c_custkey"))
+    val bUpd = dB.filter(col("change_type") === "update")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg_new"))
+    val patched = mv
+      .join(bDel, mv("o_custkey") === bDel("c_custkey"), "left_anti")
+      .join(bUpd, mv("o_custkey") === bUpd("c_custkey"), "left")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        coalesce(col("seg_new"), col("c_mktsegment")).as("c_mktsegment"))
+    val aLive = dA.filter(col("change_type") =!= "delete")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val refreshed = aLive
+      .join(b1, aLive("o_custkey") === b1("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("c_mktsegment"))
+    patched
+      .join(dA.select(col("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .unionByName(refreshed)
+  }
+
+  /** S25 — incremental JOIN-view maintenance end-to-end: materialize
+    * orders⋈customer keyed by the order key, churn BOTH sides
+    * deterministically (fact: deletes %97≡5, price bumps %13≡2,
+    * inserted copies %100≡7 at key+50M; dim: segment rewrites %50≡7,
+    * deletes %199≡11, unreferenced inserts at key+3M), then fold the
+    * two keyed change sets into the view with [[applyJoinDelta]].
+    * The oracle recomputes A1⋈B1 from scratch — the maintained view
+    * must be indistinguishable from the recompute, including the
+    * cascade (orders of a deleted customer vanish) and the cross
+    * term (an inserted order referencing a rewritten customer
+    * carries the NEW segment). Completes the MV story next to s15's
+    * grouped-agg case: agg views fold signed contributions, join
+    * views patch-and-replace by key. */
+  def s25IncrementalJoinMv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val a0 = graft.Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val b0 = graft.Tables.customer(s, dir)
+      .select("c_custkey", "c_mktsegment")
+    val a1 = a0.filter(col("o_orderkey") % 97 =!= 5)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 2, col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")))
+      .union(a0.filter(col("o_orderkey") % 100 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 50000000L))
+    val b1 = b0.filter(col("c_custkey") % 199 =!= 11)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 50 === 7, "MACHINERY")
+          .otherwise(col("c_mktsegment")))
+      .union(b0.filter(col("c_custkey") % 150 === 0)
+        .select((col("c_custkey") + 3000000L).as("c_custkey"),
+          lit("FURNITURE").as("c_mktsegment")))
+    val mv0 = a0.join(b0, a0("o_custkey") === b0("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("c_mktsegment"))
+    applyJoinDelta(mv0,
+      keyedChanges(a0, a1, "o_orderkey"),
+      keyedChanges(b0, b1, "c_custkey"), b1)
+  }
+
   /** S24 — VACUUM end-to-end (the Delta `VACUUM` / Iceberg
     * expire-snapshots verb): commit orders (v0), overwrite with the
     * sub-threshold slice (v1), then vacuum with keepLast=1 — v0's
@@ -728,6 +812,7 @@ object SnapshotStore {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s25_incremental_join_mv" -> s25IncrementalJoinMv,
     "s24_vacuum" -> s24Vacuum,
     "s12_snapshot_changes" -> s12SnapshotChanges,
     "s14_snapshot_skipping" -> s14SnapshotSkipping,
@@ -738,6 +823,26 @@ object SnapshotStore {
     "s23_restore" -> s23Restore)
 
   val oracle: Map[String, String] = Map(
+    "s25_incremental_join_mv" ->
+      """WITH a1 AS (
+           SELECT o_orderkey, o_custkey,
+             o_totalprice + CASE WHEN o_orderkey % 13 = 2
+               THEN 1000.0 ELSE 0.0 END AS o_totalprice
+           FROM orders WHERE o_orderkey % 97 <> 5
+           UNION ALL
+           SELECT o_orderkey + 50000000, o_custkey, o_totalprice
+           FROM orders WHERE o_orderkey % 100 = 7),
+         b1 AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 50 = 7 THEN 'MACHINERY'
+                  ELSE c_mktsegment END AS c_mktsegment
+           FROM customer WHERE c_custkey % 199 <> 11
+           UNION ALL
+           SELECT c_custkey + 3000000, 'FURNITURE'
+           FROM customer WHERE c_custkey % 150 = 0)
+         SELECT a.o_orderkey, a.o_custkey, a.o_totalprice,
+           b.c_mktsegment
+         FROM a1 a JOIN b1 b ON a.o_custkey = b.c_custkey""",
     "s24_vacuum" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice
          FROM orders WHERE o_orderkey % 5 <> 2""",

@@ -135,6 +135,45 @@ class SnapshotStoreSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet == Set(3L))
   }
 
+  test("s25 maintained join view == full recompute, incl. cascade " +
+      "and cross term") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val mv = SnapshotStore.s25IncrementalJoinMv(spark, sf)
+    // the recompute the oracle runs, here in Spark for a closed loop
+    val a0 = graft.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val b0 = graft.Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment")
+    val a1 = a0.filter(col("o_orderkey") % 97 =!= 5)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 2, col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")))
+      .union(a0.filter(col("o_orderkey") % 100 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 50000000L))
+    val b1 = b0.filter(col("c_custkey") % 199 =!= 11)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 50 === 7, "MACHINERY")
+          .otherwise(col("c_mktsegment")))
+      .union(b0.filter(col("c_custkey") % 150 === 0)
+        .select((col("c_custkey") + 3000000L).as("c_custkey"),
+          lit("FURNITURE").as("c_mktsegment")))
+    val full = a1.join(b1, a1("o_custkey") === b1("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("c_mktsegment"))
+    assert(mv.exceptAll(full).isEmpty && full.exceptAll(mv).isEmpty,
+      "maintained view diverges from the recompute")
+    // the churn cases the delta rule must cover actually occur
+    val custDeleted = b0.filter(col("c_custkey") % 199 === 11)
+      .select("c_custkey")
+    assert(a0.join(custDeleted,
+      a0("o_custkey") === custDeleted("c_custkey")).count() > 0,
+      "fixture: no order cascades from a customer delete")
+    assert(mv.filter(col("o_orderkey") > 50000000L &&
+      col("c_mktsegment") === "MACHINERY").count() > 0,
+      "fixture: no inserted order hits a rewritten customer (cross term)")
+  }
+
   test("s24 composition leaves one manifest and only live data dirs") {
     val sf = "/root/testdata/sf0.001"
     val n = SnapshotStore.s24Vacuum(spark, sf).count()
