@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.streaming.{DriftStream,
   CurationStream, EventStreams, FunnelStream, IdempotentSink,
-  MvStream, QualityStream}
+  JoinMvStream, MvStream, QualityStream}
 import graft.sources.SnapshotStore
 
 /** Batch-parity of the Structured Streaming window aggregations: the
@@ -259,6 +259,75 @@ class StreamingSpec extends SparkTestBase {
     // state history is time-travelable: the view as of batch 0
     val asOf0 = SnapshotStore.readSnapshot(spark, root, Some(0L))
     assert(asOf0.agg(sum("n_rows")).head().getLong(0) == 3L)
+  }
+
+  test("streaming join-MV: tagged churn batches fold to the batch s25 " +
+      "view; replay is structurally idempotent") {
+    val dirBase = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    val viewRoot = dirBase + "/view"
+    val dimRoot = dirBase + "/dim"
+    val sf = "/root/testdata/sf0.001"
+    val a0 = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val b0 = Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment")
+    val a1 = a0.filter(col("o_orderkey") % 97 =!= 5)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 2, col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")))
+      .union(a0.filter(col("o_orderkey") % 100 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 50000000L))
+    val b1 = b0.filter(col("c_custkey") % 199 =!= 11)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 50 === 7, "MACHINERY")
+          .otherwise(col("c_mktsegment")))
+      .union(b0.filter(col("c_custkey") % 150 === 0)
+        .select((col("c_custkey") + 3000000L).as("c_custkey"),
+          lit("FURNITURE").as("c_mktsegment")))
+    def batchOf(fromA: org.apache.spark.sql.DataFrame,
+        toA: org.apache.spark.sql.DataFrame,
+        fromB: org.apache.spark.sql.DataFrame,
+        toB: org.apache.spark.sql.DataFrame) =
+      JoinMvStream.tagDim(
+          SnapshotStore.keyedChanges(fromB, toB, "c_custkey"))
+        .unionByName(JoinMvStream.tagFact(
+          SnapshotStore.keyedChanges(fromA, toA, "o_orderkey")))
+    // batch 0 = cold start (all inserts); batch 1 = the two-sided churn
+    val load = batchOf(a0.filter(lit(false)), a0,
+      b0.filter(lit(false)), b0)
+    val churn = batchOf(a0, a1, b0, b1)
+    JoinMvStream.foldBatch(load, 0L, viewRoot, dimRoot)
+    JoinMvStream.foldBatch(churn, 1L, viewRoot, dimRoot)
+    val batchView = graft.sources.SnapshotStore
+      .s25IncrementalJoinMv(spark, sf)
+    val streamed = JoinMvStream.readView(spark, viewRoot)
+    assert(streamed.exceptAll(batchView).isEmpty &&
+      batchView.exceptAll(streamed).isEmpty,
+      "streamed view diverges from batch s25")
+    assert(JoinMvStream.appliedBatch(spark, viewRoot) == 1L)
+    // recovery-contract replay: same id, same data — metadata skip
+    JoinMvStream.foldBatch(churn, 1L, viewRoot, dimRoot)
+    assert(JoinMvStream.appliedBatch(spark, viewRoot) == 1L)
+    // crash window: dim committed, view commit lost → the batch
+    // re-folds in full; the absolute-value patches must reproduce the
+    // same view (structural idempotence, not just guard idempotence)
+    SnapshotStore.commit(SnapshotStore.read(spark, dimRoot), dimRoot)
+    val before = streamed.collect().map(_.toString).sorted
+    JoinMvStream.foldBatch(churn, 1L, viewRoot, dimRoot) // guard skips
+    val forced = { // bypass the guard the way a lost view commit would
+      val dA = churn.filter(col("side") === "fact")
+        .select(col("change_type"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      val dB = churn.filter(col("side") === "dim")
+        .select(col("change_type"), col("c_custkey"),
+          col("c_mktsegment"))
+      SnapshotStore.applyJoinDelta(
+        JoinMvStream.readView(spark, viewRoot), dA, dB,
+        SnapshotStore.read(spark, dimRoot))
+    }
+    assert(forced.collect().map(_.toString).sorted
+      .sameElements(before), "re-fold of applied churn must be a no-op")
   }
 
   test("session windows: gaps over 30min split sessions") {
