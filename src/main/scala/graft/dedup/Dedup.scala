@@ -206,7 +206,19 @@ object Dedup {
     * pair source the e2e curation pipeline runs on its SURVIVING
     * docs (near-dup pruning after the cheap per-row gates, so the
     * quadratic-in-candidates stage sees the smallest corpus). */
-  private[graft] def d2PairsOf(docs: DataFrame, cap: Int): DataFrame = {
+  private[graft] def d2PairsOf(docs: DataFrame, cap: Int): DataFrame =
+    pairStats(docs, cap)
+      .withColumn("jaccard",
+        col("shared") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= 0.4)
+      .select(col("doc_a"), col("doc_b"), Det.r4(col("jaccard")).as("jaccard"))
+
+  /** The shingle-blocked pair-statistics kernel behind d2/d2b/d12:
+    * (doc_a, doc_b, shared, n_a, n_b) for every candidate pair with
+    * at least one shared shingle — every overlap measure (Jaccard,
+    * containment, dice, …) is arithmetic over these three counts, so
+    * the measures share one shuffle topology and one cap semantics. */
+  private[graft] def pairStats(docs: DataFrame, cap: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     val exploded = docs
@@ -242,10 +254,45 @@ object Dedup {
         .withColumnRenamed("n", "n_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("n", "n_b"), "doc_b")
+  }
+
+  private[graft] val D12PlantOffset = 5000000L
+  private[graft] val D12PlantStride = 10L
+
+  /** D12 — asymmetric CONTAINMENT dedup (Broder 1997's second
+    * resemblance measure; the RefinedWeb/CCNet curation case Jaccard
+    * structurally misses): a short document embedded verbatim inside
+    * a much longer one has |A∩B|/|A| ≈ 1 while Jaccard ≈ |A|/|B| ≈ 0
+    * — quote pages, syndicated excerpts, boilerplate-wrapped copies.
+    * Same [[pairStats]] kernel and stop-shingle cap as d2b (one
+    * shuffle topology, identical candidate generation), different
+    * arithmetic: emit pairs with containment ≥ 0.8 that the Jaccard
+    * gate does NOT flag (< 0.4) — i.e. exactly the incremental catch
+    * of running containment beside d2b, plus which side is the
+    * contained (smaller) document. Under the filter the sides can
+    * never tie: equal set sizes with containment ≥ 0.8 force Jaccard
+    * ≥ 2/3. The corpus is augmented with planted 30-token prefix
+    * docs (doc_id % 10 ≡ 3, id + 5M — the n7/d7 planted-fixture
+    * pattern) so the gate provably fires at every SF; the oracle
+    * replays the identical plant. Cap semantics carry over: a
+    * corpus-hot shingle drops from `shared` but not the set sizes,
+    * so containment only decreases — identically in both engines. */
+  def d12Containment(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val planted = docs
+      .filter(col("doc_id") % D12PlantStride === 3)
+      .select((col("doc_id") + D12PlantOffset).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 30), " ").as("text"))
+    pairStats(docs.unionByName(planted), StopShingleCap)
+      .withColumn("containment",
+        col("shared") / least(col("n_a"), col("n_b")))
       .withColumn("jaccard",
         col("shared") / (col("n_a") + col("n_b") - col("shared")))
-      .filter(col("jaccard") >= 0.4)
-      .select(col("doc_a"), col("doc_b"), Det.r4(col("jaccard")).as("jaccard"))
+      .filter(col("containment") >= 0.8 && col("jaccard") < 0.4)
+      .select(col("doc_a"), col("doc_b"),
+        when(col("n_a") <= col("n_b"), col("doc_a"))
+          .otherwise(col("doc_b")).as("contained_doc"),
+        Det.r4(col("containment")).as("containment"))
   }
 
   private val NumHashes = 16
@@ -878,6 +925,7 @@ object Dedup {
     "d1_dedup_exact" -> d1DedupExact,
     "d7_dedup_embedding_lsh" -> d7DedupEmbeddingLsh,
     "d2_dedup_ngram_jaccard" -> d2DedupNgramJaccard,
+    "d12_containment" -> d12Containment,
     "d2b_dedup_ngram_capped" -> d2bDedupNgramCapped,
     "d6_dedup_clusters" -> d6DedupClusters,
     "d3_dedup_minhash_lsh" -> d3DedupMinhashLsh,
@@ -890,7 +938,8 @@ object Dedup {
     * the SQL twin of the kernel's overflow guard: a shingle shared by
     * more than `cap` docs never enters the pair expansion, while the
     * per-doc set sizes in `n` stay uncapped (jaccard only decreases). */
-  private def d2PairCtes(cap: Option[Int]): String = {
+  private def d2PairCtes(cap: Option[Int],
+      src: String = "documents"): String = {
     val capFilter = cap.fold("")(c =>
       s"""WHERE a.s IN (SELECT s FROM sh_e
                         GROUP BY s HAVING count(*) <= $c)
@@ -901,7 +950,7 @@ object Dedup {
              i -> string_split(text, ' ')[i] || ' ' ||
                   string_split(text, ' ')[i+1] || ' ' ||
                   string_split(text, ' ')[i+2])) AS sh
-           FROM documents),
+           FROM $src),
          sh_e AS (SELECT doc_id, unnest(sh) AS s FROM w),
          p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  count(*) AS shared
@@ -1091,6 +1140,23 @@ object Dedup {
          FROM p JOIN n na ON na.doc_id = doc_a
                 JOIN n nb ON nb.doc_id = doc_b
          WHERE shared / (na.n + nb.n - shared) >= 0.4""",
+    "d12_containment" ->
+      s"""WITH ${d2PairCtes(Some(StopShingleCap),
+        src = s"""(SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + $D12PlantOffset,
+               array_to_string(
+                 list_slice(string_split(text, ' '), 1, 30), ' ')
+             FROM documents
+             WHERE doc_id % $D12PlantStride = 3) docs2""")}
+         SELECT doc_a, doc_b,
+           CASE WHEN na.n <= nb.n THEN doc_a ELSE doc_b END
+             AS contained_doc,
+           ${Det.sql("shared / least(na.n, nb.n)", 4)} AS containment
+         FROM p JOIN n na ON na.doc_id = doc_a
+                JOIN n nb ON nb.doc_id = doc_b
+         WHERE shared / least(na.n, nb.n) >= 0.8
+           AND shared / (na.n + nb.n - shared) < 0.4""",
     "d6_dedup_clusters" ->
       s"""WITH RECURSIVE $d6LabelCtes
          SELECT doc_id, rep FROM labels""",

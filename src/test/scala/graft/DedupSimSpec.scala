@@ -153,6 +153,28 @@ class DedupSimSpec extends SparkTestBase {
     assert(prunedDocs > 0, "no organic paragraph was ever pruned")
   }
 
+  test("d12 containment: planted prefixes caught at 1.0; disjoint " +
+      "from the jaccard gate") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.d12Containment(spark, sfSmoke)
+    // planted prefix → its parent: containment exactly 1.0 (no shingle
+    // is corpus-hot at this SF, so the cap never bites)
+    val plantedPairs = out.filter(
+      col("doc_b") === col("doc_a") + Dedup.D12PlantOffset)
+    assert(plantedPairs.count() > 0, "no planted prefix pair surfaced")
+    assert(plantedPairs.filter(col("containment") =!= 1.0).count() == 0,
+      "uncapped planted prefix must have containment exactly 1.0")
+    assert(plantedPairs.filter(
+      col("contained_doc") =!= col("doc_b")).count() == 0,
+      "the prefix (smaller side) must be the contained doc")
+    // the emitted set is exactly what jaccard misses: no d12 pair may
+    // also be a d2b pair (jaccard >= 0.4 is filtered out by contract)
+    val d2b = Dedup.d2bDedupNgramCapped(spark, sfSmoke)
+      .select("doc_a", "doc_b")
+    assert(out.select("doc_a", "doc_b").intersect(d2b).isEmpty,
+      "d12 must be disjoint from the jaccard gate by construction")
+  }
+
   test("d3 minhash-LSH pairs are a subset of d2 exact-jaccard pairs") {
     val exact = pairSet(Dedup.d2DedupNgramJaccard(spark, sfTest),
       "doc_a", "doc_b")
