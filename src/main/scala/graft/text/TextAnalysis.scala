@@ -876,7 +876,68 @@ object TextAnalysis {
           col("n_grams").cast("double")).as("novelty"))
   }
 
+  /** X42 — the dataset card (Gebru et al. 2021 "Datasheets for
+    * Datasets"; the corpus-statistics table every training-data
+    * release publishes — C4/Pile/RefinedWeb papers each open with
+    * one): a single report query emitting (metric, value) rows —
+    * document/source/language counts, whitespace-token and char
+    * mass, exact-duplicate fraction (d1's md5 identity), language
+    * concentration, and exact length order statistics.
+    *
+    * Determinism: every value is either an exact integer count or an
+    * integer ratio quantized r4; the median/p95 are K-TH SMALLEST
+    * order statistics (k = ⌈n/2⌉, ⌈0.95n⌉ in integer arithmetic),
+    * computed from a VALUE HISTOGRAM of doc lengths — the g11/x40
+    * pattern: the cumulative window runs over the bounded distinct
+    * length grid, never a corpus sort. Scale shape: one scan-level
+    * per-doc projection feeding three hash aggs (global, per-lang,
+    * per-length) + a driver-side assembly of ~10 literal rows —
+    * bounded by construction. */
+  def x42DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val perDoc = Tables.documents(s, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("n_tok"),
+        col("n_chars"), col("lang"), col("source"),
+        md5(col("text").cast("binary")).as("h"))
+    val b = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("tok"),
+      sum(col("n_chars")).as("chars"),
+      countDistinct(col("h")).as("n_distinct"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources")).head()
+    val n = b.getLong(0)
+    val topLang = perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("c")).agg(max(col("c"))).head().getLong(0)
+    // exact order statistics off the bounded length histogram
+    val kMed = (n + 1) / 2
+    val k95 = (19 * n + 19) / 20 // = ceil(0.95 n), integer-exact
+    val w = Window.orderBy(col("n_tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = perDoc.groupBy("n_tok").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+    def kth(k: Long): Long = hist.filter(col("cum") >= k)
+      .agg(min(col("n_tok"))).head().getLong(0)
+    // Det.r's exact formula, driver-side: floor(x·10⁴ + 0.5)/10⁴ —
+    // same doubles as the oracle's Det.sql fragment
+    val r4 = (x: Double) => math.floor(x * 10000.0 + 0.5) / 10000.0
+    Seq(
+      ("n_docs", n.toDouble),
+      ("total_ws_tokens", b.getLong(1).toDouble),
+      ("total_chars", b.getLong(2).toDouble),
+      ("exact_dup_fraction", r4((n - b.getLong(3)).toDouble / n)),
+      ("n_langs", b.getLong(4).toDouble),
+      ("n_sources", b.getLong(5).toDouble),
+      ("top_lang_share", r4(topLang.toDouble / n)),
+      ("mean_tokens_per_doc", r4(b.getLong(1).toDouble / n)),
+      ("median_tokens", kth(kMed).toDouble),
+      ("p95_tokens", kth(k95).toDouble))
+      .toDF("metric", "value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x42_dataset_card" -> x42DatasetCard,
     "x41_novelty_score" -> x41NoveltyScore,
     "x40_ppl_buckets" -> x40PplBuckets,
     "x31_domain_caps" -> x31DomainCaps,
@@ -904,6 +965,36 @@ object TextAnalysis {
     "x11_bm25" -> x11Bm25)
 
   val oracle: Map[String, String] = Map(
+    "x42_dataset_card" ->
+      s"""WITH d AS (
+           SELECT len(string_split(text, ' ')) AS n_tok, n_chars,
+             lang, source, md5(text) AS h
+           FROM documents),
+         b AS (SELECT count(*) AS n, sum(n_tok) AS tok,
+                 sum(n_chars) AS chars, count(DISTINCT h) AS nd,
+                 count(DISTINCT lang) AS nl,
+                 count(DISTINCT source) AS ns FROM d),
+         tl AS (SELECT max(c) AS top FROM
+                 (SELECT count(*) AS c FROM d GROUP BY lang)),
+         r AS (SELECT n_tok,
+                 row_number() OVER (ORDER BY n_tok) AS rk FROM d),
+         med AS (SELECT min(n_tok) AS v FROM r, b
+                 WHERE rk >= (n + 1) // 2),
+         p95 AS (SELECT min(n_tok) AS v FROM r, b
+                 WHERE rk >= (19 * n + 19) // 20)
+         SELECT 'n_docs' AS metric, cast(n AS double) AS value FROM b
+         UNION ALL SELECT 'total_ws_tokens', cast(tok AS double) FROM b
+         UNION ALL SELECT 'total_chars', cast(chars AS double) FROM b
+         UNION ALL SELECT 'exact_dup_fraction',
+           ${Det.sql("(n - nd) / n", 4)} FROM b
+         UNION ALL SELECT 'n_langs', cast(nl AS double) FROM b
+         UNION ALL SELECT 'n_sources', cast(ns AS double) FROM b
+         UNION ALL SELECT 'top_lang_share',
+           ${Det.sql("top / n", 4)} FROM tl, b
+         UNION ALL SELECT 'mean_tokens_per_doc',
+           ${Det.sql("tok / n", 4)} FROM b
+         UNION ALL SELECT 'median_tokens', cast(v AS double) FROM med
+         UNION ALL SELECT 'p95_tokens', cast(v AS double) FROM p95""",
     "x41_novelty_score" ->
       s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s
                       FROM documents),

@@ -498,6 +498,27 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("x42 dataset card: exact counts, order stats match a direct sort") {
+    import org.apache.spark.sql.functions._
+    val card = text.TextAnalysis.x42DatasetCard(spark, sfSmoke)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(card.size == 10)
+    val docs = Tables.documents(spark, sfSmoke)
+    val n = docs.count()
+    assert(card("n_docs") == n.toDouble)
+    assert(card("total_chars") ==
+      docs.agg(sum("n_chars")).head().getLong(0).toDouble)
+    assert(card("exact_dup_fraction") >= 0.0 &&
+      card("exact_dup_fraction") < 1.0)
+    // k-th-smallest order stats vs a direct local sort
+    val lens = docs.select(size(split(col("text"), " ")).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    assert(card("median_tokens") == lens(((n + 1) / 2 - 1).toInt).toDouble)
+    assert(card("p95_tokens") ==
+      lens(((19 * n + 19) / 20 - 1).toInt).toDouble)
+    assert(card("top_lang_share") > 0.0 && card("top_lang_share") <= 1.0)
+  }
+
   test("t1 union equals f2-style isin filter (SURVEY T1 ≡ F2)") {
     val union = ops.Joins.t1Union(spark, sfTest).select("c_custkey")
     val isin = Tables.customer(spark, sfTest)
