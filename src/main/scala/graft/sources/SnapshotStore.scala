@@ -66,6 +66,38 @@ object SnapshotStore {
       .sorted
   }
 
+  /** DESCRIBE HISTORY — one row per committed snapshot: id, commit
+    * wall-time (the manifest file's mtime — set by the rename that
+    * made the snapshot visible, so it IS the visibility instant),
+    * data-file count, total data bytes, and DV sidecar count. Pure
+    * manifest/FileStatus metadata: no data file is opened, cost is
+    * O(snapshots × manifest lines) at any table size. (A production
+    * manifest would additionally pin rowCount per file at commit
+    * time; this store keeps lines engine-portable and counts rows
+    * only when a reader asks.) */
+  def history(s: SparkSession, root: String)
+      : Seq[(Long, Long, Int, Long, Int)] = {
+    val f = fs(s, root)
+    snapshots(s, root).map { id =>
+      val files = manifestFiles(s, root, Some(id))
+      val bytes = files.map(p => f.getFileStatus(new Path(p)).getLen).sum
+      (id, f.getFileStatus(manifestPath(root, id)).getModificationTime,
+        files.length, bytes, dvPaths(s, root, Some(id)).length)
+    }
+  }
+
+  /** Time travel by WALL CLOCK (the Delta `TIMESTAMP AS OF` verb):
+    * resolve the latest snapshot whose commit instant (manifest
+    * mtime) is ≤ `tsMillis` and read it. The id form
+    * ([[readSnapshot]]) is the deterministic API; this is the
+    * human-facing one ("the table as of last night's run"). */
+  def readAsOf(s: SparkSession, root: String, tsMillis: Long)
+      : DataFrame = {
+    val elig = history(s, root).filter(_._2 <= tsMillis)
+    require(elig.nonEmpty, s"no snapshot at or before $tsMillis")
+    readSnapshot(s, root, Some(elig.map(_._1).max))
+  }
+
   /** Commit `df` as the table's next snapshot; returns its id.
     * Data lands in a fresh immutable directory first; the manifest
     * rename is the only step that makes it visible. */

@@ -120,6 +120,33 @@ class SnapshotStoreSpec extends SparkTestBase {
       "a manifest-less data dir must never surface to readers")
   }
 
+  test("history + timestamp time travel resolve the right snapshots") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.commit(Seq((1L, "v0")).toDF("id", "v"), root)
+    Thread.sleep(50) // distinct manifest mtimes even at coarse FS res
+    SnapshotStore.commit(
+      Seq((1L, "v1"), (2L, "v1")).toDF("id", "v"), root)
+    Thread.sleep(50)
+    SnapshotStore.deleteWhere(spark,
+      root, org.apache.spark.sql.functions.col("id") === 1L)
+    val h = SnapshotStore.history(spark, root)
+    assert(h.map(_._1) == Seq(0L, 1L, 2L), "ids ascending")
+    assert(h.map(_._2).sorted == h.map(_._2), "commit times monotone")
+    assert(h.forall(_._3 >= 1), "per-snapshot file counts present")
+    assert(h.last._5 == 1 && h.head._5 == 0,
+      "DV sidecar count appears only on the merge-on-read snapshot")
+    assert(h.forall(_._4 > 0), "data byte totals present")
+    // as-of the SECOND commit's instant → snapshot 1's content
+    val asOf = SnapshotStore.readAsOf(spark, root, h(1)._2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(asOf == Set((1L, "v1"), (2L, "v1")))
+    // before the first commit → error
+    intercept[IllegalArgumentException] {
+      SnapshotStore.readAsOf(spark, root, h.head._2 - 1)
+    }
+  }
+
   test("vacuum drops unreferenced data dirs, keeps the live snapshot") {
     import spark.implicits._
     val root = freshRoot()
