@@ -105,6 +105,13 @@ object PageRank {
             .as("r"))
         .localCheckpoint(true)
     }
+    // ranks is checkpointed (independent of the edge lineage), so the
+    // query-local edge cache can release its blocks NOW instead of
+    // waiting for GC-driven cleanup — in a long-lived multi-query
+    // session accumulated dead caches steal execution memory and turn
+    // later joins spill-heavy (measured: q1 41.7 s in a 173-query
+    // bench session vs 5.7 s solo at sf1.0)
+    edges.unpersist()
     ranks
       .withColumn("node_type",
         when(col("node_id") >= SuppOffset, "supplier")
