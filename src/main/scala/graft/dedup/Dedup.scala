@@ -267,9 +267,14 @@ object Dedup {
     * Same [[pairStats]] kernel and stop-shingle cap as d2b (one
     * shuffle topology, identical candidate generation), different
     * arithmetic: emit pairs with containment ≥ 0.8 that the Jaccard
-    * gate does NOT flag (< 0.4) — i.e. exactly the incremental catch
-    * of running containment beside d2b, plus which side is the
-    * contained (smaller) document. Under the filter the sides can
+    * gate over the SAME corpus does NOT flag (< 0.4) — the
+    * incremental catch of running containment beside the Jaccard
+    * pass, plus which side is the contained (smaller) document.
+    * (Disjointness is exact against d2PairsOf over the identical
+    * plant-augmented corpus — both filters read one pairStats run;
+    * vs the plant-free d2b it holds except in the measure-zero case
+    * of a shingle whose corpus frequency straddles the cap only with
+    * the plants counted.) Under the filter the sides can
     * never tie: equal set sizes with containment ≥ 0.8 force Jaccard
     * ≥ 2/3. The corpus is augmented with planted 30-token prefix
     * docs (doc_id % 10 ≡ 3, id + 5M — the n7/d7 planted-fixture
@@ -277,13 +282,19 @@ object Dedup {
     * replays the identical plant. Cap semantics carry over: a
     * corpus-hot shingle drops from `shared` but not the set sizes,
     * so containment only decreases — identically in both engines. */
-  def d12Containment(s: SparkSession, dir: String): DataFrame = {
+  /** The plant-augmented corpus d12 measures over (exposed so the
+    * spec can run the Jaccard gate on the IDENTICAL doc set). */
+  private[graft] def d12Corpus(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select("doc_id", "text")
-    val planted = docs
+    docs.unionByName(docs
       .filter(col("doc_id") % D12PlantStride === 3)
       .select((col("doc_id") + D12PlantOffset).as("doc_id"),
-        array_join(slice(split(col("text"), " "), 1, 30), " ").as("text"))
-    pairStats(docs.unionByName(planted), StopShingleCap)
+        array_join(slice(split(col("text"), " "), 1, 30), " ")
+          .as("text")))
+  }
+
+  def d12Containment(s: SparkSession, dir: String): DataFrame =
+    pairStats(d12Corpus(s, dir), StopShingleCap)
       .withColumn("containment",
         col("shared") / least(col("n_a"), col("n_b")))
       .withColumn("jaccard",
@@ -293,7 +304,6 @@ object Dedup {
         when(col("n_a") <= col("n_b"), col("doc_a"))
           .otherwise(col("doc_b")).as("contained_doc"),
         Det.r4(col("containment")).as("containment"))
-  }
 
   private val NumHashes = 16
   private val BandSize = 4 // 4 bands × 4 rows
@@ -910,8 +920,7 @@ object Dedup {
     val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
     val root = new Path(sys.props("java.io.tmpdir"),
       s"graft_d11b${tag}_${s.sparkContext.applicationId}").toString
-    new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
-      .delete(new Path(root), true)
+    graft.sources.Scratch.fresh(s, new Path(root))
     buildDeltaIndex(docs.filter(!isDelta), root)
     deltaGateServed(docs.filter(isDelta), root)
   }

@@ -653,7 +653,7 @@ object Similarity {
       s"graft_n8$tag/${s.sparkContext.applicationId}").toString
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    graft.sources.Scratch.fresh(s, new org.apache.hadoop.fs.Path(root))
 
     // BUILD: fit + encode + persist (model blob + code table)
     val model = fitIvfPq(s, emb, total)

@@ -55,9 +55,7 @@ object BloomSkip {
     val root = new org.apache.hadoop.fs.Path(
       sys.props("java.io.tmpdir"),
       s"graft_s18${tag}_${s.sparkContext.applicationId}").toString
-    org.apache.hadoop.fs.FileSystem
-      .get(new java.net.URI(root), s.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(root), true)
+    Scratch.fresh(s, new org.apache.hadoop.fs.Path(root))
     // ndv sized from the table (metadata-only parquet count), not a
     // fixed constant: orderkey is unique, and the write fans out over
     // 4 range partitions, so per-file ndv ≈ count/4 — oversizing

@@ -103,9 +103,7 @@ object MergeInto {
     val root = new org.apache.hadoop.fs.Path(
       sys.props("java.io.tmpdir"),
       s"graft_s13${tag}_${s.sparkContext.applicationId}").toString
-    org.apache.hadoop.fs.FileSystem
-      .get(new java.net.URI(root), s.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(root), true)
+    Scratch.fresh(s, new org.apache.hadoop.fs.Path(root))
     CsvIO.writePartitioned(base, root, Seq("o_orderpriority"))
     val changes = base
       .filter(col("o_orderpriority") === "2-HIGH" &&

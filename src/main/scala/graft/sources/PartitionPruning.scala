@@ -45,9 +45,7 @@ object PartitionPruning {
     val root = new org.apache.hadoop.fs.Path(
       sys.props("java.io.tmpdir"),
       s"graft_s17${tag}_${s.sparkContext.applicationId}").toString
-    org.apache.hadoop.fs.FileSystem
-      .get(new java.net.URI(root), s.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(root), true)
+    Scratch.fresh(s, new org.apache.hadoop.fs.Path(root))
     CsvIO.writePartitioned(Tables.customer(s, dir), root,
       Seq("c_nationkey"))
     val fact = s.read.parquet(root)

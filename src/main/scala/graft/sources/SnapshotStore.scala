@@ -45,6 +45,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * contract, different primitive. */
 object SnapshotStore {
 
+  /** Plant offsets for the churn fixtures (s12/s15/s25 inserts).
+    * Powers of two far above any key the TPC-H generator emits at
+    * ANY scale factor (orders max out near 6e6*sf) - an additive
+    * 50M/3M offset would collide with real keys at sf >= ~8 and
+    * break keyedChanges' unique-key contract. */
+  private[sources] val FactPlantOffset = 1L << 40
+  private[sources] val DimPlantOffset = 1L << 41
+
   private def fs(s: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
 
@@ -145,7 +153,15 @@ object SnapshotStore {
       if (f.exists(manifestPath(root, id)) || !f.rename(tmp, manifestPath(root, id))) {
         f.delete(tmp, false)
         attempt += 1
-      } else committed = id
+      } else {
+        // pin mtime to the VISIBILITY instant: POSIX rename preserves
+        // the write-time mtime, so under commit-retry contention the
+        // file's timestamp could predate the rename that made the
+        // snapshot readable — history()/readAsOf contract requires
+        // the commit instant, not the write instant
+        f.setTimes(manifestPath(root, id), System.currentTimeMillis(), -1)
+        committed = id
+      }
     }
     if (committed < 0) throw new IllegalStateException(
       s"snapshot commit lost $maxRetries id races at $root")
@@ -480,11 +496,11 @@ object SnapshotStore {
         when(col("c_custkey") % 10 === 0, col("c_acctbal") + 250.0)
           .otherwise(col("c_acctbal")))
       .union(base.filter(col("c_custkey") % 100 === 0)
-        .withColumn("c_custkey", col("c_custkey") + 3000000L))
+        .withColumn("c_custkey", col("c_custkey") + DimPlantOffset))
     val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
     val root = new Path(
       sys.props("java.io.tmpdir"), s"graft_s12${tag}_${s.sparkContext.applicationId}/t").toString
-    fs(s, root).delete(new Path(root).getParent, true)
+    Scratch.fresh(s, new Path(root).getParent)
     commit(base, root)
     commit(v1, root)
     changesBetween(s, root, 0L, 1L, "c_custkey")
@@ -506,7 +522,7 @@ object SnapshotStore {
     val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
     val root = new Path(
       sys.props("java.io.tmpdir"), s"graft_s14${tag}_${s.sparkContext.applicationId}/t").toString
-    fs(s, root).delete(new Path(root).getParent, true)
+    Scratch.fresh(s, new Path(root).getParent)
     commitWithStats(base.repartitionByRange(8, col("o_orderkey")),
       root, "o_orderkey")
     readPruned(s, root, "o_orderkey", 1000L, 5000L)
@@ -534,7 +550,7 @@ object SnapshotStore {
         when(col("c_custkey") % 10 === 0, col("c_acctbal") + 250.0)
           .otherwise(col("c_acctbal")))
       .union(base.filter(col("c_custkey") % 100 === 0)
-        .withColumn("c_custkey", col("c_custkey") + 3000000L))
+        .withColumn("c_custkey", col("c_custkey") + DimPlantOffset))
     val mv0 = aggState(base, "c_mktsegment", "c_acctbal")
     val mv1 = applyCdfDelta(mv0,
       cdfChanges(base, v1, "c_custkey"), "c_mktsegment", "c_acctbal")
@@ -608,7 +624,7 @@ object SnapshotStore {
     val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
     val root = new Path(
       sys.props("java.io.tmpdir"), s"graft_s20${tag}_${s.sparkContext.applicationId}/t").toString
-    fs(s, root).delete(new Path(root).getParent, true)
+    Scratch.fresh(s, new Path(root).getParent)
     commit(base.repartition(64), root)
     compact(s, root, targetBytes = 1L << 20)
     read(s, root)
@@ -629,7 +645,7 @@ object SnapshotStore {
     val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
     val root = new Path(
       sys.props("java.io.tmpdir"), s"graft_s21${tag}_${s.sparkContext.applicationId}/t").toString
-    fs(s, root).delete(new Path(root).getParent, true)
+    Scratch.fresh(s, new Path(root).getParent)
     commit(base.repartition(8), root)
     deleteWhere(s, root, col("o_orderkey") % 7 === 3)
     deleteWhere(s, root, col("o_totalprice") > 400000.0)
@@ -691,7 +707,7 @@ object SnapshotStore {
     val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
     val root = new Path(
       sys.props("java.io.tmpdir"), s"graft_s23${tag}_${s.sparkContext.applicationId}/t").toString
-    fs(s, root).delete(new Path(root).getParent, true)
+    Scratch.fresh(s, new Path(root).getParent)
     val v0 = commit(base, root)
     commit(base.filter(col("o_totalprice") <= 300000.0), root)
     restore(s, root, v0)
@@ -716,7 +732,7 @@ object SnapshotStore {
     val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
     val root = new Path(
       sys.props("java.io.tmpdir"), s"graft_s22${tag}_${s.sparkContext.applicationId}/t").toString
-    fs(s, root).delete(new Path(root).getParent, true)
+    Scratch.fresh(s, new Path(root).getParent)
     commit(base.filter(col("o_orderkey") % 2 === 0)
       .select("o_orderkey", "o_totalprice"), root)
     appendCommit(base.filter(col("o_orderkey") % 2 === 1)
@@ -796,13 +812,13 @@ object SnapshotStore {
         when(col("o_orderkey") % 13 === 2, col("o_totalprice") + 1000.0)
           .otherwise(col("o_totalprice")))
       .union(a0.filter(col("o_orderkey") % 100 === 7)
-        .withColumn("o_orderkey", col("o_orderkey") + 50000000L))
+        .withColumn("o_orderkey", col("o_orderkey") + FactPlantOffset))
     val b1 = b0.filter(col("c_custkey") % 199 =!= 11)
       .withColumn("c_mktsegment",
         when(col("c_custkey") % 50 === 7, "MACHINERY")
           .otherwise(col("c_mktsegment")))
       .union(b0.filter(col("c_custkey") % 150 === 0)
-        .select((col("c_custkey") + 3000000L).as("c_custkey"),
+        .select((col("c_custkey") + DimPlantOffset).as("c_custkey"),
           lit("FURNITURE").as("c_mktsegment")))
     val mv0 = a0.join(b0, a0("o_custkey") === b0("c_custkey"))
       .select(col("o_orderkey"), col("o_custkey"),
@@ -833,7 +849,7 @@ object SnapshotStore {
     val root = new Path(
       sys.props("java.io.tmpdir"),
       s"graft_s24${tag}_${s.sparkContext.applicationId}/t").toString
-    fs(s, root).delete(new Path(root).getParent, true)
+    Scratch.fresh(s, new Path(root).getParent)
     commit(base.repartition(4), root)
     commit(base.filter(col("o_orderkey") % 5 =!= 2), root)
     val removed = vacuum(s, root, keepLast = 1)
@@ -856,13 +872,13 @@ object SnapshotStore {
 
   val oracle: Map[String, String] = Map(
     "s25_incremental_join_mv" ->
-      """WITH a1 AS (
+      s"""WITH a1 AS (
            SELECT o_orderkey, o_custkey,
              o_totalprice + CASE WHEN o_orderkey % 13 = 2
                THEN 1000.0 ELSE 0.0 END AS o_totalprice
            FROM orders WHERE o_orderkey % 97 <> 5
            UNION ALL
-           SELECT o_orderkey + 50000000, o_custkey, o_totalprice
+           SELECT o_orderkey + $FactPlantOffset, o_custkey, o_totalprice
            FROM orders WHERE o_orderkey % 100 = 7),
          b1 AS (
            SELECT c_custkey,
@@ -870,7 +886,7 @@ object SnapshotStore {
                   ELSE c_mktsegment END AS c_mktsegment
            FROM customer WHERE c_custkey % 199 <> 11
            UNION ALL
-           SELECT c_custkey + 3000000, 'FURNITURE'
+           SELECT c_custkey + $DimPlantOffset, 'FURNITURE'
            FROM customer WHERE c_custkey % 150 = 0)
          SELECT a.o_orderkey, a.o_custkey, a.o_totalprice,
            b.c_mktsegment
@@ -897,7 +913,7 @@ object SnapshotStore {
       """SELECT o_orderkey, o_orderpriority, o_totalprice
          FROM orders""",
     "s15_incremental_mv" ->
-      """WITH base AS (
+      s"""WITH base AS (
            SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
          v1 AS (
            SELECT c_custkey,
@@ -907,7 +923,7 @@ object SnapshotStore {
                   ELSE c_acctbal END AS c_acctbal
            FROM base WHERE c_custkey % 97 <> 3
            UNION ALL
-           SELECT c_custkey + 3000000, c_mktsegment, c_acctbal
+           SELECT c_custkey + $DimPlantOffset, c_mktsegment, c_acctbal
            FROM base WHERE c_custkey % 100 = 0)
          SELECT c_mktsegment,
            cast(count(*) AS bigint) AS n_rows,
@@ -918,7 +934,7 @@ object SnapshotStore {
       """SELECT o_orderkey, o_orderpriority, o_totalprice
          FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000""",
     "s12_snapshot_changes" ->
-      """WITH base AS (
+      s"""WITH base AS (
            SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
          v1 AS (
            SELECT c_custkey, c_mktsegment,
@@ -926,7 +942,7 @@ object SnapshotStore {
                   ELSE c_acctbal END AS c_acctbal
            FROM base WHERE c_custkey % 97 <> 3
            UNION ALL
-           SELECT c_custkey + 3000000, c_mktsegment, c_acctbal
+           SELECT c_custkey + $DimPlantOffset, c_mktsegment, c_acctbal
            FROM base WHERE c_custkey % 100 = 0),
          j AS (
            SELECT o.c_custkey AS o_key, o.c_mktsegment AS o_seg,

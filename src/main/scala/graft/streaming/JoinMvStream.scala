@@ -41,13 +41,19 @@ import graft.sources.SnapshotStore
   * (patched = ∅, refreshed = A⋈B — the view materializes itself). */
 object JoinMvStream {
 
-  /** Highest batch id folded into the committed view (−1 if none). */
+  /** Highest batch id folded into the committed view (−1 if none).
+    * `applied_batch` is identical on every view row by construction,
+    * so ONE row answers it — a limit-1 columnar read of one parquet
+    * file, not an O(view) aggregate scan. (A production store would
+    * pin the watermark in the manifest itself; reading one cell keeps
+    * the manifest format engine-portable.) */
   def appliedBatch(s: SparkSession, root: String): Long =
     if (SnapshotStore.snapshots(s, root).isEmpty) -1L
     else SnapshotStore.read(s, root)
-      .agg(max(col("applied_batch"))).head() match {
-        case r if r.isNullAt(0) => -1L
-        case r => r.getLong(0)
+      .select(col("applied_batch")).limit(1)
+      .collect().headOption match {
+        case Some(r) if !r.isNullAt(0) => r.getLong(0)
+        case _ => -1L // empty state (all rows gone)
       }
 
   /** Fold one tagged change micro-batch into the maintained view and

@@ -888,18 +888,21 @@ object TextAnalysis {
     * integer ratio quantized r4; the median/p95 are K-TH SMALLEST
     * order statistics (k = ⌈n/2⌉, ⌈0.95n⌉ in integer arithmetic),
     * computed from a VALUE HISTOGRAM of doc lengths — the g11/x40
-    * pattern: the cumulative window runs over the bounded distinct
-    * length grid, never a corpus sort. Scale shape: one scan-level
-    * per-doc projection feeding three hash aggs (global, per-lang,
+    * pattern: the histogram's bounded distinct-length grid is
+    * collected once and walked driver-side for both statistics,
+    * never a corpus sort. Scale shape: ONE cached scan-level per-doc
+    * projection feeding three hash aggs (global, per-lang,
     * per-length) + a driver-side assembly of ~10 literal rows —
-    * bounded by construction. */
+    * bounded by construction; the cache releases before return. */
   def x42DatasetCard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
+    // one scan materializes the per-doc projection; the three aggs
+    // below share it instead of re-reading the corpus per action
     val perDoc = Tables.documents(s, dir)
       .select(size(split(col("text"), " ")).cast("long").as("n_tok"),
         col("n_chars"), col("lang"), col("source"),
         md5(col("text").cast("binary")).as("h"))
+      .cache()
     val b = perDoc.agg(
       count(lit(1)).as("n_docs"),
       sum(col("n_tok")).as("tok"),
@@ -910,18 +913,23 @@ object TextAnalysis {
     val n = b.getLong(0)
     val topLang = perDoc.groupBy("lang")
       .agg(count(lit(1)).as("c")).agg(max(col("c"))).head().getLong(0)
-    // exact order statistics off the bounded length histogram
+    // exact order statistics off the bounded length VALUE HISTOGRAM,
+    // collected once (distinct doc lengths — a small grid by
+    // construction) and walked driver-side for both k-th statistics
     val kMed = (n + 1) / 2
     val k95 = (19 * n + 19) / 20 // = ceil(0.95 n), integer-exact
-    val w = Window.orderBy(col("n_tok"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val hist = perDoc.groupBy("n_tok").agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(w))
-    def kth(k: Long): Long = hist.filter(col("cum") >= k)
-      .agg(min(col("n_tok"))).head().getLong(0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    def kth(k: Long): Long = {
+      var cum = 0L
+      hist.find { case (_, c) => cum += c; cum >= k }.get._1
+    }
     // Det.r's exact formula, driver-side: floor(x·10⁴ + 0.5)/10⁴ —
     // same doubles as the oracle's Det.sql fragment
     val r4 = (x: Double) => math.floor(x * 10000.0 + 0.5) / 10000.0
+    val med = kth(kMed)
+    val p95 = kth(k95)
+    perDoc.unpersist() // query-local cache; all actions are done
     Seq(
       ("n_docs", n.toDouble),
       ("total_ws_tokens", b.getLong(1).toDouble),
@@ -931,8 +939,8 @@ object TextAnalysis {
       ("n_sources", b.getLong(5).toDouble),
       ("top_lang_share", r4(topLang.toDouble / n)),
       ("mean_tokens_per_doc", r4(b.getLong(1).toDouble / n)),
-      ("median_tokens", kth(kMed).toDouble),
-      ("p95_tokens", kth(k95).toDouble))
+      ("median_tokens", med.toDouble),
+      ("p95_tokens", p95.toDouble))
       .toDF("metric", "value")
   }
 

@@ -167,11 +167,16 @@ class DedupSimSpec extends SparkTestBase {
     assert(plantedPairs.filter(
       col("contained_doc") =!= col("doc_b")).count() == 0,
       "the prefix (smaller side) must be the contained doc")
-    // the emitted set is exactly what jaccard misses: no d12 pair may
-    // also be a d2b pair (jaccard >= 0.4 is filtered out by contract)
-    val d2b = Dedup.d2bDedupNgramCapped(spark, sfSmoke)
+    // the emitted set is exactly what jaccard misses: disjointness is
+    // asserted against the jaccard gate run on the IDENTICAL
+    // plant-augmented corpus (same pairStats run, same cap counts —
+    // vs the plant-free d2b a cap-straddling shingle could in theory
+    // shift `shared` between the two corpora)
+    val sameCorpusJaccard = Dedup
+      .d2PairsOf(Dedup.d12Corpus(spark, sfSmoke), Dedup.StopShingleCap)
       .select("doc_a", "doc_b")
-    assert(out.select("doc_a", "doc_b").intersect(d2b).isEmpty,
+    assert(out.select("doc_a", "doc_b")
+      .intersect(sameCorpusJaccard).isEmpty,
       "d12 must be disjoint from the jaccard gate by construction")
   }
 

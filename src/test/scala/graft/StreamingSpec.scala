@@ -277,13 +277,13 @@ class StreamingSpec extends SparkTestBase {
         when(col("o_orderkey") % 13 === 2, col("o_totalprice") + 1000.0)
           .otherwise(col("o_totalprice")))
       .union(a0.filter(col("o_orderkey") % 100 === 7)
-        .withColumn("o_orderkey", col("o_orderkey") + 50000000L))
+        .withColumn("o_orderkey", col("o_orderkey") + (1L << 40)))
     val b1 = b0.filter(col("c_custkey") % 199 =!= 11)
       .withColumn("c_mktsegment",
         when(col("c_custkey") % 50 === 7, "MACHINERY")
           .otherwise(col("c_mktsegment")))
       .union(b0.filter(col("c_custkey") % 150 === 0)
-        .select((col("c_custkey") + 3000000L).as("c_custkey"),
+        .select((col("c_custkey") + (1L << 41)).as("c_custkey"),
           lit("FURNITURE").as("c_mktsegment")))
     def batchOf(fromA: org.apache.spark.sql.DataFrame,
         toA: org.apache.spark.sql.DataFrame,

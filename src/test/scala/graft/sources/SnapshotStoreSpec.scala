@@ -165,7 +165,9 @@ class SnapshotStoreSpec extends SparkTestBase {
   test("s25 maintained join view == full recompute, incl. cascade " +
       "and cross term") {
     import org.apache.spark.sql.functions._
-    val sf = "/root/testdata/sf0.001"
+    // sf0.01: the smallest SF where the strict cross-term fixture
+    // (inserted order -> genuinely rewritten customer) has a witness
+    val sf = "/root/testdata/sf0.01"
     val mv = SnapshotStore.s25IncrementalJoinMv(spark, sf)
     // the recompute the oracle runs, here in Spark for a closed loop
     val a0 = graft.Tables.orders(spark, sf)
@@ -177,13 +179,13 @@ class SnapshotStoreSpec extends SparkTestBase {
         when(col("o_orderkey") % 13 === 2, col("o_totalprice") + 1000.0)
           .otherwise(col("o_totalprice")))
       .union(a0.filter(col("o_orderkey") % 100 === 7)
-        .withColumn("o_orderkey", col("o_orderkey") + 50000000L))
+        .withColumn("o_orderkey", col("o_orderkey") + (1L << 40)))
     val b1 = b0.filter(col("c_custkey") % 199 =!= 11)
       .withColumn("c_mktsegment",
         when(col("c_custkey") % 50 === 7, "MACHINERY")
           .otherwise(col("c_mktsegment")))
       .union(b0.filter(col("c_custkey") % 150 === 0)
-        .select((col("c_custkey") + 3000000L).as("c_custkey"),
+        .select((col("c_custkey") + (1L << 41)).as("c_custkey"),
           lit("FURNITURE").as("c_mktsegment")))
     val full = a1.join(b1, a1("o_custkey") === b1("c_custkey"))
       .select(col("o_orderkey"), col("o_custkey"),
@@ -196,9 +198,18 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(a0.join(custDeleted,
       a0("o_custkey") === custDeleted("c_custkey")).count() > 0,
       "fixture: no order cascades from a customer delete")
-    assert(mv.filter(col("o_orderkey") > 50000000L &&
-      col("c_mktsegment") === "MACHINERY").count() > 0,
+    // cross term pinned strictly: only customers whose segment was
+    // ACTUALLY rewritten (%50==7 and not naturally MACHINERY) count,
+    // and every inserted order referencing one must carry the NEW
+    // segment — a regression to pre-churn B would fail both ways
+    val rewritten = b0.filter(col("c_custkey") % 50 === 7 &&
+      col("c_mktsegment") =!= "MACHINERY").select("c_custkey")
+    val crossRows = mv.filter(col("o_orderkey") > (1L << 40))
+      .join(rewritten, mv("o_custkey") === rewritten("c_custkey"))
+    assert(crossRows.count() > 0,
       "fixture: no inserted order hits a rewritten customer (cross term)")
+    assert(crossRows.filter(col("c_mktsegment") =!= "MACHINERY").count()
+      == 0, "cross-term rows must carry the post-churn dim attributes")
   }
 
   test("s24 composition leaves one manifest and only live data dirs") {
