@@ -124,6 +124,68 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("snapshot-store state machine: 40 random verb interleavings " +
+      "preserve the reference model and time travel") {
+    import scala.collection.mutable
+    import graft.sources.SnapshotStore
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_prop_store").toString + "/t"
+    val rnd = new scala.util.Random(42)
+    def rows(n: Int): Seq[(Long, Double)] =
+      (0 until n).map(_ => (rnd.nextInt(50).toLong,
+        (rnd.nextInt(1000) + 1).toDouble))
+    def df(r: Seq[(Long, Double)]) = {
+      import spark.implicits._
+      r.toDF("id", "v")
+    }
+    var model: Seq[(Long, Double)] = Nil
+    val snapHist = mutable.Map.empty[Long, Seq[(Long, Double)]]
+    def readModel(): Seq[(Long, Double)] =
+      SnapshotStore.read(spark, root).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def syncNewIds(): Unit =
+      SnapshotStore.snapshots(spark, root)
+        .filterNot(snapHist.contains).foreach(snapHist(_) = model)
+    SnapshotStore.commit(df(rows(5).appended((99L, 1.0))), root)
+    model = readModel(); snapHist.clear(); syncNewIds()
+    for (step <- 1 to 40) {
+      rnd.nextInt(6) match {
+        case 0 => // overwrite commit
+          val r = rows(3 + rnd.nextInt(5))
+          SnapshotStore.commit(df(r), root); model = r
+        case 1 => // append
+          val r = rows(1 + rnd.nextInt(4))
+          SnapshotStore.appendCommit(df(r), root); model = model ++ r
+        case 2 => // merge-on-read delete
+          val k = 2 + rnd.nextInt(4); val res = rnd.nextInt(k)
+          SnapshotStore.deleteWhere(spark, root, col("id") % k === res)
+          model = model.filterNot(t => t._1 % k == res)
+        case 3 => // compaction: content-invariant
+          SnapshotStore.compact(spark, root, targetBytes = 1L << 16)
+        case 4 => // restore to a random LIVE snapshot
+          val live = SnapshotStore.snapshots(spark, root)
+          val to = live(rnd.nextInt(live.length))
+          SnapshotStore.restore(spark, root, to)
+          model = snapHist(to)
+        case 5 => // vacuum: live content invariant, history truncated
+          val keep = 1 + rnd.nextInt(3)
+          SnapshotStore.vacuum(spark, root, keepLast = keep)
+          val live = SnapshotStore.snapshots(spark, root).toSet
+          snapHist.filterInPlace((id, _) => live(id))
+      }
+      syncNewIds()
+      assert(readModel().sorted == model.sorted,
+        s"step $step: live read diverged from the reference model")
+      // time travel to a random recorded snapshot must replay exactly
+      val ids = snapHist.keys.toSeq.sorted
+      val probe = ids(rnd.nextInt(ids.length))
+      val got = SnapshotStore.readSnapshot(spark, root, Some(probe))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.sorted == snapHist(probe).sorted,
+        s"step $step: snapshot $probe no longer replays its content")
+    }
+  }
+
   test("merge algebra: empty source is identity; same source is idempotent") {
     import spark.implicits._
     val srcGen = Gen.listOfN(20, for {
