@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
+import graft.dedup.Dedup
 import org.scalacheck.rng.Seed
 
 /** Property tests promised in SURVEY §5: the dedup-before-aggregate
@@ -183,6 +184,52 @@ class PropertySpec extends SparkTestBase {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(got.sorted == snapHist(probe).sorted,
         s"step $step: snapshot $probe no longer replays its content")
+    }
+  }
+
+  test("star contraction equals union-find on random adversarial graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // driver-side union-find reference (path compression)
+    def components(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    for (trial <- 1 to 5) {
+      val n = 40 + rnd.nextInt(40)
+      val shape = trial % 3 match {
+        case 0 => // sparse random
+          Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        case 1 => // chains + a clique + self-loop noise
+          (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)) ++
+            Seq.fill(6)((n.toLong + rnd.nextInt(4),
+              n.toLong + rnd.nextInt(4)))
+        case 2 => // star bursts (the hot-shingle pair shape)
+          (0 until 3).flatMap(c => Seq.fill(n / 3)(
+            ((c * 1000).toLong, (c * 1000 + 1 + rnd.nextInt(n)).toLong)))
+      }
+      val edges = shape.filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val (labels, rounds) = Dedup.alternatingStarLabels(
+          edges.toDF("doc_a", "doc_b"))
+        val got = labels.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = components(edges)
+        assert(got == want,
+          s"trial $trial: star labels diverge from union-find")
+        val bound = 2 * (64 - java.lang.Long
+          .numberOfLeadingZeros(want.size.toLong)) + 4
+        assert(rounds <= bound,
+          s"trial $trial: $rounds rounds exceeds the O(log n) bound $bound")
+      }
     }
   }
 
