@@ -221,10 +221,9 @@ object Dedup {
   private[graft] def pairStats(docs: DataFrame, cap: Int): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val exploded = docs
-      .select("doc_id", "text").as[(Long, String)]
-      .flatMap { case (id, text) => shingleSet(text).map((id, _)) }
-      .toDF("doc_id", "s")
+    // the one canonical (doc_id, shingle) explode — shared with the
+    // d11 delta-gate path so the two can never drift
+    val exploded = shinglePairs(docs)
     val pairs = exploded.as[(Long, String)]
       .groupByKey(_._2)
       .flatMapGroups { (_, it) =>
@@ -902,8 +901,18 @@ object Dedup {
     * admitting candidate pairs until a periodic recap/compaction
     * rebuilds the postings — the same maintenance trade every
     * standing inverted index makes (cf. x20). DedupSimSpec pins the
-    * two-batch evolve-and-regate sequence. */
+    * two-batch evolve-and-regate sequence.
+    *
+    * API contract: `admitted` must carry RAW (doc_id, text) rows —
+    * the admitted slice of the original batch, i.e.
+    * `batch.join(gate_output.select("doc_id"), "doc_id")`. The gate's
+    * own output is (doc_id, fp) and cannot rebuild postings; the
+    * require below turns that mistake into a message instead of a
+    * deep AnalysisException. */
   def appendDeltaIndex(admitted: DataFrame, root: String): Unit = {
+    require(admitted.columns.contains("text"),
+      "appendDeltaIndex needs raw (doc_id, text) rows - join the " +
+        "gate's admitted doc_ids back to the original batch")
     val cs = shinglePairs(admitted)
     graft.sources.SnapshotStore.appendCommit(cs, s"$root/postings")
     graft.sources.SnapshotStore.appendCommit(

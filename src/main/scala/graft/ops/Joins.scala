@@ -131,15 +131,17 @@ object Joins {
     * inventory-diff workloads need the counts). Spark plans exceptAll
     * as a counted hash aggregation + generate, one keyed exchange. */
   def t4ExceptAll(s: SparkSession, dir: String): DataFrame = {
-    val ordered = Tables.orders(s, dir)
+    // BOTH exceptAll sides derive from one joined projection: the
+    // filter comes after the join, so Spark reuses the broadcast
+    // exchange of the dim side (two independent join subtrees would
+    // build it twice)
+    val joined = Tables.orders(s, dir)
       .join(Tables.customer(s, dir),
         col("o_custkey") === col("c_custkey"))
-      .select(col("c_mktsegment").as("seg"))
-    val highValue = Tables.orders(s, dir)
-      .filter(col("o_totalprice") > 200000)
-      .join(Tables.customer(s, dir),
-        col("o_custkey") === col("c_custkey"))
-      .select(col("c_mktsegment").as("seg"))
+      .select(col("c_mktsegment").as("seg"),
+        col("o_totalprice").as("price"))
+    val ordered = joined.select("seg")
+    val highValue = joined.filter(col("price") > 200000).select("seg")
     // one row per UNMATCHED occurrence; aggregate for a stable gate
     ordered.exceptAll(highValue)
       .groupBy("seg").agg(count(lit(1)).as("n_residual"))

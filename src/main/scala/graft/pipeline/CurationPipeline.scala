@@ -194,18 +194,12 @@ object CurationPipeline {
     import s.implicits._
     val merges = BpeMerges.learnedMerges(s, dir)
       .map { case (_, l, r, _) => (l, r) }
-    val MemoCap = 1 << 20
     keptDocs(s, dir)
       .select(col("doc_id"), col("shard"), col("n_tokens"), expr(
         "regexp_extract_all(lower(text), '[a-z]+', 0)").as("words"))
       .as[(Long, Long, Long, Seq[String])]
       .mapPartitions { it =>
-        val memo = mutable.HashMap.empty[String, Long]
-        def bpe(w: String): Long =
-          if (memo.size < MemoCap)
-            memo.getOrElseUpdate(w,
-              BpeMerges.applyMerges(w, merges).length.toLong)
-          else BpeMerges.applyMerges(w, merges).length.toLong
+        val bpe = BpeMerges.tokenCounter(merges)
         it.map { case (id, shard, nTok, words) =>
           (id, shard, nTok, words.map(bpe).sum)
         }

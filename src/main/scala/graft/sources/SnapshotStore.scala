@@ -241,7 +241,10 @@ object SnapshotStore {
       lo: Any, hi: Any, id: Option[Long] = None): (Seq[String], Int) = {
     import org.apache.spark.sql.functions._
     import s.implicits._
+    // DV sidecar lines are metadata, not data files — a table that
+    // has seen a merge-on-read delete must still prune correctly
     val parsed = manifestLines(s, root, id).map(_.split("\t", -1))
+      .filter(_.head != DvMarker)
     val stats = parsed.map {
       case Array(p, c, mn, mx) if c == statsCol && mn.nonEmpty && mx.nonEmpty =>
         (p, mn, mx)
@@ -268,8 +271,14 @@ object SnapshotStore {
     val all = manifestFiles(s, root, id)
     if (kept.isEmpty)
       s.read.parquet(all.head).filter(lit(false))
-    else s.read.parquet(kept: _*)
-      .filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
+    else {
+      val data = s.read.parquet(kept: _*)
+        .filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
+      // merge-on-read deletes apply here too: a pruned range read
+      // must not resurrect rows readSnapshot hides
+      val dvs = dvPaths(s, root, id)
+      if (dvs.isEmpty) data else applyDv(data, s.read.parquet(dvs: _*))
+    }
   }
 
   /** Read the latest snapshot — exactly the manifest's files, never a
@@ -576,16 +585,24 @@ object SnapshotStore {
   def compact(s: SparkSession, root: String, targetBytes: Long): Long = {
     import org.apache.spark.sql.functions._
     val f = fs(s, root)
-    val files = manifestFiles(s, root, None)
-    val sized = files.map(p =>
-      p -> f.getFileStatus(new Path(p)).getLen)
-    val (small, keep) = sized.partition(_._2 < targetBytes / 2)
+    // keep whole manifest LINES for carried files: on a
+    // commitWithStats table the 'path\tcol\tmin\tmax' suffix must
+    // survive compaction for the untouched files, or data skipping
+    // silently dies after the first OPTIMIZE (rewritten files get
+    // plain lines — their stats would need recomputation)
+    val dataLines = manifestLines(s, root, None)
+      .filter(_.split('\t').head != DvMarker)
+    val sized = dataLines.map { line =>
+      val p = line.split('\t').head
+      (line, p, f.getFileStatus(new Path(p)).getLen)
+    }
+    val (small, keep) = sized.partition(_._3 < targetBytes / 2)
     if (small.length < 2) return snapshots(s, root).last
-    val totalSmall = small.map(_._2).sum
+    val totalSmall = small.map(_._3).sum
     val nOut = math.max(1,
       math.ceil(totalSmall.toDouble / targetBytes).toInt)
     val dvs = dvPaths(s, root, None)
-    val smallRaw = s.read.parquet(small.map(_._1): _*)
+    val smallRaw = s.read.parquet(small.map(_._2): _*)
     // a rewrite MATERIALIZES deletes: apply the DV to the rewritten
     // rows (else compaction would resurrect them) and carry forward
     // only the positions of files kept by reference
@@ -596,7 +613,7 @@ object SnapshotStore {
     val dvCarry: Seq[String] =
       if (dvs.isEmpty) Seq.empty
       else {
-        val keepNames = keep.map(p => new Path(p._1).getName)
+        val keepNames = keep.map(p => new Path(p._2).getName)
         val rows = s.read.parquet(dvs: _*)
           .filter(col("dv_file").isin(keepNames: _*))
         if (rows.isEmpty) Seq.empty
@@ -608,6 +625,7 @@ object SnapshotStore {
       }
     commitManifest(s, root,
       (keep.map(_._1) ++ newFiles).sorted ++ dvCarry, maxRetries = 10)
+    // (keep._1 is the full manifest LINE - stats suffixes ride along)
   }
 
   /** S20 — compaction end-to-end: commit orders in a deliberately

@@ -229,16 +229,19 @@ object BpeMerges {
     learnLocal(vocab.toSeq, k)
   }
 
-  /** Per-(dir, k) memo of the learned table so x23 (and repeated
-    * bench runs in one session) reuse x22's fit instead of re-running
-    * it — the same session-scoped caching shape as s17/s18's scratch
-    * paths. The table is ≤k small tuples; memory is trivial. */
+  /** Per-(applicationId, dir, k) memo of the learned table so x23
+    * (and repeated bench runs in one session) reuse x22's fit instead
+    * of re-running it. Keyed by applicationId like clusterCache /
+    * keptCache: a long-lived JVM that regenerates the parquet under
+    * `dir` and opens a NEW session must re-fit, not serve the old
+    * corpus's merge table. The table is ≤k small tuples; memory is
+    * trivial. */
   private val fitCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Int), Seq[(Int, String, String, Long)]]()
+    (String, String, Int), Seq[(Int, String, String, Long)]]()
 
   private[graft] def learnedMerges(s: SparkSession, dir: String,
       k: Int = Merges): Seq[(Int, String, String, Long)] =
-    fitCache.computeIfAbsent((dir, k),
+    fitCache.computeIfAbsent((s.sparkContext.applicationId, dir, k),
       _ => learnScalable(wordFreqs(s, dir), k))
 
   /** X22 — learn up to [[Merges]] merges from the `documents` corpus
@@ -290,20 +293,31 @@ object BpeMerges {
     * partition ≈ vocab size, bounded; the cap guards pathological
     * corpora). Rows-only gate (depends on the learned table); BpeSpec
     * pins the fixture tokenization. */
+  /** Per-partition memoized word→BPE-token-count function — the one
+    * inference kernel, shared by x23 and the pipeline's x26 so the
+    * memo policy (cap, overflow fallthrough) cannot drift between
+    * them. Vocabularies are Zipfian: the memo turns the per-word
+    * merge replay into a hash probe for all but the long tail; the
+    * cap bounds executor memory on adversarial inputs. */
+  private[graft] def tokenCounter(
+      merges: Seq[(String, String)]): String => Long = {
+    val MemoCap = 1 << 20
+    val memo = mutable.HashMap.empty[String, Long]
+    w =>
+      if (memo.size < MemoCap)
+        memo.getOrElseUpdate(w, applyMerges(w, merges).length.toLong)
+      else applyMerges(w, merges).length.toLong
+  }
+
   def x23BpeTokenize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val merges = learnedMerges(s, dir).map { case (_, l, r, _) => (l, r) }
-    val MemoCap = 1 << 20
     Tables.documents(s, dir)
       .select(col("doc_id"), expr(
         "regexp_extract_all(lower(text), '[a-z]+', 0)").as("words"))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
-        val memo = mutable.HashMap.empty[String, Long]
-        def tokens(w: String): Long =
-          if (memo.size < MemoCap)
-            memo.getOrElseUpdate(w, applyMerges(w, merges).length.toLong)
-          else applyMerges(w, merges).length.toLong
+        val tokens = tokenCounter(merges)
         it.map { case (id, words) =>
           val chars = words.map(_.take(WordLimit).length.toLong).sum
           val toks = words.map(tokens).sum

@@ -825,7 +825,12 @@ object TextAnalysis {
     * construction. */
   def x40PplBuckets(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nll = x12UnigramNll(s, dir)
+    // materialize the per-doc scores once: the count action, the
+    // threshold histogram, and the final bucketing each reference
+    // this frame, and an unmaterialized plan would replay the full
+    // x12 corpus scan + vocabulary join three times (the d6/x34
+    // checkpoint pattern; integer-quantized scores ⇒ bit-identical)
+    val nll = x12UnigramNll(s, dir).localCheckpoint(true)
     val n = nll.count()
     val (k1, k2) = ((n + 2) / 3, (2 * n + 2) / 3)
     val hist = nll.groupBy("nll_per_token").agg(count(lit(1)).as("c"))

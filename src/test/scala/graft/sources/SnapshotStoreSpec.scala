@@ -147,6 +147,33 @@ class SnapshotStoreSpec extends SparkTestBase {
     }
   }
 
+  test("stats survive compaction for carried files; pruned range " +
+      "reads apply deletion vectors") {
+    import spark.implicits._
+    val root = freshRoot()
+    // one big clustered file + a small tail, committed WITH stats
+    val big = spark.range(0, 100000L)
+      .select(col("id"), (col("id") % 97).as("x")).coalesce(1)
+    val tail = spark.range(100000L, 100200L)
+      .select(col("id"), (col("id") % 97).as("x")).repartition(8)
+    SnapshotStore.commitWithStats(big.union(tail), root, "id")
+    SnapshotStore.compact(spark, root, targetBytes = 1L << 18)
+    // the carried big file must still prune: a range entirely inside
+    // the tail cannot keep every file conservatively
+    val (kept, total) = SnapshotStore.pruneFiles(
+      spark, root, "id", 100000L, 100100L)
+    assert(total >= 2 && kept.length < total,
+      s"stats lost in compaction: kept ${kept.length} of $total")
+    // DV + stats interplay: delete a slice, then a pruned range read
+    // over it must not resurrect the dead rows
+    SnapshotStore.deleteWhere(spark, root, col("id") % 10 === 3L)
+    val got = SnapshotStore
+      .readPruned(spark, root, "id", 0L, 1000L)
+      .collect().map(_.getLong(0)).toSet
+    val want = (0L to 1000L).filterNot(_ % 10 == 3).toSet
+    assert(got == want, "pruned range read diverges under a DV")
+  }
+
   test("vacuum drops unreferenced data dirs, keeps the live snapshot") {
     import spark.implicits._
     val root = freshRoot()
