@@ -594,7 +594,14 @@ object Dedup {
       .select((col("vec_id") + D7PlantOffset).as("vec_id"),
         col("embedding"))
     val corpus = base.union(planted)
-    d7PairsOf(corpus, numPlanes = d7AutoPlanes(corpus.count()),
+    // dial n from two column-pruned counts (parquet metadata + one
+    // vec_id column scan) instead of counting the union — which
+    // would drag the wide embedding column through a full extra
+    // pass before any real work. The two LSH passes inside
+    // d7PairsOf re-read the pruned columns they need; at corpus
+    // scale re-reading beats pinning the table in cache.
+    d7PairsOf(corpus,
+      numPlanes = d7AutoPlanes(base.count() + planted.count()),
       numTables = 4, tau = 0.9)
   }
 

@@ -725,7 +725,11 @@ object Similarity {
           dot += v(i).toDouble * ct(i); nc += ct(i) * ct(i)
           nv += v(i).toDouble * v(i); i += 1
         }
-        val sim = dot / math.sqrt(nv * nc)
+        // EXACTLY the executor encoding loop's expression: sqrt(nv *
+        // nc) is not bit-identical to sqrt(nv)*sqrt(nc), and a
+        // boundary vector assigned to different cells by trainer vs
+        // encoder would be quantized under the wrong cell's codebook
+        val sim = dot / (math.sqrt(nv) * math.sqrt(nc))
         if (sim > bestSim) { bestSim = sim; best = c }
         c += 1
       }

@@ -75,7 +75,12 @@ object MergeInto {
     val touched = source.select(partCol).distinct()
       .collect().map(_.get(0).toString).sorted.toIndexedSeq
     touched.foreach { v =>
-      val pDir = s"$path/$partCol=$v"
+      // hive-escape the value exactly as partitionBy writes it: a
+      // raw "p=X:Y" path would miss the real "p=X%3AY" dir, branch
+      // into brand-new-partition, and duplicate the partition's rows
+      val pDir = s"$path/$partCol=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(v)
       val slice = source.filter(col(partCol) === v).drop(partCol)
       if (!hfs.exists(new org.apache.hadoop.fs.Path(pDir))) {
         // brand-new partition: nothing to merge against

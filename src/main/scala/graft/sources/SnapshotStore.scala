@@ -870,7 +870,7 @@ object SnapshotStore {
     Scratch.fresh(s, new Path(root).getParent)
     commit(base.repartition(4), root)
     commit(base.filter(col("o_orderkey") % 5 =!= 2), root)
-    val removed = vacuum(s, root, keepLast = 1)
+    val removed = vacuum(s, root, keepLast = 1, minAgeMs = 0)
     require(removed >= 1, s"vacuum reclaimed nothing (removed=$removed)")
     val left = snapshots(s, root)
     require(left.length == 1, s"history not pruned: $left")
@@ -982,31 +982,57 @@ object SnapshotStore {
            OR NOT (o_seg IS NOT DISTINCT FROM n_seg)
            OR NOT (o_bal IS NOT DISTINCT FROM n_bal)""")
 
+  /** Default vacuum retention: a data dir younger than this is never
+    * reclaimed even if no manifest references it yet. Protects the
+    * writer-race window: committer A has written data/snap-X but not
+    * yet renamed its manifest when vacuum lists the table — without
+    * the age guard vacuum deletes snap-X as an orphan and A's commit
+    * then publishes a manifest pointing at deleted files (the Delta
+    * retention-period idea, scaled to this store's commit latency). */
+  val DefaultVacuumRetentionMs: Long = 20L * 60 * 1000
+
   /** Delete data directories no manifest references (crashed commits
     * and vacuumed history). `keepLast` manifests are retained; older
     * manifest files AND the data dirs only they reference are
-    * removed. Returns the number of data directories deleted. Safe
-    * ordering: manifests are deleted FIRST, so a concurrent reader
-    * can never resolve a manifest whose files are already gone —
-    * it either sees the old manifest and its intact files (vacuum
-    * not yet through) or neither. */
-  def vacuum(s: SparkSession, root: String, keepLast: Int = 1): Int = {
+    * removed. Returns the number of data directories deleted.
+    *
+    * Concurrency: manifests are deleted FIRST, so a concurrent
+    * reader either sees an old manifest with intact files or
+    * neither. Writers are protected two ways: dirs younger than
+    * `minAgeMs` are skipped (in-flight commit whose manifest has not
+    * landed — see [[DefaultVacuumRetentionMs]]; pass 0 only when no
+    * concurrent writer can exist, as the single-session demo queries
+    * and tests do), and the kept-file set is re-derived from any
+    * manifest that LANDED after the first listing, so a commit that
+    * raced the listing keeps its data. */
+  def vacuum(s: SparkSession, root: String, keepLast: Int = 1,
+      minAgeMs: Long = DefaultVacuumRetentionMs): Int = {
     require(keepLast >= 1, "must keep at least the latest snapshot")
     val f = fs(s, root)
     val ids = snapshots(s, root)
     val (drop, keep) = ids.splitAt(math.max(0, ids.length - keepLast))
     // retained data dirs: parents of kept data files, plus kept DV
     // sidecar dirs (they live directly under data/)
-    val keptFiles = (keep.flatMap(i => manifestFiles(s, root, Some(i)))
-      .map(p => new Path(p).getParent.toUri.getPath) ++
-      keep.flatMap(i => dvPaths(s, root, Some(i)))
-        .map(p => new Path(p).toUri.getPath)).toSet
+    def referenced(of: Seq[Long]): Set[String] =
+      (of.flatMap(i => manifestFiles(s, root, Some(i)))
+        .map(p => new Path(p).getParent.toUri.getPath) ++
+        of.flatMap(i => dvPaths(s, root, Some(i)))
+          .map(p => new Path(p).toUri.getPath)).toSet
+    val keptFiles = referenced(keep)
     drop.foreach(i => f.delete(manifestPath(root, i), false))
     val dataRoot = new Path(root, "data")
     if (!f.exists(dataRoot)) return 0
-    val stale = f.listStatus(dataRoot).toSeq
+    val now = System.currentTimeMillis()
+    val stale0 = f.listStatus(dataRoot).toSeq
+      .filter(st => now - st.getModificationTime >= minAgeMs)
       .map(_.getPath)
       .filter(p => !keptFiles.contains(p.toUri.getPath))
+    // a commit that landed between the listing above and here must
+    // keep its dirs: re-derive the kept set for any NEW manifest ids
+    val landed = snapshots(s, root).filterNot(ids.contains)
+    val lateKept = if (landed.isEmpty) Set.empty[String]
+                   else referenced(landed)
+    val stale = stale0.filterNot(p => lateKept.contains(p.toUri.getPath))
     stale.foreach(p => f.delete(p, true))
     stale.length
   }

@@ -38,13 +38,17 @@ import graft.sources.SnapshotStore
   * construction since the fold is already keyed. */
 object MvStream {
 
-  /** Highest batch id folded into the committed state (−1 if none). */
+  /** Highest batch id folded into the committed state (−1 if none).
+    * `applied_batch` is identical on every state row by construction
+    * (stamped per commit), so ONE row answers it — a limit-1
+    * columnar read, not an O(state) aggregate scan. */
   def appliedBatch(s: SparkSession, root: String): Long =
     if (SnapshotStore.snapshots(s, root).isEmpty) -1L
     else SnapshotStore.read(s, root)
-      .agg(max(col("applied_batch"))).head() match {
-        case r if r.isNullAt(0) => -1L // empty state (all groups gone)
-        case r => r.getLong(0)
+      .select(col("applied_batch")).limit(1)
+      .collect().headOption match {
+        case Some(r) if !r.isNullAt(0) => r.getLong(0)
+        case _ => -1L // empty state (all groups gone)
       }
 
   /** Fold one CDF micro-batch into the maintained view. Public and
@@ -55,15 +59,10 @@ object MvStream {
   def foldBatch(batch: Dataset[Row], batchId: Long, root: String,
       groupCol: String, sumCol: String): Unit = {
     val s = batch.sparkSession
+    if (batchId <= appliedBatch(s, root)) return // replay: already folded
     val prior =
       if (SnapshotStore.snapshots(s, root).isEmpty) None
       else Some(SnapshotStore.read(s, root))
-    val applied = prior.map(
-      _.agg(max(col("applied_batch"))).head() match {
-        case r if r.isNullAt(0) => -1L
-        case r => r.getLong(0)
-      }).getOrElse(-1L)
-    if (batchId <= applied) return // replay: already folded
     val state0 = prior.map(_.drop("applied_batch")).getOrElse(
       SnapshotStore.aggState(batch.filter(lit(false)), groupCol, sumCol))
     val state1 = SnapshotStore

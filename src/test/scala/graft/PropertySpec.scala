@@ -170,7 +170,7 @@ class PropertySpec extends SparkTestBase {
           model = snapHist(to)
         case 5 => // vacuum: live content invariant, history truncated
           val keep = 1 + rnd.nextInt(3)
-          SnapshotStore.vacuum(spark, root, keepLast = keep)
+          SnapshotStore.vacuum(spark, root, keepLast = keep, minAgeMs = 0)
           val live = SnapshotStore.snapshots(spark, root).toSet
           snapHist.filterInPlace((id, _) => live(id))
       }

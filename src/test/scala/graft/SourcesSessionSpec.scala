@@ -229,6 +229,26 @@ class SourcesSessionSpec extends SparkTestBase {
     assert(want.exceptAll(got).count() == 0)
   }
 
+  test("mergeIntoPartitioned handles hive-escaped partition values") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pmerge_esc").toString + "/t"
+    // ':' hive-escapes to %3A on disk — a raw path build would miss
+    // the dir, branch into brand-new-partition, and duplicate rows
+    val base = Seq((1L, "X:Y", 10.0), (2L, "X:Y", 20.0),
+      (3L, "plain", 30.0)).toDF("k", "p", "v")
+    sources.CsvIO.writePartitioned(base, root, Seq("p"))
+    val changes = Seq((2L, "X:Y", 25.0)).toDF("k", "p", "v")
+    sources.MergeInto.mergeIntoPartitioned(spark, root, changes, "k", "p")
+    val got = spark.read.parquet(root).select("k", "p", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(got == Set((1L, "X:Y", 10.0), (2L, "X:Y", 25.0),
+      (3L, "plain", 30.0)),
+      s"escaped-partition merge produced $got")
+  }
+
   test("bloom-filter parquet write: footer carries the filter, reads stay exact") {
     import org.apache.spark.sql.functions._
     import scala.jdk.CollectionConverters._

@@ -182,7 +182,8 @@ class SnapshotStoreSpec extends SparkTestBase {
     SnapshotStore.commit(Seq((3L, "v2")).toDF("id", "v"), root)
     // plus one crashed-commit orphan
     Seq((7L, "orphan")).toDF("id", "v").write.parquet(s"$root/data/snap-x")
-    val removed = SnapshotStore.vacuum(spark, root, keepLast = 1)
+    val removed = SnapshotStore.vacuum(spark, root, keepLast = 1,
+      minAgeMs = 0)
     assert(removed == 3, s"expected 2 old snapshots + 1 orphan, got $removed")
     assert(SnapshotStore.snapshots(spark, root) == Seq(2L))
     assert(SnapshotStore.read(spark, root)
@@ -468,7 +469,8 @@ class SnapshotStoreSpec extends SparkTestBase {
     SnapshotStore.commit(
       spark.range(0, 500L).select(col("id")).repartition(2), root)
     SnapshotStore.deleteWhere(spark, root, col("id") % 5 === 0)
-    assert(SnapshotStore.vacuum(spark, root, keepLast = 1) == 0)
+    assert(SnapshotStore.vacuum(spark, root, keepLast = 1,
+      minAgeMs = 0) == 0)
     assert(SnapshotStore.read(spark, root).count() == 400)
   }
 }
