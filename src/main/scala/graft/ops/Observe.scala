@@ -28,15 +28,19 @@ object Observe {
     * FALSE rows count as violations (e.g. `col >= 0`). */
   def withQualityCounters(df: DataFrame, column: String,
       domainOk: Option[Column] = None): DataFrame = {
+    // coalesce: sum() over zero rows is NULL, and this op's streaming
+    // use case sees empty micro-batches routinely — a monitoring
+    // consumer must read 0, not NULL, for "no violations in no rows"
     val violations = domainOk match {
       case Some(ok) =>
-        sum(when(!coalesce(ok, lit(false)), 1).otherwise(0))
-          .as("n_domain_violations")
+        coalesce(sum(when(!coalesce(ok, lit(false)), 1).otherwise(0)),
+          lit(0L)).as("n_domain_violations")
       case None => lit(0L).as("n_domain_violations")
     }
     df.observe(MetricsName,
       count(lit(1)).as("n_rows"),
-      sum(when(col(column).isNull, 1).otherwise(0)).as("n_nulls"),
+      coalesce(sum(when(col(column).isNull, 1).otherwise(0)), lit(0L))
+        .as("n_nulls"),
       violations)
   }
 

@@ -264,7 +264,13 @@ object TextAnalysis {
   def x12UnigramNll(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens).as("t"))
+    // materialize the vocabulary once: it feeds BOTH the total-count
+    // scalar and the per-token join, and unmaterialized it would run
+    // its corpus scan + global shuffle twice per action. The table is
+    // vocabulary-sized (sub-linear in the corpus by Heaps' law), so
+    // the checkpoint is cheap; integer counts ⇒ bit-identical.
     val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val total = vocab.agg(sum(col("c")).cast("double").as("n"))
     val q = tok.join(vocab, "t").crossJoin(broadcast(total))
       .withColumn("q",

@@ -130,6 +130,22 @@ class OperatorSpec extends SparkTestBase {
     assert(m.getAs[Long]("n_domain_violations") == 2)
   }
 
+  test("observe counters on an EMPTY frame read 0, never NULL") {
+    import spark.implicits._
+    val df = Seq((1, Some(5.0))).toDF("id", "v").filter(lit(false))
+    val observed = ops.Observe.withQualityCounters(df, "v",
+      Some(col("v") >= 0.0))
+    assert(observed.collect().isEmpty)
+    val m = ops.Observe.lastObserved(observed).get
+    // sum() over zero rows is NULL unless coalesced — the streaming
+    // empty-micro-batch case a monitoring consumer must survive
+    assert(!m.isNullAt(m.fieldIndex("n_nulls")) &&
+      m.getAs[Long]("n_nulls") == 0L)
+    assert(!m.isNullAt(m.fieldIndex("n_domain_violations")) &&
+      m.getAs[Long]("n_domain_violations") == 0L)
+    assert(m.getAs[Long]("n_rows") == 0L)
+  }
+
   test("x12 unigram NLL: golden values on a planted two-doc corpus") {
     import spark.implicits._
     // corpus: "a a" + "a b" → counts a:3 b:1, total 4
