@@ -50,7 +50,10 @@ object Dedup {
     * interpreted per element — a flatMap kernel tokenizes and builds
     * the distinct set in one pass. */
   private[graft] def shingleSet(text: String): Iterator[String] = {
-    val toks = text.split(' ')
+    // limit -1 keeps trailing empty tokens — the char overload drops
+    // them, silently diverging from the Catalyst [[shingles]] twin
+    // (split's default limit is -1) on trailing-space docs
+    val toks = text.split(" ", -1)
     if (toks.length < 3) Iterator.empty
     else {
       val seen = new scala.collection.mutable.LinkedHashSet[String]

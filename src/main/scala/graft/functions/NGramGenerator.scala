@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator,
   UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -38,6 +39,12 @@ case class NGramGenerator(child: Expression, n: Int,
     extends UnaryExpression with Generator with CodegenFallback {
   require(n >= 1, s"ngrams window must be >= 1, got $n")
 
+  // fail at analysis, not with a mid-job ClassCastException in eval
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ngrams requires a string input, got ${child.dataType.catalogString}")
+
   override def elementSchema: StructType = StructType(Seq(
     StructField("ngram", StringType, nullable = false),
     StructField("pos", IntegerType, nullable = false)))
@@ -46,7 +53,10 @@ case class NGramGenerator(child: Expression, n: Int,
     val raw = child.eval(input)
     if (raw == null) Iterator.empty
     else {
-      val tokens = raw.asInstanceOf[UTF8String].toString.split(" ")
+      // limit -1: keep trailing empty tokens, matching the engine-wide
+      // Catalyst `split(text, ' ')` contract (TextKernels) and the
+      // oracle's string_split — Java's default limit 0 drops them
+      val tokens = raw.asInstanceOf[UTF8String].toString.split(" ", -1)
       if (tokens.length < n) Iterator.empty
       else {
         val windows = (0 to tokens.length - n).iterator.map { i =>

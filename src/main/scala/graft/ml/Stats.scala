@@ -107,7 +107,8 @@ object Stats {
   /** cor.test's t transform + p-value for a Pearson r at sample size n
     * (reference R:739): t = r·√((n−2)/(1−r²)), df = n−2. */
   def corTestP(r: Double, n: Double): Double =
-    if (n <= 2.0 || math.abs(r) >= 1.0) 0.0
+    if (n <= 2.0) Double.NaN // df = n-2 <= 0: undefined (R errors here)
+    else if (math.abs(r) >= 1.0) 0.0 // t -> ±inf
     else tTwoSidedP(r * math.sqrt((n - 2.0) / (1.0 - r * r)), n - 2.0)
 
   /** Series expansion of the LOWER regularized incomplete gamma

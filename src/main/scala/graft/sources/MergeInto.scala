@@ -28,8 +28,13 @@ object MergeInto {
   def mergedView(target: DataFrame, source: DataFrame,
       key: String): DataFrame = {
     val t = target.alias("t")
-    val s = source.alias("s")
-    val matched = col(s"s.$key").isNotNull
+    // presence flag, not `s.key IS NOT NULL`: a source row with a NULL
+    // merge key never equi-joins, and keying "matched" off the key
+    // column would then select the all-NULL target side — silently
+    // corrupting the row. The flag is non-null exactly when the source
+    // side of the full-outer row exists.
+    val s = source.withColumn("__s_present", lit(true)).alias("s")
+    val matched = col("s.__s_present").isNotNull
     val cols = target.columns.map { c =>
       when(matched, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
     }
@@ -158,8 +163,14 @@ object MergeInto {
     val attrs = history.columns.filterNot(meta)
     val histCols = history.columns
     val closedPast = history.filter(!col("is_current"))
+    // side presence is a lit(true) flag, not `key IS NOT NULL` — a
+    // null-key row on either side never equi-joins, and reading
+    // absence off the key column would misfile it (a null-key current
+    // row would be rebuilt from the all-NULL source side)
     val cur = history.filter(col("is_current"))
-    val src = changes.select(col(key).as("s_key") +:
+      .withColumn("__t_present", lit(true))
+    val src = changes.select(lit(true).as("__s_present") +:
+      col(key).as("s_key") +:
       attrs.map(c => col(c).as(s"s_$c")): _*)
     val j = cur.join(src, col(key) === col("s_key"), "full_outer")
     val differs = attrs.map(c => !(col(c) <=> col(s"s_$c")))
@@ -184,9 +195,10 @@ object MergeInto {
       case "is_current" => lit(true)
       case c => col(s"s_$c")
     }
-    val fate = when(col(key).isNotNull &&
-        (col("s_key").isNull || !differs), array(keepRow))
-      .when(col(key).isNotNull && col("s_key").isNotNull && differs,
+    val tPresent = col("__t_present").isNotNull
+    val sPresent = col("__s_present").isNotNull
+    val fate = when(tPresent && (!sPresent || !differs), array(keepRow))
+      .when(tPresent && sPresent && differs,
         array(closedRow, newRow))
       .otherwise(array(newRow)) // source-only insert
     val resolved = j.select(explode(fate).as("r"))

@@ -32,11 +32,23 @@ object NearDupStream {
   /** Batch form of the gate (the streaming query applies exactly this
     * per micro-batch): rows of `newDocs` whose exact Jaccard against
     * some LSH band candidate in `corpus` reaches `threshold` are
-    * dropped. */
+    * dropped. Derives the corpus band index and shingle sets inline —
+    * one-shot batch use; [[start]] precomputes and persists them so
+    * the per-micro-batch cost is the batch's own side only. */
   def nearDupGate(newDocs: DataFrame, corpus: DataFrame,
-      threshold: Double = 0.4): DataFrame = {
+      threshold: Double = 0.4): DataFrame =
+    nearDupGate(newDocs, Dedup.bandedSignatures(corpus),
+      corpus.select(col("doc_id").as("old_id"),
+        Dedup.shingles.as("sh_b")), threshold)
+
+  /** Core gate against a PRECOMPUTED corpus side: `corpusBands` =
+    * `Dedup.bandedSignatures(corpus)`, `corpusShingles` =
+    * `(old_id, sh_b)`. Callers that run many batches (the streaming
+    * query) persist both once so the static corpus is not re-read,
+    * re-shingled, and re-minhashed every micro-batch. */
+  def nearDupGate(newDocs: DataFrame, corpusBands: DataFrame,
+      corpusShingles: DataFrame, threshold: Double): DataFrame = {
     val newBands = Dedup.bandedSignatures(newDocs)
-    val corpusBands = Dedup.bandedSignatures(corpus)
     val candidates = newBands.as("a").join(corpusBands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash"))
@@ -45,8 +57,7 @@ object NearDupStream {
     val dupIds = candidates
       .join(newDocs.select(col("doc_id").as("new_id"),
         Dedup.shingles.as("sh_a")), "new_id")
-      .join(corpus.select(col("doc_id").as("old_id"),
-        Dedup.shingles.as("sh_b")), "old_id")
+      .join(corpusShingles, "old_id")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -62,12 +73,20 @@ object NearDupStream {
       outDir: String, checkpointDir: String,
       threshold: Double = 0.4): StreamingQuery = {
     val corpus = s.read.parquet(corpusPath).select("doc_id", "text")
+    // the docstring's "computed once at query start" contract, made
+    // real: band index + shingle sets persist across micro-batches
+    // (filled on first use, reused after) instead of re-deriving the
+    // whole static corpus per batch
+    val corpusBands = Dedup.bandedSignatures(corpus).persist()
+    val corpusShingles = corpus.select(col("doc_id").as("old_id"),
+      Dedup.shingles.as("sh_b")).persist()
     val stream = s.readStream.schema(corpus.schema).parquet(streamPath)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         IdempotentSink.writeBatch(
-          nearDupGate(batch, corpus, threshold), id, outDir)
+          nearDupGate(batch, corpusBands, corpusShingles, threshold),
+          id, outDir)
       }
       .start()
   }

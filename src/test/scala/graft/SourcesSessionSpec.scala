@@ -189,6 +189,42 @@ class SourcesSessionSpec extends SparkTestBase {
     } finally back.unpersist()
   }
 
+  test("mergedView keeps a null-key source row intact (never all-NULLs)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val target = Seq((Some(1L), "t1"), (Some(2L), "t2"))
+      .toDF("k", "v")
+    // a null merge key never equi-joins: MERGE semantics file it as
+    // not-matched → INSERT the source row as-is. Detecting "matched"
+    // via s.k IS NOT NULL instead degenerates it to a row of NULLs.
+    val source = Seq((Option.empty[Long], "orphan"), (Some(2L), "s2"))
+      .toDF("k", "v")
+    val out = sources.MergeInto.mergedView(target, source, "k")
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          Option(r.getString(1)))).toSet
+    assert(out == Set((Some(1L), Some("t1")), (Some(2L), Some("s2")),
+      (None, Some("orphan"))), s"got $out")
+  }
+
+  test("scd2Apply inserts a null-key change without touching history") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val hist = Seq((Some(1L), 10.0, 0L, Option.empty[Long], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val changes = Seq((Option.empty[Long], 99.0), (Some(1L), 10.0))
+      .toDF("k", "attr")
+    val out = sources.MergeInto.scd2Apply(hist, changes, "k", 5L)
+    // unchanged row stays the sole current version of k=1; the
+    // null-key change lands as its own new current row, and no
+    // history row is rebuilt from the null source side
+    val rows = out.collect().map(r =>
+      (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getDouble(1), r.getBoolean(4))).toSet
+    assert(rows == Set((Some(1L), 10.0, true), (None, 99.0, true)),
+      s"got $rows")
+  }
+
   test("mergeIntoPartitioned rewrites ONLY touched partitions, result = full merge") {
     import org.apache.spark.sql.functions._
     val root = java.nio.file.Files

@@ -56,6 +56,11 @@ class StatsSpec extends SparkTestBase {
     assert(ps == ps.sorted.reverse, s"not monotone: $ps")
     assert(Stats.tTwoSidedP(Double.PositiveInfinity, 3.0) == 0.0)
     assert(Stats.corTestP(0.9999999999, 30) > 0.0 || Stats.corTestP(1.0, 30) == 0.0)
+    // n <= 2 means df <= 0: the test is undefined (R's cor.test
+    // errors) — the honest degenerate value is NaN, never a
+    // maximally-significant 0.0
+    assert(Stats.corTestP(0.1, 2.0).isNaN)
+    assert(Stats.corTestP(0.1, 0.0).isNaN)
   }
 
   test("Stats t CDF agrees with spark.ml's OLS p-values") {

@@ -150,6 +150,36 @@ class TextKernelsSpec extends SparkTestBase {
     assert(two.select(expr("ngrams(text, 3)")).count() == 0)
   }
 
+  test("ngrams keeps empty tokens like Catalyst split / string_split") {
+    import spark.implicits._
+    functions.GraftFunctions.register(spark)
+    // "a b c " splits (limit -1) to [a, b, c, ""] → TWO 3-windows;
+    // Java's default split drops the trailing empty and would emit one
+    val df = Seq((1L, "a b c "), (2L, " x y")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), expr("ngrams(text, 3)"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .toSet
+    assert(got == Set((1L, "a b c", 0), (1L, "b c ", 1),
+      (2L, " x y", 0)), s"got $got")
+    // and the kernel twin (shingleSet) agrees on the same edge
+    val viaKernel = df.as[(Long, String)]
+      .flatMap { case (id, t) => dedup.Dedup.shingleSet(t).map((id, _)) }
+      .collect().toSet
+    val viaGen = got.map { case (id, g, _) => (id, g) }
+    assert(viaKernel == viaGen, s"kernel $viaKernel vs gen $viaGen")
+  }
+
+  test("ngrams rejects non-string input at analysis time") {
+    functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("ngrams(doc_id, 2)")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("string"),
+      s"expected a type message, got: ${e.getMessage}")
+  }
+
   test("ngrams_distinct dedups row-locally, keeps first pos, no exchange") {
     import spark.implicits._
     functions.GraftFunctions.register(spark)
