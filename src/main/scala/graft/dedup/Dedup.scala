@@ -944,7 +944,61 @@ object Dedup {
     deltaGateServed(docs.filter(isDelta), root)
   }
 
+  // -- d13: sorted-neighborhood dedup ------------------------------
+
+  /** Neighborhood width: each doc is compared to the next `SnmWindow`
+    * docs in canonical sort order (the classic SNM w). */
+  private val SnmWindow = 3
+
+  private def snmPass(docs: DataFrame, blk: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("blk").orderBy("skey", "doc_id")
+    docs.withColumn("blk", blk)
+      .withColumn("nbrs", array((1 to SnmWindow).map(k =>
+        lead(struct(col("doc_id"), col("toks")), k).over(w)): _*))
+      .select(col("doc_id"), col("toks").as("ta"),
+        explode(col("nbrs")).as("nb"))
+      .filter(col("nb").isNotNull)
+      .select(
+        least(col("doc_id"), col("nb.doc_id")).as("doc_a"),
+        greatest(col("doc_id"), col("nb.doc_id")).as("doc_b"),
+        (size(array_intersect(col("ta"), col("nb.toks"))).cast("double")
+          / size(array_union(col("ta"), col("nb.toks")))).as("jac"))
+  }
+
+  /** D13 — sorted-neighborhood (SNM) near-dup pairs: the third
+    * blocking family beside shingle-bucketing (d2b) and LSH banding
+    * (d3/d7). Canonicalize each doc to its sorted distinct-token key,
+    * sort, and compare only docs within a fixed window `w` of each
+    * other — near-identical token sets share long key prefixes and
+    * land adjacent, so O(n·w) comparisons replace O(n²).
+    *
+    * Two passes with different block keys (first and last sorted
+    * token) union-ed — the standard multi-pass SNM answer to "a pair
+    * split across a block boundary is missed"; pairs found by both
+    * passes collapse via distinct (identical jaccard either way).
+    *
+    * Scale shape: each pass is one keyed exchange (partition by
+    * block) + an in-partition sort + a w-wide self-compare — linear
+    * in docs for fixed w, never all-pairs. The window-function form
+    * keeps one task per block; at corpus scale the same pass is
+    * `repartitionByRange(skey)` + `sortWithinPartitions` +
+    * boundary-overlapped `mapPartitions`, trading the oracle-
+    * replayable plan for arbitrary block cardinality. */
+  def d13SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_sort(array_distinct(tokens)).as("toks"))
+      .withColumn("skey", array_join(col("toks"), " "))
+    snmPass(docs, element_at(col("toks"), 1))
+      .unionByName(snmPass(docs, element_at(col("toks"), -1)))
+      .filter(col("jac") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), Det.r6(col("jac")).as("jac"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_dedup_sorted_neighborhood" -> d13SortedNeighborhood,
     "d11_delta_dedup" -> d11DeltaDedup,
     "d11b_delta_dedup_served" -> d11bDeltaDedupServed,
     "d10_substring_spans" -> d10SubstringSpans,
@@ -1051,8 +1105,44 @@ object Dedup {
          WHERE doc_id NOT IN (SELECT doc_id FROM near)
            AND doc_id NOT IN (SELECT doc_id FROM exact)"""
 
+  /** One SNM oracle pass: neighbor slots 1..w via lead() under the
+    * given block key, flattened to candidate rows. */
+  private def snmPassCtes(blkExpr: String): String = {
+    val leads = (1 to SnmWindow).map(k =>
+      s"lead(doc_id, $k) OVER w AS b$k, lead(toks, $k) OVER w AS t$k")
+      .mkString(",\n             ")
+    s"""SELECT doc_id, toks, $leads
+           FROM toks
+           WINDOW w AS (PARTITION BY $blkExpr ORDER BY skey, doc_id)"""
+  }
+
+  private def snmCandSelects(src: String): String =
+    (1 to SnmWindow).map(k =>
+      s"""SELECT doc_id AS a, b$k AS b, toks AS ta, t$k AS tb
+          FROM $src WHERE b$k IS NOT NULL""").mkString("\n  UNION ALL\n  ")
+
   /** DuckDB mirrors. d3/d4 are hash-scheme-specific → rows-only. */
   val oracle: Map[String, String] = Map(
+    "d13_dedup_sorted_neighborhood" ->
+      s"""WITH toks AS (
+           SELECT doc_id,
+             list_sort(list_distinct(string_split(text, ' '))) AS toks,
+             array_to_string(list_sort(list_distinct(
+               string_split(text, ' '))), ' ') AS skey
+           FROM documents),
+         p1 AS (${snmPassCtes("toks[1]")}),
+         p2 AS (${snmPassCtes("toks[-1]")}),
+         cand AS (
+           ${snmCandSelects("p1")}
+           UNION ALL
+           ${snmCandSelects("p2")}),
+         pairs AS (
+           SELECT least(a, b) AS doc_a, greatest(a, b) AS doc_b,
+             cast(len(list_intersect(ta, tb)) AS double)
+               / len(list_distinct(list_concat(ta, tb))) AS jac
+           FROM cand)
+         SELECT DISTINCT doc_a, doc_b, round(jac, 6) AS jac
+         FROM pairs WHERE jac >= 0.6""",
     "d11_delta_dedup" -> d11OracleSql,
     "d11b_delta_dedup_served" -> d11OracleSql,
     "d10_substring_spans" ->

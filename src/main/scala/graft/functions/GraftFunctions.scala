@@ -44,7 +44,9 @@ object GraftFunctions {
     "distinct_ngram_count" ->
       (exprs => DistinctNgramCount(exprs(0), literalInt(exprs(1)))),
     "t_test_p" -> (exprs => TTestPValue(exprs(0), exprs(1))),
-    "chi2_p" -> (exprs => ChiSquarePValue(exprs(0), exprs(1))))
+    "chi2_p" -> (exprs => ChiSquarePValue(exprs(0), exprs(1))),
+    "jaro_winkler" ->
+      (exprs => JaroWinklerSimilarity(exprs(0), exprs(1))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>
@@ -69,7 +71,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     "ngrams_distinct" -> classOf[NGramGenerator].getName,
     "distinct_ngram_count" -> classOf[DistinctNgramCount].getName,
     "t_test_p" -> classOf[TTestPValue].getName,
-    "chi2_p" -> classOf[ChiSquarePValue].getName)
+    "chi2_p" -> classOf[ChiSquarePValue].getName,
+    "jaro_winkler" -> classOf[JaroWinklerSimilarity].getName)
 
   override def apply(e: SparkSessionExtensions): Unit =
     GraftFunctions.functions.foreach { case (name, builder) =>

@@ -212,8 +212,35 @@ object Joins {
       .filter(levenshtein(col("tok_a"), col("tok_b")) <= 1)
   }
 
+  /** J11 — blocked fuzzy linkage on the NAME VOCABULARY, scored by the
+    * native [[graft.functions.JaroWinklerSimilarity]] codegen kernel
+    * (Spark has `levenshtein` but no Jaro–Winkler — the standard
+    * record-linkage scorer, where transposed/dropped characters should
+    * cost less than levenshtein's uniform edits).
+    *
+    * Scale shape (the record-linkage discipline): never score the
+    * corpus cross-product. The candidate space is the DISTINCT
+    * (brand, name) vocabulary — bounded by the name dictionary, not
+    * the part count, so it does NOT grow with sf — and pairing blocks
+    * on brand before the scorer runs. At corpus scale the same
+    * expression rides a d2b/LSH-style blocking join; here the
+    * vocabulary self-join IS the blocked candidate set. */
+  def j11JaroWinklerJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val names = Tables.part(s, dir).select("p_brand", "p_name").distinct()
+    val jw = expr("jaro_winkler(a.p_name, b.p_name)")
+    names.as("a").join(names.as("b"),
+        col("a.p_brand") === col("b.p_brand")
+          && col("a.p_name") < col("b.p_name"))
+      .filter(jw >= 0.8)
+      .select(col("a.p_brand").as("p_brand"),
+        col("a.p_name").as("name_a"), col("b.p_name").as("name_b"),
+        Det.r6(jw).as("jw_sim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j10_fuzzy_join" -> j10FuzzyJoin,
+    "j11_jaro_winkler_join" -> j11JaroWinklerJoin,
     "j1_join_facts" -> j1JoinFacts,
     "j2_join_dims" -> j2JoinDims,
     "j3_anti_join" -> j3AntiJoin,
@@ -226,6 +253,15 @@ object Joins {
     "j13_full_outer" -> j13FullOuter)
 
   val oracle: Map[String, String] = Map(
+    "j11_jaro_winkler_join" ->
+      """WITH names AS (
+           SELECT DISTINCT p_brand, p_name FROM part)
+         SELECT a.p_brand, a.p_name AS name_a, b.p_name AS name_b,
+           round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+             AS jw_sim
+         FROM names a JOIN names b
+           ON a.p_brand = b.p_brand AND a.p_name < b.p_name
+         WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8""",
     "j10_fuzzy_join" ->
       """WITH planted AS (
            SELECT CASE WHEN doc_id % 25 = 0

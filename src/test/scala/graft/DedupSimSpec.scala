@@ -487,4 +487,27 @@ class DedupSimSpec extends SparkTestBase {
       .agg(count(lit(1)).as("n"), max("rank").as("maxr"))
     assert(byQ.filter(col("n") =!= 5 || col("maxr") =!= 5).count() == 0)
   }
+
+  test("d13 SNM: every identical-token-set pair is found at jac 1.0") {
+    // identical canonical keys sort adjacent, so CONSECUTIVE members
+    // of each duplicate group are lead-distance 1 in both passes —
+    // SNM's completeness floor (exact dups can never be missed by the
+    // window) independent of the data
+    val docs = Tables.documents(spark, sfTest)
+      .select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(split(col("text"), " "))),
+          " ").cast("binary")).as("fp"))
+    val groups = docs.collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).values.filter(_.length > 1)
+      .map(_.map(_._2).sorted)
+    val mustFind = groups.flatMap(ids =>
+      ids.sliding(2).map(p => (p(0), p(1)))).toSet
+    assert(mustFind.nonEmpty, "fixture needs at least one exact-dup pair")
+    val got = Dedup.d13SortedNeighborhood(spark, sfTest)
+    val ones = pairSet(got.filter(col("jac") === 1.0), "doc_a", "doc_b")
+    assert(mustFind.subsetOf(ones),
+      s"missing exact pairs: ${mustFind.diff(ones).take(5)}")
+    // and nothing below the threshold leaks through
+    assert(got.filter(col("jac") < 0.6).count() == 0)
+  }
 }

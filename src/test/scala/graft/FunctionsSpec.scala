@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{GraftFunctions, WeightedMedian}
+import graft.functions.{GraftFunctions, JaroWinkler, WeightedMedian}
 
 /** The native FloatCosine expression: codegen path must agree exactly
   * with the interpreted HOF formulation (same IEEE op order), SQL
@@ -105,5 +105,45 @@ class FunctionsSpec extends SparkTestBase {
     val a = custom.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val b = expected.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(a == b)
+  }
+
+  test("jaro_winkler reproduces DuckDB's doubles bit-for-bit") {
+    // probe set captured from duckdb jaro_winkler_similarity
+    // (2026-08-15); covers transpositions (MARTHA), unequal lengths
+    // (DIXON), no-prefix (JELLYFISH), the 0.7 boost threshold both
+    // ways (ab/abzzz… boosted at jaro 0.7037; abqq NOT boosted at
+    // 0.5476), the zero-window degenerate (ab/ba), and DuckDB's
+    // empty-string-scores-zero convention.
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0),
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("DwAyNE", "DuANE", 0.8400000000000001),
+      ("ab", "ba", 0.0),
+      ("ab", "abzzzzzzzzzzzzzzzz", 0.762962962962963),
+      ("abqq", "abzzzzzzzzzzzz", 0.5476190476190476),
+      ("abcdzzzzzzzz", "abcdyyyyyyyyyyyyyyyyyy", 0.5050505050505051),
+      ("hello world", "hello wrold", 0.9818181818181818),
+      ("prefix_same_long", "prefix_same_lnog", 0.9874999999999999))
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    // through the EXPRESSION (codegen path), not the static kernel
+    val got = cases.map { case (a, b, _) => (a, b) }.toDF("a", "b")
+      .select(expr("jaro_winkler(a, b)")).collect().map(_.getDouble(0))
+    cases.zip(got).foreach { case ((a, b, want), g) =>
+      assert(g == want, s"jaro_winkler($a, $b): got $g want $want")
+    }
+    // interpreted twin agrees with codegen
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u8}
+    cases.foreach { case (a, b, want) =>
+      assert(JaroWinkler.similarity(u8(a), u8(b)) == want)
+    }
+    // null propagation through the expression
+    val n = spark.sql("SELECT jaro_winkler(NULL, 'x') AS j").head()
+    assert(n.isNullAt(0))
   }
 }
