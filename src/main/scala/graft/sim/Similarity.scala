@@ -677,6 +677,69 @@ object Similarity {
       col("vec_id") >= graft.dedup.Dedup.D7PlantOffset, k = 1)
   }
 
+  /** N9 — INCREMENTAL INDEX DELTA-MERGE: the freshness path every
+    * production vector store needs beside n8's build-once/serve-many
+    * split. A delta batch arrives AFTER the index was built; instead
+    * of the O(corpus) refit+re-encode, the delta is encoded against
+    * the PERSISTED model (same coarse routing, same per-cell residual
+    * codebooks) and APPENDED to the code table — O(delta) work — and
+    * queries are served from the merged index.
+    *
+    * Why this is sound: encode is a pure function of (vector, model).
+    * With the model frozen, append-then-serve is bit-identical to
+    * re-encoding the union corpus from scratch (DedupSimSpec pins
+    * this), so the only thing a refit could change is quantization
+    * QUALITY as the data distribution drifts — the classic IVF
+    * rebuild-cadence trade, handled operationally (x28/x38 drift
+    * monitors are the trigger), not per-batch.
+    *
+    * Gate: the delta is the d7 plant (exact copies of every 25th base
+    * vector under offset ids). A copy routes to its twin's cell with
+    * p = 1 — same bestCell arithmetic on the same model — so the
+    * served top-1 is the closed form the DuckDB oracle states without
+    * replaying k-means: (copy, source, rank 1, cosine 1.0), exactly
+    * n7's contract but through the append path: fit never saw the
+    * queries, and the answers come off the merged on-disk table. */
+  def n9IndexDeltaMerge(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    import s.implicits._
+    import graft.sources.SnapshotStore
+    val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val delta = base
+      .filter(col("vec_id") % graft.dedup.Dedup.D7PlantStride === 0)
+      .select((col("vec_id") + graft.dedup.Dedup.D7PlantOffset)
+        .as("vec_id"), col("embedding"))
+    val totalBase = base.count()
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val root = new org.apache.hadoop.fs.Path(
+      sys.props("java.io.tmpdir"),
+      s"graft_n9$tag/${s.sparkContext.applicationId}").toString
+    graft.sources.Scratch.fresh(s, new org.apache.hadoop.fs.Path(root))
+    // BUILD: fit + encode the BASE corpus only, persist both
+    val model = fitIvfPq(s, base, totalBase)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(model); oos.close()
+    SnapshotStore.commit(
+      Seq(Tuple1(bos.toByteArray)).toDF("model_blob"), s"$root/model")
+    SnapshotStore.commit(encodeIvfPq(s, base, model), s"$root/codes")
+    // DELTA MERGE: read the persisted model back, encode ONLY the
+    // delta with it, append a new commit to the code table
+    val blob = SnapshotStore.read(s, s"$root/model")
+      .head().getAs[Array[Byte]](0)
+    val ois = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    val modelBack = ois.readObject().asInstanceOf[IvfPqModel]
+    ois.close()
+    SnapshotStore.appendCommit(
+      encodeIvfPq(s, delta, modelBack), s"$root/codes")
+    // SERVE from the merged table; dials stay those of the fit corpus
+    val merged = SnapshotStore.read(s, s"$root/codes")
+      .select("vec_id", "cell", "code", "norm")
+    serveIvfPq(s, base.union(delta), modelBack, merged, totalBase,
+      col("vec_id") >= graft.dedup.Dedup.D7PlantOffset, k = 1)
+  }
+
   /** The trained IVF-PQ index: coarse centroids + one PQ codebook
     * array per cell (thin cells share the global books by
     * reference). */
@@ -938,6 +1001,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n9_index_delta_merge" -> n9IndexDeltaMerge,
     "n8_index_serve" -> n8IndexServe,
     "n7_ivfpq_planted_gate" -> n7IvfPqPlantedGate,
     "n5_embedding_quantize" -> n5EmbeddingQuantize,
@@ -952,6 +1016,15 @@ object Similarity {
     // n8 serves the SAME planted queries from the persisted index —
     // deterministic fit + exact round-trip ⇒ n7's closed form applies
     "n8_index_serve" ->
+      s"""SELECT vec_id + ${graft.dedup.Dedup.D7PlantOffset} AS q_id,
+           vec_id AS neighbor_id, cast(1 AS int) AS rank,
+           1.0 AS cosine
+         FROM embeddings
+         WHERE vec_id % ${graft.dedup.Dedup.D7PlantStride} = 0""",
+    // same closed form through the APPEND path: the frozen model
+    // routes each planted copy to its twin's cell regardless of
+    // whether its code row came from the build or the delta commit
+    "n9_index_delta_merge" ->
       s"""SELECT vec_id + ${graft.dedup.Dedup.D7PlantOffset} AS q_id,
            vec_id AS neighbor_id, cast(1 AS int) AS rank,
            1.0 AS cosine

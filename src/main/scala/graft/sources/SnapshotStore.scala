@@ -682,6 +682,149 @@ object SnapshotStore {
     commitManifest(s, root, manifestLines(s, root, None) ++ files, 10)
   }
 
+  // ---- branches (Iceberg-style named refs) ----------------------
+
+  private def refPath(root: String, name: String) = {
+    require(name.matches("[A-Za-z0-9_.-]+"), s"bad branch name: $name")
+    new Path(new Path(root, "refs"), name)
+  }
+
+  /** Head snapshot id of branch `name`, if it exists. */
+  def branchHead(s: SparkSession, root: String, name: String)
+      : Option[Long] = {
+    val f = fs(s, root)
+    val p = refPath(root, name)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Create branch `name` at snapshot `fromId` — a named POINTER into
+    * the snapshot log (the Iceberg refs model). Manifests are
+    * self-contained file lists, so a branch costs one ~20-byte ref
+    * file: no data, no manifest copy, O(1) at any table size.
+    * Rename-if-absent makes creation atomic; an existing branch is an
+    * error (use [[fastForward]] to move one). */
+  def createBranch(s: SparkSession, root: String, name: String,
+      fromId: Long): Unit = {
+    require(snapshots(s, root).contains(fromId),
+      s"snapshot $fromId not found at $root")
+    val f = fs(s, root)
+    f.mkdirs(new Path(root, "refs"))
+    val tmp = new Path(new Path(root, "refs"), s".tmp-${UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(s"$fromId\n".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (f.exists(refPath(root, name)) || !f.rename(tmp, refPath(root, name))) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(s"branch $name already exists")
+    }
+  }
+
+  /** Move a ref (same tmp-write + rename; the delete/rename pair is
+    * last-writer-wins, so the store's concurrency contract is ONE
+    * writer per branch — commits to DIFFERENT branches stay safe
+    * because manifest ids are still claimed through the global
+    * rename-if-absent race). */
+  private def updateBranch(s: SparkSession, root: String, name: String,
+      toId: Long): Unit = {
+    val f = fs(s, root)
+    val tmp = new Path(new Path(root, "refs"), s".tmp-${UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(s"$toId\n".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    f.delete(refPath(root, name), false)
+    if (!f.rename(tmp, refPath(root, name)))
+      throw new IllegalStateException(s"lost ref update race on $name")
+  }
+
+  /** Append `df` on top of the BRANCH head (not the global latest)
+    * and advance the branch. The new manifest still claims the next
+    * GLOBAL id — one monotonic log across all branches, like
+    * Iceberg's sequence numbers — but its file list extends the
+    * branch lineage, so other branches never see these rows. */
+  def appendToBranch(df: DataFrame, root: String, name: String): Long = {
+    val s = df.sparkSession
+    val head = branchHead(s, root, name).getOrElse(
+      throw new IllegalArgumentException(s"no branch $name at $root"))
+    val (_, files) = writeSnapshotData(df, root)
+    val id = commitManifest(s, root,
+      manifestLines(s, root, Some(head)) ++ files, 10)
+    updateBranch(s, root, name, id)
+    id
+  }
+
+  /** Read the table as branch `name` sees it. */
+  def readBranch(s: SparkSession, root: String, name: String): DataFrame =
+    readSnapshot(s, root, branchHead(s, root, name).map(Some(_)).getOrElse(
+      throw new IllegalArgumentException(s"no branch $name at $root")))
+
+  /** Fast-forward `into` to `from`'s head (the Iceberg
+    * `fast_forward` procedure): metadata-only publish of a validated
+    * branch. The caller asserts ancestry (`into`'s head is part of
+    * `from`'s lineage) — the manifest log stores no parent links, so
+    * the store cannot check it; misuse makes `into` jump lineages,
+    * exactly like a forced ref move in git. */
+  def fastForward(s: SparkSession, root: String, into: String,
+      from: String): Long = {
+    val toId = branchHead(s, root, from).getOrElse(
+      throw new IllegalArgumentException(s"no branch $from at $root"))
+    updateBranch(s, root, into, toId)
+    toId
+  }
+
+  /** Plant offsets for the s26 branch fixture (distinct from the
+    * s12/s15 churn offsets so no fixture can alias another even if
+    * scratch roots ever collide). */
+  private[sources] val BranchExpOffset = 1L << 42
+  private[sources] val BranchMainOffset = 1L << 43
+
+  /** S26 — BRANCHES end-to-end: commit the base table (v0), fork
+    * `exp` and `main` refs at v0, land a different deterministic
+    * plant on each (every 5th key, offset-shifted, on exp; every 7th
+    * on main), then fast-forward a `release` ref to the validated
+    * exp head. Each branch read must see base + ITS OWN plant only —
+    * write isolation across refs over one shared snapshot log — and
+    * release must equal exp byte-for-byte. The per-branch counts and
+    * exact bigint key-sums form the closed-form oracle; the
+    * WAP-protocol details (ref atomicity, global id claims,
+    * time-travel through branch commits) are SnapshotStoreSpec's.
+    * This is the write-audit-publish pattern: produce on a branch,
+    * gate it (s16 expectations), publish by fast-forward — at 100 TB
+    * the publish step moves ~20 bytes. */
+  def s26Branches(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.orders(s, dir).select("o_orderkey")
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val root = new Path(
+      sys.props("java.io.tmpdir"),
+      s"graft_s26${tag}_${s.sparkContext.applicationId}/t").toString
+    Scratch.fresh(s, new Path(root).getParent)
+    val v0 = commit(base, root)
+    createBranch(s, root, "exp", v0)
+    createBranch(s, root, "main", v0)
+    appendToBranch(base.filter(col("o_orderkey") % 5 === 0)
+      .select((col("o_orderkey") + BranchExpOffset).as("o_orderkey")),
+      root, "exp")
+    appendToBranch(base.filter(col("o_orderkey") % 7 === 0)
+      .select((col("o_orderkey") + BranchMainOffset).as("o_orderkey")),
+      root, "main")
+    createBranch(s, root, "release", v0)
+    fastForward(s, root, "release", "exp")
+    Seq("exp", "main", "release").map { b =>
+      readBranch(s, root, b)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).cast("bigint").as("sum_keys"))
+        .select(lit(b).as("branch"), col("n_rows"), col("sum_keys"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Schema-evolving read: like [[readSnapshot]] but unions the pinned
     * files' schemas BY NAME (`mergeSchema`), so rows from files written
     * before an additive evolution surface NULL for the later columns.
@@ -886,9 +1029,27 @@ object SnapshotStore {
     "s20_compaction" -> s20Compaction,
     "s21_delete_vectors" -> s21DeleteVectors,
     "s22_schema_evolution" -> s22SchemaEvolution,
-    "s23_restore" -> s23Restore)
+    "s23_restore" -> s23Restore,
+    "s26_branches" -> s26Branches)
 
   val oracle: Map[String, String] = Map(
+    // closed form: each branch = base + its own plant; release == exp
+    "s26_branches" ->
+      s"""WITH b AS (SELECT o_orderkey FROM orders),
+         e AS (SELECT o_orderkey + ${BranchExpOffset} AS o_orderkey
+               FROM b WHERE o_orderkey % 5 = 0),
+         m AS (SELECT o_orderkey + ${BranchMainOffset} AS o_orderkey
+               FROM b WHERE o_orderkey % 7 = 0),
+         exp_v AS (SELECT * FROM b UNION ALL SELECT * FROM e),
+         main_v AS (SELECT * FROM b UNION ALL SELECT * FROM m)
+         SELECT 'exp' AS branch, cast(count(*) AS bigint) AS n_rows,
+           cast(sum(o_orderkey) AS bigint) AS sum_keys FROM exp_v
+         UNION ALL
+         SELECT 'main', cast(count(*) AS bigint),
+           cast(sum(o_orderkey) AS bigint) FROM main_v
+         UNION ALL
+         SELECT 'release', cast(count(*) AS bigint),
+           cast(sum(o_orderkey) AS bigint) FROM exp_v""",
     "s25_incremental_join_mv" ->
       s"""WITH a1 AS (
            SELECT o_orderkey, o_custkey,

@@ -488,6 +488,36 @@ class DedupSimSpec extends SparkTestBase {
     assert(byQ.filter(col("n") =!= 5 || col("maxr") =!= 5).count() == 0)
   }
 
+  test("n9 delta-append equals a full re-encode under the frozen model") {
+    import org.apache.spark.sql.functions.col
+    val base = Tables.embeddings(spark, sfSmoke)
+      .select("vec_id", "embedding")
+    val delta = base
+      .filter(col("vec_id") % Dedup.D7PlantStride === 0)
+      .select((col("vec_id") + Dedup.D7PlantOffset).as("vec_id"),
+        col("embedding"))
+    val model = Similarity.fitIvfPq(spark, base, base.count())
+    // encode-then-union (the n9 append path) must be bit-identical to
+    // encoding the union corpus in one pass: encode is a pure function
+    // of (vector, model), so appending can never change a code row
+    def codeSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]](2).toSeq, r.getDouble(3))).toSet
+    val appended = codeSet(Similarity.encodeIvfPq(spark, base, model))
+      .union(codeSet(Similarity.encodeIvfPq(spark, delta, model)))
+    val oneShot = codeSet(
+      Similarity.encodeIvfPq(spark, base.union(delta), model))
+    assert(appended == oneShot)
+    // and every planted copy lands in the SAME cell as its source —
+    // the routing invariant n9's closed-form oracle rests on
+    val cells = oneShot.map { case (id, cell, _, _) => id -> cell }.toMap
+    val plants = cells.keys.filter(_ >= Dedup.D7PlantOffset)
+    assert(plants.nonEmpty)
+    plants.foreach { p =>
+      assert(cells(p) == cells(p - Dedup.D7PlantOffset))
+    }
+  }
+
   test("d13 SNM: every identical-token-set pair is found at jac 1.0") {
     // identical canonical keys sort adjacent, so CONSECUTIVE members
     // of each duplicate group are lead-distance 1 in both passes —

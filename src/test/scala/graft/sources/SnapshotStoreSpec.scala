@@ -363,6 +363,51 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(spark.read.parquet(dst).collect().map(_.getLong(0)).toSet
       == Set(4L))
   }
+  test("branches: ref isolation, no data copied, fast-forward publish, " +
+      "duplicate create fails") {
+    import spark.implicits._
+    val root = freshRoot()
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "seg")
+    val v0 = SnapshotStore.commit(base, root)
+    SnapshotStore.createBranch(spark, root, "exp", v0)
+    SnapshotStore.createBranch(spark, root, "main", v0)
+    val files0 = SnapshotStore.manifestFiles(spark, root)
+    // creating two branches wrote NO manifests and NO data
+    assert(SnapshotStore.snapshots(spark, root) == Seq(v0))
+    val expId = SnapshotStore.appendToBranch(
+      Seq((10L, "x")).toDF("id", "seg"), root, "exp")
+    // exp sees base + its plant; main still sees exactly v0's files
+    assert(SnapshotStore.readBranch(spark, root, "exp")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 10L))
+    assert(SnapshotStore.readBranch(spark, root, "main")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // branch commit extends the branch LINEAGE: its manifest carries
+    // v0's files by reference plus only the new parts
+    assert(SnapshotStore.manifestFiles(spark, root, Some(expId))
+      .toSet.intersect(files0.toSet) == files0.toSet)
+    // a commit on main after exp's claims the NEXT global id, and the
+    // two lineages never see each other
+    val mainId = SnapshotStore.appendToBranch(
+      Seq((20L, "y")).toDF("id", "seg"), root, "main")
+    assert(mainId == expId + 1)
+    assert(SnapshotStore.readBranch(spark, root, "exp")
+      .filter(col("id") === 20L).count() == 0)
+    // fast-forward: release jumps to exp's validated head, 0 data moved
+    SnapshotStore.createBranch(spark, root, "release", v0)
+    SnapshotStore.fastForward(spark, root, "release", "exp")
+    assert(SnapshotStore.branchHead(spark, root, "release")
+      .contains(expId))
+    assert(SnapshotStore.readBranch(spark, root, "release")
+      .select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 10L))
+    // duplicate create must fail atomically
+    intercept[IllegalStateException] {
+      SnapshotStore.createBranch(spark, root, "exp", v0)
+    }
+    // and the failed create didn't clobber the existing ref
+    assert(SnapshotStore.branchHead(spark, root, "exp").contains(expId))
+  }
+
   test("restore: metadata-only rollback, mistake stays time-travelable") {
     import spark.implicits._
     val root = freshRoot()
