@@ -27,7 +27,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     point. HDFS rename is an atomic metadata op that FAILS if the
   *     destination exists, so two racing committers cannot both win
   *     an id: the loser rescans and retries with the next one
-  *     (optimistic concurrency).
+  *     (optimistic concurrency). The LOCAL filesystem's rename is
+  *     POSIX rename(2) — it silently replaces an existing
+  *     destination — so there the publish uses link(2) instead,
+  *     which fails atomically with EEXIST ([[renameIfAbsent]]).
   *
   * Readers list `manifests/`, pick the highest id, and read EXACTLY
   * the files that manifest names — never a directory listing of
@@ -134,15 +137,34 @@ object SnapshotStore {
 
   /** Phase 2 of a commit: the manifest rename-if-absent race. Each
     * `lines` entry is a file path optionally followed by tab-separated
-    * per-file metadata ([[commitWithStats]]). */
+    * per-file metadata ([[commitWithStats]]). The FIXED-lines form:
+    * the caller has already resolved what the new snapshot pins
+    * (full-replacement commits, branch appends against a branch
+    * head). Writers whose lines DEPEND on the latest snapshot must go
+    * through [[commitRebase]], or a lost id race silently drops the
+    * concurrent commit's lines. */
   private def commitManifest(s: SparkSession, root: String,
-      lines: Seq[String], maxRetries: Int): Long = {
+      lines: Seq[String], maxRetries: Int): Long =
+    commitRebase(s, root, _ => lines, maxRetries)
+
+  /** Optimistic-concurrency commit (the Delta/Iceberg commit-loop
+    * shape): `mkLines` maps the CURRENT latest snapshot's lines (empty
+    * for a fresh table) to the new manifest, and is re-evaluated on
+    * EVERY attempt — losing the rename race re-reads the new base and
+    * rebases, so a concurrent writer's lines are never dropped.
+    * `mkLines` may throw (conflict detection, [[commitRewrite]]) to
+    * abort the commit once the base has changed incompatibly. */
+  private def commitRebase(s: SparkSession, root: String,
+      mkLines: Seq[String] => Seq[String], maxRetries: Int): Long = {
     val f = fs(s, root)
     f.mkdirs(manifestDir(root))
     var attempt = 0
     var committed = -1L
     while (committed < 0 && attempt < maxRetries) {
       val id = snapshots(s, root).lastOption.getOrElse(-1L) + 1L
+      val base = if (id == 0L) Seq.empty[String]
+                 else manifestLines(s, root, Some(id - 1L))
+      val lines = mkLines(base)
       val tmp = new Path(manifestDir(root), s".tmp-${UUID.randomUUID()}")
       val out = f.create(tmp, false)
       try out.write((lines.mkString("\n") + "\n")
@@ -150,7 +172,7 @@ object SnapshotStore {
       finally out.close()
       // rename-if-absent IS the commit: losing a race leaves the new
       // manifest as an invisible temp file, retried under the next id
-      if (f.exists(manifestPath(root, id)) || !f.rename(tmp, manifestPath(root, id))) {
+      if (!renameIfAbsent(f, tmp, manifestPath(root, id))) {
         f.delete(tmp, false)
         attempt += 1
       } else {
@@ -167,6 +189,60 @@ object SnapshotStore {
       s"snapshot commit lost $maxRetries id races at $root")
     committed
   }
+
+  /** The atomic commit point: publish `tmp` at `dst` iff `dst` does
+    * not exist. On HDFS (and stores with HDFS rename semantics) the
+    * rename itself fails when the destination exists, so
+    * exists-check + rename is atomic. On the LOCAL filesystem it is
+    * NOT: Hadoop's local rename is POSIX rename(2), which silently
+    * REPLACES an existing destination — two racing commits could both
+    * "win" and the second erase the first's manifest (the lost-update
+    * this helper exists to prevent; observed as a dropped appender
+    * slice in the s27 race). link(2) atomically fails with EEXIST
+    * instead, so local commits hard-link the tmp to the final name
+    * and then drop the tmp. */
+  private def renameIfAbsent(f: FileSystem, tmp: Path, dst: Path): Boolean =
+    if (f.getScheme == "file")
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        f.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    else !f.exists(dst) && f.rename(tmp, dst)
+
+  /** A manifest line's conflict-detection identity: data lines are
+    * keyed by path (stats suffixes may be rewritten by a concurrent
+    * stats recompute without being a LOGICAL conflict), DV sidecar
+    * lines by the full `dv\t<path>` line. */
+  private def lineKey(line: String): String = {
+    val head = line.split('\t').head
+    if (head == DvMarker) line else head
+  }
+
+  /** Rewrite commit with logical conflict detection (the Delta OCC
+    * rule): on each attempt the CURRENT base must still pin every
+    * `required` and `removed` line key — if a concurrent rewrite
+    * already compacted/deleted any of them, this writer's outputs
+    * were derived from files that no longer exist and committing
+    * would corrupt the table (resurrected or lost rows), so it
+    * aborts with ConcurrentModificationException instead. Lines
+    * neither removed nor re-added are carried from the CURRENT base,
+    * so blind concurrent APPENDS rebase in automatically and never
+    * conflict with a rewrite. */
+  private[sources] def commitRewrite(s: SparkSession, root: String,
+      required: Set[String], removed: Set[String], added: Seq[String],
+      maxRetries: Int): Long =
+    commitRebase(s, root, { base =>
+      val baseKeys = base.map(lineKey).toSet
+      val gone = (required ++ removed).filterNot(baseKeys)
+      if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+        s"conflicting concurrent rewrite at $root: ${gone.mkString(", ")}")
+      base.filterNot(l => removed(lineKey(l))) ++ added
+    }, maxRetries)
 
   /** Commit with per-file [min,max] stats on `statsCol` embedded in
     * the manifest — file-level DATA SKIPPING (the Delta/Iceberg
@@ -188,15 +264,21 @@ object SnapshotStore {
     val byFile = s.read.parquet(files: _*)
       .groupBy(input_file_name().as("f"))
       .agg(min(col(statsCol)).cast("string").as("mn"),
-        max(col(statsCol)).cast("string").as("mx"))
+        max(col(statsCol)).cast("string").as("mx"),
+        count(lit(1)).as("cnt"))
       .collect()
       .map(r => (new Path(r.getString(0)).toUri.getPath,
         (Option(r.getString(1)).getOrElse(""),
-          Option(r.getString(2)).getOrElse(""))))
+          Option(r.getString(2)).getOrElse(""), r.getLong(3))))
       .toMap
+    // a 5th field pins the file's ROW COUNT — with min/max it makes
+    // count/min/max aggregates answerable from the manifest alone
+    // ([[statsQuery]]); files absent from the grouped scan are empty
+    // parquet parts (0 rows, no stats)
     val lines = files.map { p =>
-      val (mn, mx) = byFile.getOrElse(new Path(p).toUri.getPath, ("", ""))
-      s"$p\t$statsCol\t$mn\t$mx"
+      val (mn, mx, cnt) =
+        byFile.getOrElse(new Path(p).toUri.getPath, ("", "", 0L))
+      s"$p\t$statsCol\t$mn\t$mx\t$cnt"
     }
     commitManifest(s, root, lines, maxRetries)
   }
@@ -246,8 +328,10 @@ object SnapshotStore {
     val parsed = manifestLines(s, root, id).map(_.split("\t", -1))
       .filter(_.head != DvMarker)
     val stats = parsed.map {
-      case Array(p, c, mn, mx) if c == statsCol && mn.nonEmpty && mx.nonEmpty =>
-        (p, mn, mx)
+      // 4-field (legacy) and 5-field (row-count-bearing) stats lines
+      case a if a.length >= 4 && a(1) == statsCol &&
+          a(2).nonEmpty && a(3).nonEmpty =>
+        (a(0), a(2), a(3))
       case a => (a(0), null: String, null: String)
     }
     // the column's type, from one footer — so "100" < "99" string
@@ -279,6 +363,76 @@ object SnapshotStore {
       val dvs = dvPaths(s, root, id)
       if (dvs.isEmpty) data else applyDv(data, s.read.parquet(dvs: _*))
     }
+  }
+
+  /** METADATA-ONLY aggregate (the Delta/Iceberg stats-only-query
+    * optimization as an explicit verb): answer `SELECT count(*),
+    * min(statsCol), max(statsCol)` from the manifest ALONE — count is
+    * the sum of the per-file row counts, min/max fold the per-file
+    * extremes; NO data file is opened, not even a footer
+    * (SnapshotStoreSpec proves it by physically deleting every data
+    * file and asking again). At 100 TB this turns the commonest
+    * dashboard query from a full-table scan into an O(manifest-lines)
+    * driver fold. Requires a [[commitWithStats]] manifest on
+    * `statsCol` carrying row counts (the 5-field form) and no
+    * deletion vectors (dead positions would overcount; compact
+    * first — the same restriction Delta places on stats-served
+    * queries over DV tables). Values travel as strings: extremes
+    * compare numerically when every value parses as a number, else
+    * lexically (correct for ISO-formatted dates/timestamps — the
+    * formats Spark's string cast emits). Returns one row
+    * (n_rows BIGINT, min_value STRING, max_value STRING). */
+  def statsQuery(s: SparkSession, root: String, statsCol: String,
+      id: Option[Long] = None): DataFrame = {
+    require(dvPaths(s, root, id).isEmpty,
+      s"statsQuery at $root: DV-bearing snapshot would overcount; compact first")
+    val parsed = manifestLines(s, root, id).map(_.split("\t", -1))
+    val rows = parsed.map {
+      case a if a.length >= 5 && a(1) == statsCol =>
+        (Option(a(2)).filter(_.nonEmpty),
+          Option(a(3)).filter(_.nonEmpty), a(4).toLong)
+      case a => throw new IllegalStateException(
+        s"statsQuery needs a commitWithStats($statsCol) manifest with " +
+          s"row counts; file ${a(0)} has none")
+    }
+    val nRows = rows.map(_._3).sum
+    def numeric(v: String) =
+      try { new java.math.BigDecimal(v); true }
+      catch { case _: NumberFormatException => false }
+    val mins = rows.flatMap(_._1)
+    val maxs = rows.flatMap(_._2)
+    val ord: Ordering[String] =
+      if (mins.nonEmpty && (mins ++ maxs).forall(numeric))
+        Ordering.by((v: String) => new java.math.BigDecimal(v))
+      else Ordering.String
+    import s.implicits._
+    Seq((nRows, mins.reduceOption((a, b) => ord.min(a, b)),
+      maxs.reduceOption((a, b) => ord.max(a, b))))
+      .toDF("n_rows", "min_value", "max_value")
+  }
+
+  /** S28 — STATS-ONLY QUERY end-to-end: commit orders range-laid-out
+    * with key stats + row counts, then answer count/min/max through
+    * [[statsQuery]] — the oracle recomputes the same aggregates by
+    * scanning the actual table, so a single miscounted or mis-folded
+    * file breaks the hash. The layout step (`repartitionByRange`) is
+    * what the stats pay for at scale (narrow per-file ranges also
+    * serve s14's skipping); the aggregate itself never touches it. */
+  def s28StatsOnly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.orders(s, dir)
+      .select("o_orderkey", "o_totalprice")
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val root = new Path(
+      sys.props("java.io.tmpdir"),
+      s"graft_s28${tag}_${s.sparkContext.applicationId}/t").toString
+    Scratch.fresh(s, new Path(root).getParent)
+    commitWithStats(base.repartitionByRange(8, col("o_orderkey")),
+      root, "o_orderkey")
+    statsQuery(s, root, "o_orderkey")
+      .select(col("n_rows"),
+        col("min_value").cast("bigint").as("min_key"),
+        col("max_value").cast("bigint").as("max_key"))
   }
 
   /** Read the latest snapshot — exactly the manifest's files, never a
@@ -368,8 +522,16 @@ object SnapshotStore {
     val dvDir = new Path(root, s"data/dv-${UUID.randomUUID()}")
     merged.coalesce(1).write.parquet(dvDir.toString)
     require(f.exists(dvDir), s"DV write failed at $dvDir")
-    commitManifest(s, root,
-      dataLines :+ s"$DvMarker\t$dvDir", maxRetries = 10)
+    // OCC rewrite: the dead positions were computed against `files`
+    // and the merged sidecar against `dvs` — both must still be
+    // pinned at commit time (a concurrent compaction invalidates the
+    // positions; a concurrent delete's sidecar would be dropped by
+    // ours). Concurrent APPENDS rebase in conflict-free: appended
+    // rows have no dead positions yet.
+    commitRewrite(s, root,
+      required = dataLines.map(lineKey).toSet,
+      removed = dvs.map(p => s"$DvMarker\t$p").toSet,
+      added = Seq(s"$DvMarker\t$dvDir"), maxRetries = 10)
   }
 
   /** Keyed row-level CHANGES between two snapshots — the incremental
@@ -623,9 +785,20 @@ object SnapshotStore {
           Seq(s"$DvMarker\t$dvDir")
         }
       }
-    commitManifest(s, root,
-      (keep.map(_._1) ++ newFiles).sorted ++ dvCarry, maxRetries = 10)
-    // (keep._1 is the full manifest LINE - stats suffixes ride along)
+    // OCC rewrite: drop the small files (rewritten) and ALL old DV
+    // sidecars (materialized into the rewrite / re-filtered to the
+    // kept files); the kept data files must still be pinned at
+    // commit time (their DV carry-over was filtered against them).
+    // Kept lines are carried from the CURRENT base inside the loop —
+    // concurrent appends land untouched, a concurrent rewrite of any
+    // file this compaction derived from aborts with
+    // ConcurrentModificationException.
+    commitRewrite(s, root,
+      required = keep.map(k => lineKey(k._1)).toSet,
+      removed = small.map(k => lineKey(k._1)).toSet ++
+        dvs.map(p => s"$DvMarker\t$p"),
+      added = newFiles.sorted ++ dvCarry, maxRetries = 10)
+    // (kept lines are full manifest LINES - stats suffixes ride along)
   }
 
   /** S20 — compaction end-to-end: commit orders in a deliberately
@@ -679,7 +852,13 @@ object SnapshotStore {
     * [[readEvolved]] for how mixed-schema snapshots read back. */
   def appendCommit(df: DataFrame, root: String): Long = {
     val (s, files) = writeSnapshotData(df, root)
-    commitManifest(s, root, manifestLines(s, root, None) ++ files, 10)
+    // rebase, don't pin: the base lines are resolved INSIDE the
+    // commit loop, so an append that loses the id race to another
+    // appender retries on top of the winner's manifest instead of
+    // silently dropping it (appends are conflict-free by
+    // construction — new immutable files, nothing removed)
+    require(snapshots(s, root).nonEmpty, s"no committed snapshot at $root")
+    commitRebase(s, root, base => base ++ files, 10)
   }
 
   // ---- branches (Iceberg-style named refs) ----------------------
@@ -720,7 +899,7 @@ object SnapshotStore {
     try out.write(s"$fromId\n".getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    if (f.exists(refPath(root, name)) || !f.rename(tmp, refPath(root, name))) {
+    if (!renameIfAbsent(f, tmp, refPath(root, name))) {
       f.delete(tmp, false)
       throw new IllegalStateException(s"branch $name already exists")
     }
@@ -823,6 +1002,106 @@ object SnapshotStore {
           sum(col("o_orderkey")).cast("bigint").as("sum_keys"))
         .select(lit(b).as("branch"), col("n_rows"), col("sum_keys"))
     }.reduce(_ unionByName _)
+  }
+
+  /** S27 — CONCURRENT APPENDERS end-to-end: commit a base snapshot,
+    * then land 6 disjoint planted slices through [[appendCommit]]
+    * from 6 RACING driver threads (each thread writes its own data
+    * files, then fights the same rename-if-absent commit race). The
+    * OCC rebase loop is what makes this correct: every loser re-reads
+    * the winner's manifest and retries on top of it, so all 6 slices
+    * — and the base — must be present in the final read regardless of
+    * interleaving. A pinned-lines commit loop drops appends under
+    * this exact race (the lost-update anomaly); the closed-form
+    * oracle (total count + exact key-sum of base ∪ all slices) fails
+    * loudly if even one row went missing. This is the multi-writer
+    * story a 100-TB lakehouse table needs: concurrent ingest jobs
+    * appending to one table with no coordinator beyond the atomic
+    * rename. */
+  def s27ConcurrentAppends(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.orders(s, dir).select("o_orderkey")
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val root = new Path(
+      sys.props("java.io.tmpdir"),
+      s"graft_s27${tag}_${s.sparkContext.applicationId}/t").toString
+    Scratch.fresh(s, new Path(root).getParent)
+    commit(base, root)
+    val nWriters = 6
+    // slice w = keys ≡ w (mod 6), offset-shifted so appended keys can
+    // never collide with base keys at any SF; a writer failure must
+    // surface as an error, not as a silently missing slice
+    val errs =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until nWriters).map { w =>
+      new Thread(() => {
+        try {
+          val slice = base.filter(col("o_orderkey") % nWriters === w)
+            .select((col("o_orderkey") + ConcurrentPlantOffset +
+              lit(w.toLong) * SliceSpread).as("o_orderkey"))
+          appendCommit(slice, root)
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    if (!errs.isEmpty) throw new IllegalStateException(
+      s"s27 appender failed", errs.peek())
+    read(s, root).agg(count(lit(1)).as("n_rows"),
+      sum(col("o_orderkey")).cast("bigint").as("sum_keys"))
+  }
+
+  /** Plant offsets for the s27 concurrency fixture (distinct from
+    * every other fixture's offsets; SliceSpread keeps the 6 writers'
+    * key ranges disjoint from each other too). */
+  private[sources] val ConcurrentPlantOffset = 1L << 44
+  private[sources] val SliceSpread = 1L << 38
+
+  /** S29 — WRITE-AUDIT-PUBLISH end-to-end: the composition the s26
+    * branches + s16 expectations surfaces exist FOR (the Iceberg WAP
+    * idiom). Each ingest cycle stages its batch on a fork of `main`,
+    * audits the staged table with the declarative expectation set,
+    * and publishes by metadata-only fast-forward ONLY when zero rows
+    * quarantine — a failed audit leaves `main` untouched and the
+    * staging branch dangling for triage. Fixture: base = the
+    * (naturally constraint-clean) `l_orderkey % 3 = 0` lineitem
+    * slice; cycle 1 stages the clean `% 3 = 1` slice → publishes;
+    * cycle 2 stages the `% 3 = 2` slice with every quantity negated →
+    * the audit fires and the publish is withheld. The closed-form
+    * oracle (count, key-sum, integral quantity-sum of the %3∈{0,1}
+    * rows) breaks if the dirty batch leaks into main OR the clean one
+    * is lost. At 100 TB: the audit is one scan of the staged branch,
+    * the publish moves ~20 bytes. */
+  def s29Wap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Expectations
+    val li = graft.Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_quantity", "l_discount", "l_returnflag")
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val root = new Path(
+      sys.props("java.io.tmpdir"),
+      s"graft_s29${tag}_${s.sparkContext.applicationId}/t").toString
+    Scratch.fresh(s, new Path(root).getParent)
+    val v0 = commit(li.filter(col("l_orderkey") % 3 === 0), root)
+    createBranch(s, root, "main", v0)
+    def wapCycle(stage: String, batch: DataFrame): Boolean = {
+      createBranch(s, root, stage,
+        branchHead(s, root, "main").get)
+      appendToBranch(batch, root, stage)
+      val quarantined = Expectations.summarize(
+        readBranch(s, root, stage), Expectations.lineitemExpectations)
+        .select("n_quarantined").head().getLong(0)
+      val pass = quarantined == 0L
+      if (pass) fastForward(s, root, "main", stage)
+      pass
+    }
+    wapCycle("stage-clean", li.filter(col("l_orderkey") % 3 === 1))
+    wapCycle("stage-dirty", li.filter(col("l_orderkey") % 3 === 2)
+      .withColumn("l_quantity", -col("l_quantity")))
+    readBranch(s, root, "main").agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("l_orderkey")).cast("bigint").as("sum_keys"),
+      sum(col("l_quantity").cast("bigint")).cast("bigint").as("sum_qty"))
   }
 
   /** Schema-evolving read: like [[readSnapshot]] but unions the pinned
@@ -1030,9 +1309,41 @@ object SnapshotStore {
     "s21_delete_vectors" -> s21DeleteVectors,
     "s22_schema_evolution" -> s22SchemaEvolution,
     "s23_restore" -> s23Restore,
-    "s26_branches" -> s26Branches)
+    "s26_branches" -> s26Branches,
+    "s27_concurrent_appends" -> s27ConcurrentAppends,
+    "s28_stats_only" -> s28StatsOnly,
+    "s29_wap" -> s29Wap)
 
   val oracle: Map[String, String] = Map(
+    // main after both WAP cycles = base + the clean batch only: the
+    // dirty batch (negated quantities) failed its audit and was never
+    // published (quantities are integral-valued, so the bigint cast
+    // makes the sum exact cross-engine)
+    "s29_wap" ->
+      """SELECT cast(count(*) AS bigint) AS n_rows,
+           cast(sum(l_orderkey) AS bigint) AS sum_keys,
+           cast(sum(cast(l_quantity AS bigint)) AS bigint) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey % 3 = 0 OR l_orderkey % 3 = 1""",
+    // the stats-only answer must equal the scan answer exactly
+    "s28_stats_only" ->
+      """SELECT cast(count(*) AS bigint) AS n_rows,
+           min(o_orderkey) AS min_key,
+           max(o_orderkey) AS max_key
+         FROM orders""",
+    // closed form: base ∪ all 6 racing appenders' slices — every
+    // key of orders appears once as itself and once shifted by
+    // (ConcurrentPlantOffset + (key mod 6)·SliceSpread); a single
+    // lost update breaks both the count and the exact bigint sum
+    "s27_concurrent_appends" ->
+      s"""WITH b AS (SELECT o_orderkey FROM orders),
+         planted AS (
+           SELECT o_orderkey FROM b
+           UNION ALL
+           SELECT o_orderkey + ${ConcurrentPlantOffset}
+             + (o_orderkey % 6) * ${SliceSpread} FROM b)
+         SELECT cast(count(*) AS bigint) AS n_rows,
+           cast(sum(o_orderkey) AS bigint) AS sum_keys FROM planted""",
     // closed form: each branch = base + its own plant; release == exp
     "s26_branches" ->
       s"""WITH b AS (SELECT o_orderkey FROM orders),

@@ -518,4 +518,124 @@ class SnapshotStoreSpec extends SparkTestBase {
       minAgeMs = 0) == 0)
     assert(SnapshotStore.read(spark, root).count() == 400)
   }
+
+  test("OCC: racing appenders never lose an update") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.commit(Seq(0L).toDF("id"), root)
+    // 8 threads race the same rename-if-absent commit; the rebase
+    // loop must fold every loser's files onto the winner's manifest
+    val n = 8
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    // a start latch releases every appender at once: each thread
+    // pre-writes its data files, then all hit the publish race in
+    // the same instant — the widest window for the local-rename
+    // overwrite bug renameIfAbsent closes (rename(2) replaces an
+    // existing destination; link(2) fails with EEXIST)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val threads = (1 to n).map { w =>
+      new Thread(() => {
+        try {
+          gate.await()
+          SnapshotStore.appendCommit(Seq(w.toLong).toDF("id"), root)
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); gate.countDown()
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"appender failed: ${errs.peek()}")
+    assert(SnapshotStore.read(spark, root)
+      .as[Long].collect().sorted.toSeq == (0L to n.toLong))
+    // one snapshot per append: ids 0..n all committed
+    assert(SnapshotStore.snapshots(spark, root) == (0L to n.toLong))
+  }
+
+  test("OCC: a rewrite whose inputs were concurrently removed aborts") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.commit(
+      spark.range(0, 400L).select(col("id")).repartition(4), root)
+    val v0Files = SnapshotStore.manifestFiles(spark, root)
+    // a concurrent OPTIMIZE rewrites every v0 file...
+    SnapshotStore.compact(spark, root, targetBytes = 1L << 20)
+    assert(SnapshotStore.manifestFiles(spark, root)
+      .toSet.intersect(v0Files.toSet).isEmpty)
+    // ...so a rewrite derived from a v0 file must refuse to commit
+    // (its outputs reference data that no longer exists)
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotStore.commitRewrite(spark, root,
+        required = Set.empty, removed = Set(v0Files.head),
+        added = Seq.empty, maxRetries = 10)
+    }
+    // and one pinning still-live inputs (required) + a pure append
+    // payload sails through, carrying the compacted base
+    val live = SnapshotStore.manifestFiles(spark, root)
+    SnapshotStore.commitRewrite(spark, root,
+      required = live.toSet, removed = Set.empty,
+      added = Seq.empty, maxRetries = 10)
+    assert(SnapshotStore.read(spark, root).count() == 400)
+  }
+
+  test("statsQuery answers from metadata alone — even with the data gone") {
+    val root = freshRoot()
+    val df = spark.range(1, 1001L)
+      .select(col("id"), (col("id") * 3).as("v"))
+    SnapshotStore.commitWithStats(
+      df.repartitionByRange(4, col("id")), root, "id")
+    def answer() = {
+      val r = SnapshotStore.statsQuery(spark, root, "id").head()
+      (r.getLong(0), r.getString(1).toLong, r.getString(2).toLong)
+    }
+    assert(answer() == ((1000L, 1L, 1000L)))
+    // the proof no scan happens: physically delete every data file;
+    // the manifest-only answer must not notice
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    SnapshotStore.manifestFiles(spark, root).foreach { p =>
+      assert(fs.delete(new org.apache.hadoop.fs.Path(p), false))
+    }
+    assert(answer() == ((1000L, 1L, 1000L)))
+    // numeric fold, not lexical: min must be 1, not "1000" < "99"
+    assert(answer()._2 == 1L && answer()._3 == 1000L)
+  }
+
+  test("statsQuery refuses DV snapshots and plain manifests") {
+    val root = freshRoot()
+    SnapshotStore.commitWithStats(
+      spark.range(0, 100L).select(col("id")), root, "id")
+    SnapshotStore.deleteWhere(spark, root, col("id") < 10)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.statsQuery(spark, root, "id")
+    }
+    val plain = freshRoot()
+    SnapshotStore.commit(spark.range(0, 10L).select(col("id")), plain)
+    intercept[IllegalStateException] {
+      SnapshotStore.statsQuery(spark, plain, "id")
+    }
+  }
+
+  test("WAP: a failed audit leaves main untouched and the stage for triage") {
+    import spark.implicits._
+    import graft.ops.Expectations
+    val root = freshRoot()
+    val clean = Seq((1L, 5.0, 0.05, "N"), (2L, 10.0, 0.0, "R"))
+      .toDF("l_orderkey", "l_quantity", "l_discount", "l_returnflag")
+    val v0 = SnapshotStore.commit(clean, root)
+    SnapshotStore.createBranch(spark, root, "main", v0)
+    // stage a dirty batch (violates quantity_range), audit, withhold
+    SnapshotStore.createBranch(spark, root, "stage", v0)
+    SnapshotStore.appendToBranch(
+      Seq((3L, -4.0, 0.02, "A"))
+        .toDF("l_orderkey", "l_quantity", "l_discount", "l_returnflag"),
+      root, "stage")
+    val audit = Expectations.summarize(
+      SnapshotStore.readBranch(spark, root, "stage"),
+      Expectations.lineitemExpectations)
+    assert(audit.select("n_quarantined").head().getLong(0) == 1L)
+    // publish withheld → main still reads exactly the base
+    assert(SnapshotStore.readBranch(spark, root, "main")
+      .select("l_orderkey").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // the stage stays addressable for triage, violation row included
+    assert(SnapshotStore.readBranch(spark, root, "stage").count() == 3)
+  }
 }
