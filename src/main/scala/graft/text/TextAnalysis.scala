@@ -55,6 +55,16 @@ object TextAnalysis {
         .cast("bigint").as("n_word_tokens"))
   }
 
+  /** The x2 composite quality score (r4-rounded, in [0, 1]) — shared
+    * by x2's per-doc report and x43's budget selection so the two
+    * rank documents identically. */
+  private def qualityScore: org.apache.spark.sql.Column = {
+    val n = nTokens.cast("double")
+    val stopRatio = stopCount(stopEn).cast("double") / n
+    Det.r4(least(n / 200.0, lit(1.0)) * 0.5
+      + least(stopRatio * 4.0, lit(1.0)) * 0.5)
+  }
+
   /** X2 — quality scoring: length, token stats, stopword ratio, and a
     * composite quality score. Single-space-joined text means total
     * token chars = length - (n-1). */
@@ -69,8 +79,7 @@ object TextAnalysis {
       n.cast("bigint").as("n_tokens"),
       Det.r4(avgTokLen).as("avg_token_len"),
       Det.r4(stopRatio).as("stopword_ratio"),
-      Det.r4(least(n / 200.0, lit(1.0)) * 0.5
-        + least(stopRatio * 4.0, lit(1.0)) * 0.5).as("quality_score"))
+      qualityScore.as("quality_score"))
   }
 
   /** X3 — language ID via stopword-profile scoring (n-gram-free
@@ -955,7 +964,69 @@ object TextAnalysis {
       .toDF("metric", "value")
   }
 
+  /** X43 — curation under a token BUDGET: keep the highest-quality
+    * documents whose cumulative token mass fits floor(total/2),
+    * quality ties broken by doc_id — the "filter-to-budget" step of a
+    * training run that targets a fixed token count rather than a
+    * fixed quality threshold.
+    *
+    * The textbook plan is a global sort by quality plus a running-sum
+    * window — an all-data range shuffle whose running chain serializes
+    * on one task. This one exploits that [[qualityScore]] is r4-
+    * rounded, so it has ≤ 10,001 distinct values:
+    *  1. fold the corpus into a per-quality-bucket token-mass
+    *     histogram — ONE map-side-combined agg over int keys;
+    *  2. resolve the threshold bucket and the leftover budget on the
+    *     driver (a fold over ≤ 10k rows);
+    *  3. keep buckets strictly above the threshold with a pure
+    *     scan-level filter (zero shuffle), and window-rank ONLY the
+    *     boundary bucket (~1/10k of the corpus) to spend the leftover
+    *     budget in doc_id order — the one single-partition window
+    *     runs over that sliver, never the corpus.
+    * The two branches each rescan `documents` (the bucket is a
+    * computed column, so nothing prunes) — at 100 TB two parquet
+    * scans still beat range-shuffling the full corpus into a sort.
+    * A continuous score would use the same shape with
+    * width_bucket-style quantization at ε budget error; the exact
+    * variant here is possible because the score itself is already
+    * quantized. */
+  def x43BudgetCuration(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, dir).select(
+      col("doc_id"),
+      nTokens.cast("bigint").as("n_tokens"),
+      qualityScore.as("quality_score"))
+      // r4 values are exact multiples of 1e-4 up to one ulp, so
+      // round(q·10⁴) recovers the integer bucket exactly and bucket
+      // order == quality order
+      .withColumn("bucket",
+        round(col("quality_score") * 10000).cast("int"))
+    val hist = scored.groupBy("bucket")
+      .agg(sum("n_tokens").as("mass")).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(-_._1)
+    val budget = hist.map(_._2).sum / 2
+    // descending fold: buckets above `boundary` fit whole; `boundary`
+    // itself is the first that would overflow and gets the leftover
+    var above = 0L
+    var boundary = Int.MinValue
+    for ((b, m) <- hist if boundary == Int.MinValue)
+      if (above + m <= budget) above += m else boundary = b
+    val kept =
+      if (boundary == Int.MinValue) scored // budget covers everything
+      else {
+        val edge = scored.filter(col("bucket") === boundary)
+          .withColumn("run",
+            sum("n_tokens").over(Window.orderBy(col("doc_id"))))
+          .filter(col("run") <= budget - above).drop("run")
+        scored.filter(col("bucket") > boundary).unionByName(edge)
+      }
+    kept.drop("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x43_budget_curation" -> x43BudgetCuration,
     "x42_dataset_card" -> x42DatasetCard,
     "x41_novelty_score" -> x41NoveltyScore,
     "x40_ppl_buckets" -> x40PplBuckets,
@@ -984,6 +1055,28 @@ object TextAnalysis {
     "x11_bm25" -> x11Bm25)
 
   val oracle: Map[String, String] = Map(
+    // the oracle uses the textbook plan (global quality sort +
+    // running-sum window) — the histogram-threshold engine plan must
+    // reproduce its kept set exactly, boundary tie-breaks included
+    "x43_budget_curation" -> {
+      val n = "cast(len(string_split(text, ' ')) AS double)"
+      val stopRatio = s"(cast(len(list_filter(string_split(text, ' '), " +
+        s"t -> t IN ${inList(stopEn)})) AS double) / $n)"
+      val q = Det.sql(s"least($n / 200.0, 1.0) * 0.5 " +
+        s"+ least($stopRatio * 4.0, 1.0) * 0.5", 4)
+      s"""WITH scored AS (
+           SELECT doc_id, cast($n AS bigint) AS n_tokens,
+             $q AS quality_score
+           FROM documents),
+         ranked AS (
+           SELECT doc_id, n_tokens, quality_score,
+             sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id)
+               AS run
+           FROM scored),
+         tot AS (SELECT sum(n_tokens) // 2 AS budget FROM scored)
+         SELECT doc_id, n_tokens, quality_score
+         FROM ranked, tot WHERE run <= budget"""
+    },
     "x42_dataset_card" ->
       s"""WITH d AS (
            SELECT len(string_split(text, ' ')) AS n_tok, n_chars,

@@ -199,4 +199,35 @@ class ChunkingSpec extends SparkTestBase {
     assert(r.count() == 3)
     r.unpersist()
   }
+
+  test("x43: kept set is budget-maximal in quality order") {
+    import graft.text.TextAnalysis
+    val kept = TextAnalysis.x43BudgetCuration(spark, sfSmoke).cache()
+    val scored = TextAnalysis.x2TextQuality(spark, sfSmoke)
+      .select("doc_id", "n_tokens", "quality_score")
+    val budget = scored.agg(sum("n_tokens")).head().getLong(0) / 2
+    val keptMass = kept.agg(sum("n_tokens")).head().getLong(0)
+    assert(keptMass <= budget, "kept token mass fits the budget")
+    // greedy-maximality: the next doc in (quality desc, doc_id) order
+    // among the dropped would overflow — the selection stopped exactly
+    // where the budget ran out, not earlier
+    val next = scored
+      .join(kept.select("doc_id"), Seq("doc_id"), "left_anti")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+      .select("n_tokens").head().getLong(0)
+    assert(keptMass + next > budget, "no further doc fits the budget")
+    kept.unpersist()
+  }
+
+  test("x43 plan: at most the boundary-sliver exchange — no corpus sort") {
+    import graft.text.TextAnalysis
+    val s = physicalString(TextAnalysis.x43BudgetCuration(spark, sfSmoke))
+    // the keep branch is a pure scan-level filter; only the boundary
+    // bucket (~1/10k of the corpus) may cross a SinglePartition
+    // exchange for its running-sum window
+    assert("Exchange".r.findAllIn(s).size <= 1,
+      s"expected at most the boundary-bucket exchange:\n$s")
+    assert(!s.contains("rangepartitioning"),
+      s"expected no global sort of the corpus:\n$s")
+  }
 }
