@@ -1028,17 +1028,21 @@ object SnapshotStore {
     Scratch.fresh(s, new Path(root).getParent)
     commit(base, root)
     val nWriters = 6
-    // slice w = keys ≡ w (mod 6), offset-shifted so appended keys can
-    // never collide with base keys at any SF; a writer failure must
-    // surface as an error, not as a silently missing slice
+    // slice w = keys ≡ w (mod 6), shifted by stride·(w+1) where
+    // stride = max(key)+1 — scale-RELATIVE, so slices stay disjoint
+    // from the base and each other at any SF while the key-sum stays
+    // ≤ ~7·stride·n (a fixed 2^44-style offset overflowed the bigint
+    // sum at sf1.0: 1.5M rows × 2^44 > Long.MaxValue); a writer
+    // failure must surface as an error, not a silently missing slice
+    val strideV = base.agg(max("o_orderkey")).head().getLong(0) + 1L
     val errs =
       new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
     val threads = (0 until nWriters).map { w =>
       new Thread(() => {
         try {
           val slice = base.filter(col("o_orderkey") % nWriters === w)
-            .select((col("o_orderkey") + ConcurrentPlantOffset +
-              lit(w.toLong) * SliceSpread).as("o_orderkey"))
+            .select((col("o_orderkey") +
+              lit(strideV) * (w + 1L)).as("o_orderkey"))
           appendCommit(slice, root)
         } catch { case t: Throwable => errs.add(t) }
       })
@@ -1050,12 +1054,6 @@ object SnapshotStore {
     read(s, root).agg(count(lit(1)).as("n_rows"),
       sum(col("o_orderkey")).cast("bigint").as("sum_keys"))
   }
-
-  /** Plant offsets for the s27 concurrency fixture (distinct from
-    * every other fixture's offsets; SliceSpread keeps the 6 writers'
-    * key ranges disjoint from each other too). */
-  private[sources] val ConcurrentPlantOffset = 1L << 44
-  private[sources] val SliceSpread = 1L << 38
 
   /** S29 — WRITE-AUDIT-PUBLISH end-to-end: the composition the s26
     * branches + s16 expectations surfaces exist FOR (the Iceberg WAP
@@ -1333,15 +1331,17 @@ object SnapshotStore {
          FROM orders""",
     // closed form: base ∪ all 6 racing appenders' slices — every
     // key of orders appears once as itself and once shifted by
-    // (ConcurrentPlantOffset + (key mod 6)·SliceSpread); a single
-    // lost update breaks both the count and the exact bigint sum
+    // stride·((key mod 6)+1), stride = max(key)+1 (scale-relative,
+    // so the bigint key-sum never overflows at higher SFs); a single
+    // lost update breaks both the count and the exact sum
     "s27_concurrent_appends" ->
       s"""WITH b AS (SELECT o_orderkey FROM orders),
+         st AS (SELECT max(o_orderkey) + 1 AS stride FROM b),
          planted AS (
            SELECT o_orderkey FROM b
            UNION ALL
-           SELECT o_orderkey + ${ConcurrentPlantOffset}
-             + (o_orderkey % 6) * ${SliceSpread} FROM b)
+           SELECT o_orderkey + stride * ((o_orderkey % 6) + 1)
+           FROM b, st)
          SELECT cast(count(*) AS bigint) AS n_rows,
            cast(sum(o_orderkey) AS bigint) AS sum_keys FROM planted""",
     // closed form: each branch = base + its own plant; release == exp
