@@ -1055,6 +1055,62 @@ object SnapshotStore {
       sum(col("o_orderkey")).cast("bigint").as("sum_keys"))
   }
 
+  /** Broadcast the build side when its MANIFEST row count is under
+    * this many rows (a stand-in for a bytes budget; the point is the
+    * decision input, not the dial's value). */
+  private[sources] val BroadcastRowThreshold = 100000L
+
+  /** S31 — stats-driven join strategy: the physical-plan decision
+    * CBO machinery exists FOR, fed from snapshot-store metadata. Both
+    * sides live in snapshot tables whose manifests carry row counts
+    * (s28's 5-field stats form); the join picks broadcast-vs-shuffle
+    * from [[statsQuery]]'s EXACT metadata count — no data file is
+    * opened to decide, no file-size heuristic. That matters at scale
+    * because Spark's default sizeInBytes estimate (compressed file
+    * bytes × factor) is what autoBroadcastJoinThreshold sees, and it
+    * wildly misjudges post-filter cardinality and wide-row tables;
+    * exact manifest counts are the Delta/Iceberg answer
+    * (StatsPlanningSpec shows the same via ANALYZE + CBO for catalog
+    * tables). Below [[BroadcastRowThreshold]] rows the small side is
+    * planned as a broadcast build (no shuffle of the big side — the
+    * 100-TB fact never moves); above it the hint is withheld and the
+    * planner keeps its shuffle join. The RESULT is decision-invariant
+    * — the oracle pins it; SnapshotStoreSpec pins the plan shape
+    * both ways. */
+  def s31StatsJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val base = new Path(
+      sys.props("java.io.tmpdir"),
+      s"graft_s31${tag}_${s.sparkContext.applicationId}").toString
+    Scratch.fresh(s, new Path(base))
+    val custRoot = s"$base/customer"
+    val ordRoot = s"$base/orders"
+    commitWithStats(graft.Tables.customer(s, dir)
+      .select("c_custkey", "c_mktsegment"), custRoot, "c_custkey")
+    commitWithStats(graft.Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey"), ordRoot, "o_custkey")
+    statsDrivenJoin(s, custRoot, ordRoot)
+  }
+
+  /** The s31 join body over two already-committed stats-bearing
+    * tables — split out so the spec can pin the plan on its own
+    * fixtures. Decides from metadata, then joins the DATA. */
+  private[sources] def statsDrivenJoin(s: SparkSession,
+      custRoot: String, ordRoot: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val custRows = statsQuery(s, custRoot, "c_custkey")
+      .head().getLong(0)
+    val cust = read(s, custRoot)
+    val build = if (custRows < BroadcastRowThreshold) broadcast(cust)
+                else cust
+    read(s, ordRoot)
+      .join(build, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).cast("bigint").as("sum_keys"))
+  }
+
   /** S29 — WRITE-AUDIT-PUBLISH end-to-end: the composition the s26
     * branches + s16 expectations surfaces exist FOR (the Iceberg WAP
     * idiom). Each ingest cycle stages its batch on a fork of `main`,
@@ -1310,9 +1366,18 @@ object SnapshotStore {
     "s26_branches" -> s26Branches,
     "s27_concurrent_appends" -> s27ConcurrentAppends,
     "s28_stats_only" -> s28StatsOnly,
-    "s29_wap" -> s29Wap)
+    "s29_wap" -> s29Wap,
+    "s31_stats_join" -> s31StatsJoin)
 
   val oracle: Map[String, String] = Map(
+    // the join result is invariant to the broadcast decision the
+    // metadata made — correctness and strategy are orthogonal
+    "s31_stats_join" ->
+      """SELECT c_mktsegment,
+           cast(count(*) AS bigint) AS n_orders,
+           cast(sum(o_orderkey) AS bigint) AS sum_keys
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
     // main after both WAP cycles = base + the clean batch only: the
     // dirty batch (negated quantities) failed its audit and was never
     // published (quantities are integral-valued, so the bigint cast

@@ -638,4 +638,48 @@ class SnapshotStoreSpec extends SparkTestBase {
     // the stage stays addressable for triage, violation row included
     assert(SnapshotStore.readBranch(spark, root, "stage").count() == 3)
   }
+
+  test("s31: manifest row count drives the broadcast decision both ways") {
+    import spark.implicits._
+    val base = freshRoot()
+    val custRoot = s"$base/customer"
+    val ordRoot = s"$base/orders"
+    // small side: well under the threshold → broadcast build
+    SnapshotStore.commitWithStats(
+      spark.range(0, 200L).select(col("id").as("c_custkey"),
+        concat(lit("SEG"), col("id") % 3).as("c_mktsegment")),
+      custRoot, "c_custkey")
+    SnapshotStore.commitWithStats(
+      spark.range(0, 2000L).select(col("id").as("o_orderkey"),
+        (col("id") % 200).as("o_custkey")),
+      ordRoot, "o_custkey")
+    val small = SnapshotStore.statsDrivenJoin(spark, custRoot, ordRoot)
+    val planSmall = small.queryExecution.executedPlan.toString
+    assert(planSmall.contains("BroadcastHashJoin"),
+      s"expected a broadcast build under the row threshold:\n$planSmall")
+    assert(small.agg(sum("n_orders")).head().getLong(0) == 2000L)
+
+    // grow the small side's METADATA past the threshold (same join
+    // keys — pad with never-matching negative keys so the result is
+    // unchanged): the hint must be withheld and the planner keep a
+    // shuffle join. autoBroadcastJoinThreshold is disabled so the
+    // decision under test is the manifest one, not a size estimate.
+    SnapshotStore.commitWithStats(
+      spark.range(0, 200L).select(col("id").as("c_custkey"),
+        concat(lit("SEG"), col("id") % 3).as("c_mktsegment"))
+        .unionByName(spark.range(0,
+          SnapshotStore.BroadcastRowThreshold).select(
+          (-col("id") - 1).as("c_custkey"),
+          lit("PAD").as("c_mktsegment"))),
+      custRoot, "c_custkey")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = SnapshotStore.statsDrivenJoin(spark, custRoot, ordRoot)
+      val planBig = big.queryExecution.executedPlan.toString
+      assert(!planBig.contains("BroadcastHashJoin"),
+        s"expected the broadcast hint withheld over the threshold:\n$planBig")
+      assert(big.agg(sum("n_orders")).head().getLong(0) == 2000L)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
