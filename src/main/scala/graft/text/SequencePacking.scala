@@ -132,45 +132,94 @@ object SequencePacking {
     packSequencesGrouped(docs, maxTokens = 512, numGroups = 8)
   }
 
+  /** X44 — packed-sequence BOUNDARY MAP: for each (sequence,
+    * document) the segment index and token span [tok_begin, tok_end)
+    * the document occupies inside its packed sequence — exactly what
+    * a trainer consumes to build the block-diagonal attention mask
+    * and per-segment position-id resets for packed batches (without
+    * it, packed documents attend across boundaries — the
+    * cross-contamination packing papers warn about). Derived on top
+    * of x8's bin assignment: segments order by doc_id within a
+    * sequence, spans are the running token sum. The window partitions
+    * by seq_id — a sequence holds at most maxTokens/min_doc_tokens
+    * documents, so this is a bounded per-key sort after one hash
+    * exchange, never a global sort. */
+  def x44PackingBoundaries(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("seq_id").orderBy("doc_id")
+    x8SequencePacking(s, dir).select(
+      col("doc_id"), col("seq_id"),
+      (row_number().over(w) - 1).cast("long").as("seg_idx"),
+      coalesce(sum(col("n_tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+        .as("tok_begin"),
+      sum(col("n_tokens")).over(w).as("tok_end"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x8_sequence_packing" -> x8SequencePacking)
+    "x8_sequence_packing" -> x8SequencePacking,
+    "x44_packing_boundaries" -> x44PackingBoundaries)
 
   /** Next-fit replayed row-by-row per group: state = (fill, curbin,
     * nextbin), advanced over rows ordered by doc_id within
     * doc_id%8 groups — identical transition rules to the Scala
     * packer above, so the hash gate checks the real recurrence. */
+  /** The shared next-fit replay CTE (see the note above x8's oracle
+    * entry) — x44 layers boundary windows over the same recurrence. */
+  private val packCte =
+    """WITH RECURSIVE base AS (
+         SELECT doc_id % 8 AS grp, doc_id,
+                cast(len(string_split(text, ' ')) AS bigint) AS t,
+                row_number() OVER (PARTITION BY doc_id % 8
+                                   ORDER BY doc_id) AS rn
+         FROM documents),
+       pack(grp, rn, doc_id, t, bin, fill, curbin, nextbin) AS (
+         SELECT grp, rn, doc_id, t,
+                CASE WHEN t > 512 THEN 1 ELSE 0 END,
+                CASE WHEN t > 512 THEN 0 ELSE t END,
+                0,
+                CASE WHEN t > 512 THEN 2 ELSE 1 END
+         FROM base WHERE rn = 1
+         UNION ALL
+         SELECT b.grp, b.rn, b.doc_id, b.t,
+                CASE WHEN b.t > 512 THEN p.nextbin
+                     WHEN p.fill + b.t > 512 THEN p.nextbin
+                     ELSE p.curbin END,
+                CASE WHEN b.t > 512 THEN p.fill
+                     WHEN p.fill + b.t > 512 THEN b.t
+                     ELSE p.fill + b.t END,
+                CASE WHEN b.t > 512 THEN p.curbin
+                     WHEN p.fill + b.t > 512 THEN p.nextbin
+                     ELSE p.curbin END,
+                CASE WHEN b.t > 512 THEN p.nextbin + 1
+                     WHEN p.fill + b.t > 512 THEN p.nextbin + 1
+                     ELSE p.nextbin END
+         FROM pack p JOIN base b ON b.grp = p.grp AND b.rn = p.rn + 1)"""
+
   val oracle: Map[String, String] = Map(
     "x8_sequence_packing" ->
-      """WITH RECURSIVE base AS (
-           SELECT doc_id % 8 AS grp, doc_id,
-                  cast(len(string_split(text, ' ')) AS bigint) AS t,
-                  row_number() OVER (PARTITION BY doc_id % 8
-                                     ORDER BY doc_id) AS rn
-           FROM documents),
-         pack(grp, rn, doc_id, t, bin, fill, curbin, nextbin) AS (
-           SELECT grp, rn, doc_id, t,
-                  CASE WHEN t > 512 THEN 1 ELSE 0 END,
-                  CASE WHEN t > 512 THEN 0 ELSE t END,
-                  0,
-                  CASE WHEN t > 512 THEN 2 ELSE 1 END
-           FROM base WHERE rn = 1
-           UNION ALL
-           SELECT b.grp, b.rn, b.doc_id, b.t,
-                  CASE WHEN b.t > 512 THEN p.nextbin
-                       WHEN p.fill + b.t > 512 THEN p.nextbin
-                       ELSE p.curbin END,
-                  CASE WHEN b.t > 512 THEN p.fill
-                       WHEN p.fill + b.t > 512 THEN b.t
-                       ELSE p.fill + b.t END,
-                  CASE WHEN b.t > 512 THEN p.curbin
-                       WHEN p.fill + b.t > 512 THEN p.nextbin
-                       ELSE p.curbin END,
-                  CASE WHEN b.t > 512 THEN p.nextbin + 1
-                       WHEN p.fill + b.t > 512 THEN p.nextbin + 1
-                       ELSE p.nextbin END
-           FROM pack p JOIN base b ON b.grp = p.grp AND b.rn = p.rn + 1)
+      s"""$packCte
          SELECT doc_id, t AS n_tokens,
                 cast(grp * 4294967296 + bin AS bigint) AS seq_id,
                 t > 512 AS oversize
-         FROM pack""")
+         FROM pack""",
+    "x44_packing_boundaries" ->
+      s"""$packCte,
+         packed AS (
+           SELECT doc_id, t,
+                  cast(grp * 4294967296 + bin AS bigint) AS seq_id
+           FROM pack)
+         SELECT doc_id, seq_id,
+           cast(row_number() OVER
+             (PARTITION BY seq_id ORDER BY doc_id) - 1 AS bigint)
+             AS seg_idx,
+           cast(coalesce(sum(t) OVER
+             (PARTITION BY seq_id ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS bigint) AS tok_begin,
+           cast(sum(t) OVER
+             (PARTITION BY seq_id ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS bigint) AS tok_end
+         FROM packed""")
 }

@@ -91,4 +91,24 @@ class PackingSpec extends SparkTestBase {
     assert(parts.filter(col("k") > 1).count() == 0)
     assert(packed.count() == 400)
   }
+
+  test("x44: boundary spans tile every sequence gaplessly") {
+    val b = SequencePacking
+      .x44PackingBoundaries(spark, sfSmoke).cache()
+    // one row per packed doc, same doc set as x8
+    assert(b.count() ==
+      SequencePacking.x8SequencePacking(spark, sfSmoke).count())
+    // segment 0 starts at token 0; every later segment starts where
+    // its predecessor ended (block-diagonal mask tiles with no gap
+    // or overlap); non-oversize sequences fit the 512 budget
+    assert(b.filter(col("seg_idx") === 0 && col("tok_begin") =!= 0)
+      .count() == 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seq_id").orderBy("doc_id")
+    assert(b.withColumn("prev_end", lag("tok_end", 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        col("prev_end") =!= col("tok_begin")).count() == 0)
+    assert(b.filter(col("tok_end") <= col("tok_begin")).count() == 0)
+    b.unpersist()
+  }
 }
