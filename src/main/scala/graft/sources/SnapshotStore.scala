@@ -77,6 +77,56 @@ object SnapshotStore {
       .sorted
   }
 
+  private def latestHintPath(root: String) = new Path(root, "latest.hint")
+
+  private def readHint(f: FileSystem, root: String): Long =
+    try {
+      val in = f.open(latestHintPath(root))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      txt.toLong
+    } catch { case _: Exception => -1L }
+
+  /** Best-effort advisory write of the latest-id hint (see
+    * [[latestId]]); failures and races only cost later probes, so
+    * every error is swallowed. Monotonic read-check first so a slow
+    * writer doesn't regress the hint under contention. */
+  private def writeHint(f: FileSystem, root: String, id: Long): Unit =
+    try {
+      if (readHint(f, root) < id) {
+        val tmp = new Path(root, s".hint-tmp-${UUID.randomUUID()}")
+        val out = f.create(tmp, true)
+        try out.write(s"$id\n".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        f.delete(latestHintPath(root), false)
+        f.rename(tmp, latestHintPath(root))
+      }
+    } catch { case _: Exception => () }
+
+  /** Resolve the LATEST snapshot id in O(hint lag) instead of
+    * O(commits): the `latest.hint` file (the Delta `_last_checkpoint`
+    * idea, reduced to a pointer) names a recent id; resolution starts
+    * there and probes FORWARD with exists() until the first gap. The
+    * hint is a best-effort LOWER bound — written last-writer-wins
+    * after each commit, so a crash can omit it, a slow writer can
+    * lag it, and vacuum can delete a regressed hint's manifest; all
+    * three only cost extra probes or one fallback listing, never a
+    * wrong answer, because only real manifests are believed. The
+    * directory listing stays the truth for history()/time-travel;
+    * this serves the HOT paths — every commit attempt and every
+    * latest read — which would otherwise re-list O(commits) names on
+    * a long-lived table. */
+  private[sources] def latestId(s: SparkSession, root: String): Long = {
+    val f = fs(s, root)
+    val hinted = readHint(f, root)
+    var k =
+      if (hinted >= 0 && f.exists(manifestPath(root, hinted))) hinted
+      else snapshots(s, root).lastOption.getOrElse(-1L)
+    while (f.exists(manifestPath(root, k + 1))) k += 1
+    k
+  }
+
   /** DESCRIBE HISTORY — one row per committed snapshot: id, commit
     * wall-time (the manifest file's mtime — set by the rename that
     * made the snapshot visible, so it IS the visibility instant),
@@ -161,9 +211,10 @@ object SnapshotStore {
     var attempt = 0
     var committed = -1L
     while (committed < 0 && attempt < maxRetries) {
-      val id = snapshots(s, root).lastOption.getOrElse(-1L) + 1L
+      // hint-accelerated: O(probes) per attempt, not O(commits)
+      val id = latestId(s, root) + 1L
       val base = if (id == 0L) Seq.empty[String]
-                 else manifestLines(s, root, Some(id - 1L))
+                 else rawManifestLines(f, root, id - 1L)
       val lines = mkLines(base)
       val tmp = new Path(manifestDir(root), s".tmp-${UUID.randomUUID()}")
       val out = f.create(tmp, false)
@@ -182,6 +233,7 @@ object SnapshotStore {
         // snapshot readable — history()/readAsOf contract requires
         // the commit instant, not the write instant
         f.setTimes(manifestPath(root, id), System.currentTimeMillis(), -1)
+        writeHint(f, root, id)
         committed = id
       }
     }
@@ -283,15 +335,30 @@ object SnapshotStore {
     commitManifest(s, root, lines, maxRetries)
   }
 
-  /** Raw manifest lines (path [+ tab-separated stats]). */
+  /** Raw manifest lines (path [+ tab-separated stats]). Latest
+    * resolution goes through the hint; an EXPLICIT id is validated
+    * against the listing (time-travel wants the have-list in its
+    * error). */
   private def manifestLines(s: SparkSession, root: String,
       id: Option[Long]): Seq[String] = {
-    val ids = snapshots(s, root)
-    require(ids.nonEmpty, s"no committed snapshot at $root")
-    val pick = id.getOrElse(ids.last)
-    require(ids.contains(pick), s"snapshot $pick not found (have $ids)")
     val f = fs(s, root)
-    val in = f.open(manifestPath(root, pick))
+    val pick = id match {
+      case Some(i) =>
+        val ids = snapshots(s, root)
+        require(ids.nonEmpty, s"no committed snapshot at $root")
+        require(ids.contains(i), s"snapshot $i not found (have $ids)")
+        i
+      case None =>
+        val k = latestId(s, root)
+        require(k >= 0, s"no committed snapshot at $root")
+        k
+    }
+    rawManifestLines(f, root, pick)
+  }
+
+  private def rawManifestLines(f: FileSystem, root: String,
+      id: Long): Seq[String] = {
+    val in = f.open(manifestPath(root, id))
     try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toList
     finally in.close()
@@ -493,8 +560,8 @@ object SnapshotStore {
   def deleteWhere(s: SparkSession, root: String,
       cond: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions._
-    val ids = snapshots(s, root)
-    require(ids.nonEmpty, s"no committed snapshot at $root")
+    val latest0 = latestId(s, root)
+    require(latest0 >= 0, s"no committed snapshot at $root")
     val files = manifestFiles(s, root, None)
     val dataLines = manifestLines(s, root, None)
       .filterNot(_.startsWith(DvMarker + "\t"))
@@ -514,7 +581,7 @@ object SnapshotStore {
           col("dv_pos") === col("old_pos"),
         "left_anti")
     val newDead = live.filter(cond).select("dv_file", "dv_pos")
-    if (newDead.isEmpty) return ids.last
+    if (newDead.isEmpty) return latest0
     val merged =
       if (dvs.isEmpty) newDead
       else s.read.parquet(dvs: _*).unionByName(newDead)
@@ -759,7 +826,7 @@ object SnapshotStore {
       (line, p, f.getFileStatus(new Path(p)).getLen)
     }
     val (small, keep) = sized.partition(_._3 < targetBytes / 2)
-    if (small.length < 2) return snapshots(s, root).last
+    if (small.length < 2) return latestId(s, root)
     val totalSmall = small.map(_._3).sum
     val nOut = math.max(1,
       math.ceil(totalSmall.toDouble / targetBytes).toInt)
@@ -857,7 +924,7 @@ object SnapshotStore {
     // appender retries on top of the winner's manifest instead of
     // silently dropping it (appends are conflict-free by
     // construction — new immutable files, nothing removed)
-    require(snapshots(s, root).nonEmpty, s"no committed snapshot at $root")
+    require(latestId(s, root) >= 0, s"no committed snapshot at $root")
     commitRebase(s, root, base => base ++ files, 10)
   }
 

@@ -639,6 +639,36 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(SnapshotStore.readBranch(spark, root, "stage").count() == 3)
   }
 
+  test("latest.hint accelerates resolution and never lies") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.commit(Seq(1L).toDF("id"), root)
+    SnapshotStore.appendCommit(Seq(2L).toDF("id"), root)
+    val hint = java.nio.file.Path.of(root, "latest.hint")
+    // a successful commit leaves the hint at the latest id
+    assert(java.nio.file.Files.readString(hint).trim == "1")
+    assert(SnapshotStore.latestId(spark, root) == 1L)
+    // stale hint (crashed writer, slow overwrite): forward probing
+    // finds the real latest
+    java.nio.file.Files.writeString(hint, "0\n")
+    assert(SnapshotStore.latestId(spark, root) == 1L)
+    // corrupt hint: fall back to the listing
+    java.nio.file.Files.writeString(hint, "not-a-number\n")
+    assert(SnapshotStore.latestId(spark, root) == 1L)
+    // hint ahead of any real manifest (regressed then vacuumed, or
+    // torn write): only real manifests are believed
+    java.nio.file.Files.writeString(hint, "99\n")
+    assert(SnapshotStore.latestId(spark, root) == 1L)
+    // missing hint entirely: listing fallback, and the next commit
+    // restores it
+    java.nio.file.Files.delete(hint)
+    assert(SnapshotStore.latestId(spark, root) == 1L)
+    SnapshotStore.appendCommit(Seq(3L).toDF("id"), root)
+    assert(java.nio.file.Files.readString(hint).trim == "2")
+    assert(SnapshotStore.read(spark, root).as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("s31: manifest row count drives the broadcast decision both ways") {
     import spark.implicits._
     val base = freshRoot()
