@@ -57,6 +57,36 @@ object Similarity {
     topKRanked(scored, 5)
   }
 
+  /** N10 — FILTERED vector search: top-k under a metadata predicate
+    * (here: same `label` as the query) — the constrained-search
+    * pattern every vector-serving system needs (a RAG query
+    * restricted to one tenant/language/date window). The predicate is
+    * applied BEFORE the distance: the candidate join is an EQUI-join
+    * on the filter attribute, so candidates co-partition by label and
+    * only qualifying pairs are ever scored — selectivity divides the
+    * scored set (here 10×), where post-filtering an unfiltered top-k
+    * instead returns UNDER-FULL result lists whenever fewer than k of
+    * the true neighbors qualify (the classic filtered-ANN failure).
+    * Exact within the filter, like n1 — the ANN form composes the
+    * same predicate onto n6's candidate scan, traded against
+    * per-cell recall. DedupSimSpec pins the plan: a hash/merge join
+    * on label, never the nested-loop cross join n1's truth baseline
+    * pays. */
+  def n10FilteredTopk(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    val scored = queries.as("q").join(emb.as("v"),
+        col("q.q_label") === col("v.label") &&
+          col("q.q_id") =!= col("v.vec_id"))
+      .select(col("q.q_id"), col("v.vec_id").as("neighbor_id"),
+        GraftFunctions.floatCosine("q.q_emb", "v.embedding")
+          .as("cosine"))
+    topKRanked(scored, 5)
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane j,
     * dim i): small signed value from integer arithmetic (public LCG
     * constants), reproducible with no RNG. */
@@ -1010,7 +1040,8 @@ object Similarity {
     "n2_sim_lsh_topk" -> n2SimLshTopk,
     "n3_sim_ivf_topk" -> n3SimIvfTopk,
     "n4_sim_pq_topk" -> n4SimPqTopk,
-    "n6_sim_ivfpq_topk" -> n6SimIvfPqTopk)
+    "n6_sim_ivfpq_topk" -> n6SimIvfPqTopk,
+    "n10_filtered_topk" -> n10FilteredTopk)
 
   val oracle: Map[String, String] = Map(
     // n8 serves the SAME planted queries from the persisted index —
@@ -1117,6 +1148,30 @@ object Similarity {
                AS cosine
            FROM cand c JOIN n a ON a.vec_id = c.q_id
                        JOIN n b ON b.vec_id = c.neighbor_id),
+         ranked AS (
+           SELECT q_id, neighbor_id, cosine,
+             cast(row_number() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, neighbor_id) AS int) AS rank
+           FROM scored)
+         SELECT q_id, neighbor_id, rank, ${Det.sql("cosine", 6)} AS cosine
+         FROM ranked WHERE rank <= 5""",
+    // same closed form as n1 with the label-equality predicate in the
+    // candidate join — the filtered search must be exact within the
+    // filter, ties broken identically
+    "n10_filtered_topk" ->
+      s"""WITH e AS (
+           SELECT vec_id, label, embedding,
+             sqrt(list_sum(list_transform(embedding,
+               x -> x::double * x::double))) AS norm
+           FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS q_id, v.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(q.embedding, v.embedding),
+               p -> p[1]::double * p[2]::double)) / (q.norm * v.norm)
+               AS cosine
+           FROM e q JOIN e v ON q.vec_id % 50 = 0
+             AND q.label = v.label
+             AND q.vec_id <> v.vec_id),
          ranked AS (
            SELECT q_id, neighbor_id, cosine,
              cast(row_number() OVER (PARTITION BY q_id

@@ -540,4 +540,26 @@ class DedupSimSpec extends SparkTestBase {
     // and nothing below the threshold leaks through
     assert(got.filter(col("jac") < 0.6).count() == 0)
   }
+
+  test("n10 filtered search: label equi-join plan, filter honored") {
+    val r = Similarity.n10FilteredTopk(spark, sfSmoke).cache()
+    // the predicate is an equi-join key: no nested-loop cross join
+    // (n1's truth-baseline plan) anywhere in the filtered path
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"filtered search must join on the filter attribute:\n$plan")
+    // every returned neighbor carries the query's label
+    val lab = Tables.embeddings(spark, sfSmoke)
+      .select(col("vec_id"), col("label"))
+    val crossLabel = r
+      .join(lab.withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("label", "ql"), "q_id")
+      .join(lab.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "nl"), "neighbor_id")
+      .filter(col("ql") =!= col("nl"))
+    assert(crossLabel.count() == 0, "a neighbor escaped the filter")
+    // ranks are contiguous from 1 per query
+    assert(r.filter(col("rank") < 1 || col("rank") > 5).count() == 0)
+    r.unpersist()
+  }
 }
