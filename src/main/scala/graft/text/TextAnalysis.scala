@@ -1025,7 +1025,45 @@ object TextAnalysis {
     kept.drop("bucket")
   }
 
+  /** X45 — fuzzy benchmark decontamination (x13's shared-gram count
+    * graduated to the GPT-3/PaLM appendix method): for every corpus
+    * doc sharing ANY distinct 4-gram with a benchmark doc, its
+    * worst-case benchmark CONTAINMENT — shared / |bench doc's
+    * distinct grams| — plus the ≥ 0.5 contamination flag.
+    * Containment, not Jaccard, is the right asymmetry: a long
+    * training doc embedding a short eval item scores 1.0 containment
+    * but near-0 Jaccard and would slip a symmetric gate. Plan shape:
+    * the benchmark side is the EVAL SUITE — bounded and tiny next to
+    * a 100-TB corpus — so its gram set broadcasts; the corpus
+    * explodes once through the scan-level `ngrams_distinct`
+    * generator, per-(doc, bench) counts are one hash agg, and the
+    * worst match per doc is a k=1 TopKPerKey heap, never a window
+    * sort. Join fan-out per gram is bounded by the benchmark's size,
+    * not the corpus's. */
+  def x45FuzzyDecontamination(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), expr("ngrams_distinct(text, 4)"))
+        .select("doc_id", "ngram")
+    val docs = Tables.documents(s, dir)
+    val bench = grams(docs.filter(col("doc_id") % 50 === 0))
+      .withColumnRenamed("doc_id", "bench_id")
+    val bSizes = bench.groupBy("bench_id").agg(count(lit(1)).as("n_b"))
+    val pairs = grams(docs.filter(col("doc_id") % 50 =!= 0))
+      .join(broadcast(bench), "ngram")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared"))
+      .join(broadcast(bSizes), "bench_id")
+      .withColumn("containment",
+        col("shared") / col("n_b").cast("double"))
+    graft.plans.TopK.topKPerKey(pairs, Seq(col("doc_id")),
+        Seq(col("containment").desc, col("bench_id").asc), 1)
+      .select(col("doc_id"), col("bench_id"),
+        Det.r4(col("containment")).as("containment"),
+        (col("containment") >= 0.5).as("contaminated"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x45_fuzzy_decontamination" -> x45FuzzyDecontamination,
     "x43_budget_curation" -> x43BudgetCuration,
     "x42_dataset_card" -> x42DatasetCard,
     "x41_novelty_score" -> x41NoveltyScore,
@@ -1409,6 +1447,35 @@ object TextAnalysis {
            ${Det.sql("sum(q) / (10000.0 * count(*))", 6)} AS nll_per_token,
            cast(count(*) AS bigint) AS n_tokens
          FROM q GROUP BY 1""",
+    // worst benchmark match per corpus doc, deterministic argmax
+    // (containment desc, bench_id asc); the raw double ranks before
+    // r4 rounds the emitted value — both engines divide the same
+    // exact integers, so the order is ULP-identical
+    "x45_fuzzy_decontamination" ->
+      s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s
+                     FROM documents),
+         g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(s) - 2, 1)),
+                 i -> s[i] || ' ' || s[i+1] || ' ' || s[i+2]
+                      || ' ' || s[i+3]))) AS gram
+               FROM sp),
+         bench AS (SELECT doc_id AS bench_id, gram FROM g
+                   WHERE doc_id % 50 = 0),
+         bsz AS (SELECT bench_id, count(*) AS n_b FROM bench GROUP BY 1),
+         pairs AS (SELECT c.doc_id, b.bench_id, count(*) AS shared
+                   FROM g c JOIN bench b USING (gram)
+                   WHERE c.doc_id % 50 <> 0
+                   GROUP BY 1, 2),
+         sc AS (SELECT p.doc_id, p.bench_id,
+                  shared / cast(n_b AS double) AS containment,
+                  row_number() OVER (PARTITION BY p.doc_id
+                    ORDER BY shared / cast(n_b AS double) DESC,
+                             p.bench_id) AS rn
+                FROM pairs p JOIN bsz USING (bench_id))
+         SELECT doc_id, bench_id,
+           ${Det.sql("containment", 4)} AS containment,
+           containment >= 0.5 AS contaminated
+         FROM sc WHERE rn = 1""",
     "x13_contamination" ->
       """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS s
                      FROM documents),

@@ -200,6 +200,31 @@ class ChunkingSpec extends SparkTestBase {
     r.unpersist()
   }
 
+  test("x45: one worst match per touched doc, flag honors the threshold") {
+    import graft.text.TextAnalysis
+    val r = TextAnalysis
+      .x45FuzzyDecontamination(spark, sfSmoke).cache()
+    // exactly the x13-touched docs appear (both = docs sharing >= 1
+    // benchmark 4-gram), one row each
+    val touched = TextAnalysis.x13Contamination(spark, sfSmoke)
+      .select("doc_id")
+    assert(r.select("doc_id").except(touched).isEmpty &&
+      touched.except(r.select("doc_id")).isEmpty,
+      "x45 and x13 must flag the same doc set")
+    assert(r.groupBy("doc_id").count().filter(col("count") > 1)
+      .isEmpty, "one worst match per doc")
+    // containment is a fraction; the flag is exactly the threshold
+    assert(r.filter(col("containment") <= 0 || col("containment") > 1)
+      .count() == 0)
+    // flag computed on the RAW ratio; emitted value is r4-rounded, so
+    // compare with half-ulp-of-r4 slack around the threshold
+    assert(r.filter(col("contaminated") &&
+      col("containment") < 0.4999).count() == 0)
+    assert(r.filter(!col("contaminated") &&
+      col("containment") > 0.5001).count() == 0)
+    r.unpersist()
+  }
+
   test("x43: kept set is budget-maximal in quality order") {
     import graft.text.TextAnalysis
     val kept = TextAnalysis.x43BudgetCuration(spark, sfSmoke).cache()
