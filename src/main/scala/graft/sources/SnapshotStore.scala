@@ -311,8 +311,20 @@ object SnapshotStore {
     * timestamp columns all round-trip through Spark's cast. */
   def commitWithStats(df: DataFrame, root: String, statsCol: String,
       maxRetries: Int = 10): Long = {
-    import org.apache.spark.sql.functions._
     val (s, files) = writeSnapshotData(df, root)
+    commitManifest(s, root, statsLinesFor(s, files, statsCol),
+      maxRetries)
+  }
+
+  /** The stats-bearing manifest lines for `files` — one grouped scan
+    * of exactly the just-written files. A 5th field pins the file's
+    * ROW COUNT — with min/max it makes count/min/max aggregates
+    * answerable from the manifest alone ([[statsQuery]]); files
+    * absent from the grouped scan are empty parquet parts (0 rows,
+    * no stats). */
+  private def statsLinesFor(s: SparkSession, files: Seq[String],
+      statsCol: String): Seq[String] = {
+    import org.apache.spark.sql.functions._
     val byFile = s.read.parquet(files: _*)
       .groupBy(input_file_name().as("f"))
       .agg(min(col(statsCol)).cast("string").as("mn"),
@@ -323,16 +335,11 @@ object SnapshotStore {
         (Option(r.getString(1)).getOrElse(""),
           Option(r.getString(2)).getOrElse(""), r.getLong(3))))
       .toMap
-    // a 5th field pins the file's ROW COUNT — with min/max it makes
-    // count/min/max aggregates answerable from the manifest alone
-    // ([[statsQuery]]); files absent from the grouped scan are empty
-    // parquet parts (0 rows, no stats)
-    val lines = files.map { p =>
+    files.map { p =>
       val (mn, mx, cnt) =
         byFile.getOrElse(new Path(p).toUri.getPath, ("", "", 0L))
       s"$p\t$statsCol\t$mn\t$mx\t$cnt"
     }
-    commitManifest(s, root, lines, maxRetries)
   }
 
   /** Raw manifest lines (path [+ tab-separated stats]). Latest
@@ -866,6 +873,64 @@ object SnapshotStore {
         dvs.map(p => s"$DvMarker\t$p"),
       added = newFiles.sorted ++ dvCarry, maxRetries = 10)
     // (kept lines are full manifest LINES - stats suffixes ride along)
+  }
+
+  /** OPTIMIZE ... ZORDER BY (the Delta verb): rewrite the WHOLE
+    * table z-clustered on (cx, cy) and re-stats'd on `statsCol`,
+    * committed through the OCC rewrite path — concurrent appends
+    * rebase in untouched, a conflicting rewrite aborts. Unlike
+    * [[compact]] (which bins only undersized files and carries the
+    * rest by reference), a recluster derives from EVERY data file:
+    * all data lines are removed and replaced, and DV sidecars are
+    * materialized into the rewrite. The payoff is what s8/s14
+    * demonstrate separately, composed: each output file owns a
+    * z-contiguous rectangle of the two dimensions, so the refreshed
+    * min/max manifest stats prune range reads on EITHER column —
+    * a random layout's stats span everything and prune nothing. */
+  def optimizeZorder(s: SparkSession, root: String,
+      cx: String, cy: String, numFiles: Int, statsCol: String): Long = {
+    val dataLines = manifestLines(s, root, None)
+      .filter(_.split('\t').head != DvMarker)
+    val files = dataLines.map(_.split('\t').head)
+    val dvs = dvPaths(s, root, None)
+    val raw = s.read.parquet(files: _*)
+    val clustered = ZOrder.zCluster(
+      if (dvs.isEmpty) raw else applyDv(raw, s.read.parquet(dvs: _*)),
+      cx, cy, numFiles)
+    val (_, newFiles) = writeSnapshotData(clustered, root)
+    commitRewrite(s, root,
+      required = dataLines.map(lineKey).toSet,
+      removed = dataLines.map(lineKey).toSet ++
+        dvs.map(p => s"$DvMarker\t$p"),
+      added = statsLinesFor(s, newFiles, statsCol), maxRetries = 10)
+  }
+
+  /** S32 — OPTIMIZE ZORDER end-to-end: commit orders in a
+    * deliberately scattered layout (every file spans the whole key
+    * space — manifest stats would prune NOTHING), recluster on
+    * (o_custkey, o_totalprice), then answer a narrow o_custkey band
+    * through the stats-pruned reader. The oracle recomputes the band
+    * from the raw table, so a recluster that lost, duplicated, or
+    * resurrected one row breaks the hash; SnapshotStoreSpec asserts
+    * the pruning itself (kept files ≪ total) and history staying
+    * time-travelable. Band bounds derive from max(o_custkey) so the
+    * fixture holds at any SF. */
+  def s32OptimizeZorder(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val orders = graft.Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val root = new Path(
+      sys.props("java.io.tmpdir"),
+      s"graft_s32${tag}_${s.sparkContext.applicationId}/t").toString
+    Scratch.fresh(s, new Path(root).getParent)
+    commit(orders.repartition(16), root)
+    optimizeZorder(s, root, "o_custkey", "o_totalprice",
+      numFiles = 8, statsCol = "o_custkey")
+    val maxK = orders.agg(max("o_custkey")).head().getLong(0)
+    readPruned(s, root, "o_custkey", maxK / 4, maxK / 2)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).cast("bigint").as("sum_keys"))
   }
 
   /** S20 — compaction end-to-end: commit orders in a deliberately
@@ -1434,9 +1499,18 @@ object SnapshotStore {
     "s27_concurrent_appends" -> s27ConcurrentAppends,
     "s28_stats_only" -> s28StatsOnly,
     "s29_wap" -> s29Wap,
-    "s31_stats_join" -> s31StatsJoin)
+    "s31_stats_join" -> s31StatsJoin,
+    "s32_optimize_zorder" -> s32OptimizeZorder)
 
   val oracle: Map[String, String] = Map(
+    // the band read after the recluster must equal the raw scan:
+    // a recluster that lost/duplicated/resurrected a row breaks this
+    "s32_optimize_zorder" ->
+      """WITH m AS (SELECT max(o_custkey) AS k FROM orders)
+         SELECT cast(count(*) AS bigint) AS n_rows,
+           cast(sum(o_orderkey) AS bigint) AS sum_keys
+         FROM orders, m
+         WHERE o_custkey >= k // 4 AND o_custkey <= k // 2""",
     // the join result is invariant to the broadcast decision the
     // metadata made — correctness and strategy are orthogonal
     "s31_stats_join" ->

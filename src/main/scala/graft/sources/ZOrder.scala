@@ -59,7 +59,16 @@ object ZOrder {
     * write — the projection after the sort keeps partitioning and
     * row order (no exchange), so the layout survives. */
   def zOrderWrite(df: DataFrame, path: String,
-      cx: String, cy: String, numFiles: Int, bits: Int = 16): Unit = {
+      cx: String, cy: String, numFiles: Int, bits: Int = 16): Unit =
+    zCluster(df, cx, cy, numFiles, bits)
+      .write.mode("overwrite").parquet(path)
+
+  /** The layout half of [[zOrderWrite]]: `df` range-partitioned into
+    * `numFiles` z-ranges of (cx, cy) and sorted within each, ready
+    * for any writer (the snapshot store's OPTIMIZE ZORDER commits
+    * this through its own data path). */
+  def zCluster(df: DataFrame, cx: String, cy: String,
+      numFiles: Int, bits: Int = 16): DataFrame = {
     val r = df.agg(
       min(col(cx)).cast("double"), max(col(cx)).cast("double"),
       min(col(cy)).cast("double"), max(col(cy)).cast("double")).head()
@@ -70,7 +79,6 @@ object ZOrder {
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
-      .write.mode("overwrite").parquet(path)
   }
 
   /** S8 — the z-value kernel itself, oracle-gated bit-for-bit: the

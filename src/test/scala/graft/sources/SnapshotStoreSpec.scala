@@ -669,6 +669,31 @@ class SnapshotStoreSpec extends SparkTestBase {
       .toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("s32 recluster: stats prune after, not before; history intact") {
+    val root = freshRoot()
+    SnapshotStore.commit(spark.range(0, 4000L)
+      .select(col("id").as("x"), (col("id") * 7919 % 4000).as("y"))
+      .repartition(8), root)
+    // v0 is a plain scattered commit: no stats, nothing prunes
+    assert(SnapshotStore.pruneFiles(spark, root, "x", 0L, 499L,
+      Some(0L))._1.length == 8)
+    SnapshotStore.optimizeZorder(spark, root, "x", "y",
+      numFiles = 8, statsCol = "x")
+    // 8 z-range files: the top Morton bits interleave y and x, so a
+    // 1/8th x band excludes at least the x-msb=1 half of the files
+    // (range-sampled boundaries may leave one straddling file)
+    val (kept, total) = SnapshotStore.pruneFiles(spark, root, "x",
+      0L, 499L)
+    assert(total == 8 && kept.length <= 5,
+      s"expected x-band pruning, kept ${kept.length}/$total")
+    // content preserved exactly; the scattered v0 stays travelable
+    assert(SnapshotStore.read(spark, root).count() == 4000)
+    assert(SnapshotStore.readSnapshot(spark, root, Some(0L))
+      .count() == 4000)
+    assert(SnapshotStore.readPruned(spark, root, "x", 100L, 199L)
+      .count() == 100)
+  }
+
   test("s31: manifest row count drives the broadcast decision both ways") {
     import spark.implicits._
     val base = freshRoot()
