@@ -1062,7 +1062,42 @@ object TextAnalysis {
         (col("containment") >= 0.5).as("contaminated"))
   }
 
+  /** X46 — corpus release notes: the doc-level DIFF between two
+    * corpus versions rolled up to what a dataset changelog reports —
+    * per change kind (added / removed / changed) the doc count and
+    * the TOKEN-MASS delta the change moves. Identity is the doc key;
+    * change detection is an md5 content compare, so a one-token edit
+    * counts as `changed` with its exact token delta, not as a
+    * remove+add. Plan: one co-partitioned full-outer join on the key
+    * (both sides carry only (key, token count, content hash) — the
+    * text never crosses the exchange) and a 3-row agg; at 100 TB the
+    * diff costs one keyed shuffle of hashes. Fixture: v1 drops the
+    * doc_id%7=5 slice, adds the %7=3 slice (absent from v0), and
+    * appends one token to every %7=1 doc. */
+  def x46CorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+    val v0 = docs.filter(col("doc_id") % 7 =!= 3).select(col("doc_id"),
+      nTokens.cast("long").as("t0"), md5(col("text")).as("h0"))
+    val v1 = docs.filter(col("doc_id") % 7 =!= 5)
+      .withColumn("text", when(col("doc_id") % 7 === 1,
+        concat(col("text"), lit(" v2a"))).otherwise(col("text")))
+      .select(col("doc_id"),
+        nTokens.cast("long").as("t1"), md5(col("text")).as("h1"))
+    v0.join(v1, Seq("doc_id"), "full_outer")
+      .withColumn("change",
+        when(col("h0").isNull, "added")
+          .when(col("h1").isNull, "removed")
+          .when(col("h0") =!= col("h1"), "changed"))
+      .filter(col("change").isNotNull)
+      .groupBy("change")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("t1"), lit(0L)) - coalesce(col("t0"), lit(0L)))
+          .cast("bigint").as("token_delta"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x46_corpus_diff" -> x46CorpusDiff,
     "x45_fuzzy_decontamination" -> x45FuzzyDecontamination,
     "x43_budget_curation" -> x43BudgetCuration,
     "x42_dataset_card" -> x42DatasetCard,
@@ -1447,6 +1482,24 @@ object TextAnalysis {
            ${Det.sql("sum(q) / (10000.0 * count(*))", 6)} AS nll_per_token,
            cast(count(*) AS bigint) AS n_tokens
          FROM q GROUP BY 1""",
+    // the diff rollup has a closed form: added = the %7=3 slice's
+    // token mass, removed = minus the %7=5 slice's, changed = +1
+    // token per %7=1 doc — one wrong fate or delta breaks the hash
+    "x46_corpus_diff" ->
+      """WITH d AS (SELECT doc_id,
+             cast(len(string_split(text, ' ')) AS bigint) AS t
+           FROM documents)
+         SELECT 'added' AS change, cast(count(*) AS bigint) AS n_docs,
+           cast(sum(t) AS bigint) AS token_delta
+         FROM d WHERE doc_id % 7 = 3
+         UNION ALL
+         SELECT 'removed', cast(count(*) AS bigint),
+           cast(-sum(t) AS bigint)
+         FROM d WHERE doc_id % 7 = 5
+         UNION ALL
+         SELECT 'changed', cast(count(*) AS bigint),
+           cast(count(*) AS bigint)
+         FROM d WHERE doc_id % 7 = 1""",
     // worst benchmark match per corpus doc, deterministic argmax
     // (containment desc, bench_id asc); the raw double ranks before
     // r4 rounds the emitted value — both engines divide the same
