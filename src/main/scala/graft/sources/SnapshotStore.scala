@@ -100,7 +100,10 @@ object SnapshotStore {
           java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
         f.delete(latestHintPath(root), false)
-        f.rename(tmp, latestHintPath(root))
+        // HDFS-semantics rename fails if a racer recreated the hint
+        // first — drop our tmp either way so root never accumulates
+        // .hint-tmp-* garbage (vacuum doesn't sweep root files)
+        if (!f.rename(tmp, latestHintPath(root))) f.delete(tmp, false)
       }
     } catch { case _: Exception => () }
 
@@ -198,14 +201,27 @@ object SnapshotStore {
     commitRebase(s, root, _ => lines, maxRetries)
 
   /** Optimistic-concurrency commit (the Delta/Iceberg commit-loop
-    * shape): `mkLines` maps the CURRENT latest snapshot's lines (empty
-    * for a fresh table) to the new manifest, and is re-evaluated on
-    * EVERY attempt — losing the rename race re-reads the new base and
-    * rebases, so a concurrent writer's lines are never dropped.
-    * `mkLines` may throw (conflict detection, [[commitRewrite]]) to
-    * abort the commit once the base has changed incompatibly. */
+    * shape): `mkLines` maps the CURRENT TRUNK head's lines (empty for
+    * a fresh table) to the new manifest, and is re-evaluated on EVERY
+    * attempt — losing the rename race re-reads the new base and
+    * rebases, so a concurrent writer's lines are never dropped. The
+    * base is passed LAZILY: fixed-line commits (branch appends,
+    * full replacements) never open it, and a base manifest vanishing
+    * mid-loop (a racing vacuum) counts as a lost race and retries
+    * instead of surfacing an IO error. `mkLines` may throw (conflict
+    * detection, [[commitRewrite]]) to abort the commit once the base
+    * has changed incompatibly.
+    *
+    * Lineage: the claimed ID is the next GLOBAL one (one monotonic
+    * log across trunk and branches, the Iceberg sequence-number
+    * shape), but the REBASE BASE is the trunk head — a trunk append
+    * that loses its race to a branch commit must not rebase onto the
+    * branch's lineage, or its rows would land in a manifest no trunk
+    * reader ever resolves (orphaned through an abandoned staging
+    * branch). */
   private def commitRebase(s: SparkSession, root: String,
-      mkLines: Seq[String] => Seq[String], maxRetries: Int): Long = {
+      mkLines: (() => Seq[String]) => Seq[String],
+      maxRetries: Int): Long = {
     val f = fs(s, root)
     f.mkdirs(manifestDir(root))
     var attempt = 0
@@ -213,28 +229,41 @@ object SnapshotStore {
     while (committed < 0 && attempt < maxRetries) {
       // hint-accelerated: O(probes) per attempt, not O(commits)
       val id = latestId(s, root) + 1L
-      val base = if (id == 0L) Seq.empty[String]
-                 else rawManifestLines(f, root, id - 1L)
-      val lines = mkLines(base)
-      val tmp = new Path(manifestDir(root), s".tmp-${UUID.randomUUID()}")
-      val out = f.create(tmp, false)
-      try out.write((lines.mkString("\n") + "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      // rename-if-absent IS the commit: losing a race leaves the new
-      // manifest as an invisible temp file, retried under the next id
-      if (!renameIfAbsent(f, tmp, manifestPath(root, id))) {
-        f.delete(tmp, false)
-        attempt += 1
-      } else {
-        // pin mtime to the VISIBILITY instant: POSIX rename preserves
-        // the write-time mtime, so under commit-retry contention the
-        // file's timestamp could predate the rename that made the
-        // snapshot readable — history()/readAsOf contract requires
-        // the commit instant, not the write instant
-        f.setTimes(manifestPath(root, id), System.currentTimeMillis(), -1)
-        writeHint(f, root, id)
-        committed = id
+      val baseThunk = () => {
+        val trunk = trunkLatestId(s, root)
+        if (trunk < 0) Seq.empty[String]
+        else rawManifestLines(f, root, trunk)
+      }
+      (try Some(mkLines(baseThunk))
+       catch {
+         // base vanished under us (a racing vacuum between the id
+         // resolution and the open): a lost race, not an IO failure
+         case _: java.io.FileNotFoundException => None
+       }) match {
+        case None => attempt += 1
+        case Some(lines) =>
+          val tmp =
+            new Path(manifestDir(root), s".tmp-${UUID.randomUUID()}")
+          val out = f.create(tmp, false)
+          try out.write((lines.mkString("\n") + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          // rename-if-absent IS the commit: losing a race leaves the
+          // new manifest as an invisible temp, retried at the next id
+          if (!renameIfAbsent(f, tmp, manifestPath(root, id))) {
+            f.delete(tmp, false)
+            attempt += 1
+          } else {
+            // pin mtime to the VISIBILITY instant: POSIX rename
+            // preserves the write-time mtime, so under commit-retry
+            // contention the file's timestamp could predate the
+            // rename that made the snapshot readable —
+            // history()/readAsOf need the commit instant
+            f.setTimes(manifestPath(root, id),
+              System.currentTimeMillis(), -1)
+            writeHint(f, root, id)
+            committed = id
+          }
       }
     }
     if (committed < 0) throw new IllegalStateException(
@@ -266,13 +295,30 @@ object SnapshotStore {
       }
     else !f.exists(dst) && f.rename(tmp, dst)
 
+  /** The latest TRUNK manifest id: walk back from the global latest
+    * skipping branch-lineage manifests (those carrying a
+    * `ref\t<name>` marker line, [[appendToBranch]]). Bounded by the
+    * run of branch commits at the head of the log; a vacuumed
+    * manifest in the walk is skipped (vacuum only drops old ids).
+    * -1 for a fresh table. */
+  private def trunkLatestId(s: SparkSession, root: String): Long = {
+    val f = fs(s, root)
+    var k = latestId(s, root)
+    while (k >= 0 && {
+      try rawManifestLines(f, root, k)
+        .exists(_.startsWith(RefMarker + "\t"))
+      catch { case _: java.io.FileNotFoundException => true }
+    }) k -= 1
+    k
+  }
+
   /** A manifest line's conflict-detection identity: data lines are
     * keyed by path (stats suffixes may be rewritten by a concurrent
     * stats recompute without being a LOGICAL conflict), DV sidecar
-    * lines by the full `dv\t<path>` line. */
+    * and ref-marker lines by the full line. */
   private def lineKey(line: String): String = {
     val head = line.split('\t').head
-    if (head == DvMarker) line else head
+    if (MetaMarkers(head)) line else head
   }
 
   /** Rewrite commit with logical conflict detection (the Delta OCC
@@ -288,11 +334,24 @@ object SnapshotStore {
   private[sources] def commitRewrite(s: SparkSession, root: String,
       required: Set[String], removed: Set[String], added: Seq[String],
       maxRetries: Int): Long =
-    commitRebase(s, root, { base =>
+    commitRebase(s, root, { baseThunk =>
+      val base = baseThunk()
       val baseKeys = base.map(lineKey).toSet
       val gone = (required ++ removed).filterNot(baseKeys)
       if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
         s"conflicting concurrent rewrite at $root: ${gone.mkString(", ")}")
+      // a DV sidecar in the CURRENT base that this rewrite neither
+      // removes nor adds is a concurrent merge-on-read DELETE that
+      // landed after our read: our outputs were derived WITHOUT its
+      // dead positions, and carrying it forward would point at files
+      // we are dropping — committing would resurrect the deleted
+      // rows (Delta's concurrent-delete-read conflict). Abort.
+      val addedKeys = added.map(lineKey).toSet
+      val unseenDvs = base.filter(_.startsWith(DvMarker + "\t"))
+        .map(lineKey).filterNot(k => removed(k) || addedKeys(k))
+      if (unseenDvs.nonEmpty)
+        throw new java.util.ConcurrentModificationException(
+          s"concurrent delete landed at $root: ${unseenDvs.mkString(", ")}")
       base.filterNot(l => removed(lineKey(l))) ++ added
     }, maxRetries)
 
@@ -356,7 +415,10 @@ object SnapshotStore {
         require(ids.contains(i), s"snapshot $i not found (have $ids)")
         i
       case None =>
-        val k = latestId(s, root)
+        // "latest" for an unqualified read means the TRUNK head:
+        // branch manifests (ref-marked) are visible only through
+        // their refs ([[readBranch]])
+        val k = trunkLatestId(s, root)
         require(k >= 0, s"no committed snapshot at $root")
         k
     }
@@ -377,9 +439,16 @@ object SnapshotStore {
   def manifestFiles(s: SparkSession, root: String,
       id: Option[Long] = None): Seq[String] =
     manifestLines(s, root, id).map(_.split('\t'))
-      .filter(_.head != DvMarker).map(_.head)
+      .filter(a => !MetaMarkers(a.head)).map(_.head)
 
   private val DvMarker = "dv"
+
+  /** Branch-lineage marker line (`ref\t<name>`): written into every
+    * [[appendToBranch]] manifest so trunk resolution can tell branch
+    * manifests from trunk ones. Metadata like DV lines — never a data
+    * path. */
+  private val RefMarker = "ref"
+  private val MetaMarkers = Set(DvMarker, RefMarker)
 
   /** Deletion-vector sidecar paths of a snapshot (empty when no
     * merge-on-read delete has run). */
@@ -400,7 +469,7 @@ object SnapshotStore {
     // DV sidecar lines are metadata, not data files — a table that
     // has seen a merge-on-read delete must still prune correctly
     val parsed = manifestLines(s, root, id).map(_.split("\t", -1))
-      .filter(_.head != DvMarker)
+      .filter(a => !MetaMarkers(a.head))
     val stats = parsed.map {
       // 4-field (legacy) and 5-field (row-count-bearing) stats lines
       case a if a.length >= 4 && a(1) == statsCol &&
@@ -458,9 +527,18 @@ object SnapshotStore {
     * (n_rows BIGINT, min_value STRING, max_value STRING). */
   def statsQuery(s: SparkSession, root: String, statsCol: String,
       id: Option[Long] = None): DataFrame = {
-    require(dvPaths(s, root, id).isEmpty,
+    // resolve the snapshot ONCE: the DV check and the stats fold must
+    // see the same manifest or a commit landing between them could
+    // slip a DV past the overcount guard
+    val pick = id.getOrElse {
+      val k = trunkLatestId(s, root)
+      require(k >= 0, s"no committed snapshot at $root")
+      k
+    }
+    require(dvPaths(s, root, Some(pick)).isEmpty,
       s"statsQuery at $root: DV-bearing snapshot would overcount; compact first")
-    val parsed = manifestLines(s, root, id).map(_.split("\t", -1))
+    val parsed = manifestLines(s, root, Some(pick))
+      .map(_.split("\t", -1)).filter(a => !MetaMarkers(a.head))
     val rows = parsed.map {
       case a if a.length >= 5 && a(1) == statsCol =>
         (Option(a(2)).filter(_.nonEmpty),
@@ -567,12 +645,16 @@ object SnapshotStore {
   def deleteWhere(s: SparkSession, root: String,
       cond: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions._
-    val latest0 = latestId(s, root)
+    // resolve the snapshot ONCE: files, data lines, and DVs must all
+    // come from the same manifest, or a commit landing mid-read
+    // desynchronizes the OCC sets from the snapshot the dead
+    // positions were computed against (silent lost delete)
+    val latest0 = trunkLatestId(s, root)
     require(latest0 >= 0, s"no committed snapshot at $root")
-    val files = manifestFiles(s, root, None)
-    val dataLines = manifestLines(s, root, None)
-      .filterNot(_.startsWith(DvMarker + "\t"))
-    val dvs = dvPaths(s, root, None)
+    val files = manifestFiles(s, root, Some(latest0))
+    val dataLines = manifestLines(s, root, Some(latest0))
+      .filterNot(l => MetaMarkers(l.split('\t').head))
+    val dvs = dvPaths(s, root, Some(latest0))
     val tagged = s.read.parquet(files: _*)
       .withColumn("dv_file", col("_metadata.file_name"))
       .withColumn("dv_pos", col("_metadata.row_index"))
@@ -826,18 +908,22 @@ object SnapshotStore {
     // survive compaction for the untouched files, or data skipping
     // silently dies after the first OPTIMIZE (rewritten files get
     // plain lines — their stats would need recomputation)
-    val dataLines = manifestLines(s, root, None)
-      .filter(_.split('\t').head != DvMarker)
+    // one snapshot resolution for lines AND DVs (no mid-read commit
+    // can desynchronize the OCC sets from the rewrite's inputs)
+    val snap0 = trunkLatestId(s, root)
+    require(snap0 >= 0, s"no committed snapshot at $root")
+    val dataLines = manifestLines(s, root, Some(snap0))
+      .filter(l => !MetaMarkers(l.split('\t').head))
     val sized = dataLines.map { line =>
       val p = line.split('\t').head
       (line, p, f.getFileStatus(new Path(p)).getLen)
     }
     val (small, keep) = sized.partition(_._3 < targetBytes / 2)
-    if (small.length < 2) return latestId(s, root)
+    if (small.length < 2) return snap0
     val totalSmall = small.map(_._3).sum
     val nOut = math.max(1,
       math.ceil(totalSmall.toDouble / targetBytes).toInt)
-    val dvs = dvPaths(s, root, None)
+    val dvs = dvPaths(s, root, Some(snap0))
     val smallRaw = s.read.parquet(small.map(_._2): _*)
     // a rewrite MATERIALIZES deletes: apply the DV to the rewritten
     // rows (else compaction would resurrect them) and carry forward
@@ -889,10 +975,13 @@ object SnapshotStore {
     * a random layout's stats span everything and prune nothing. */
   def optimizeZorder(s: SparkSession, root: String,
       cx: String, cy: String, numFiles: Int, statsCol: String): Long = {
-    val dataLines = manifestLines(s, root, None)
-      .filter(_.split('\t').head != DvMarker)
+    // one snapshot resolution for lines AND DVs (see compact)
+    val snap0 = trunkLatestId(s, root)
+    require(snap0 >= 0, s"no committed snapshot at $root")
+    val dataLines = manifestLines(s, root, Some(snap0))
+      .filter(l => !MetaMarkers(l.split('\t').head))
     val files = dataLines.map(_.split('\t').head)
-    val dvs = dvPaths(s, root, None)
+    val dvs = dvPaths(s, root, Some(snap0))
     val raw = s.read.parquet(files: _*)
     val clustered = ZOrder.zCluster(
       if (dvs.isEmpty) raw else applyDv(raw, s.read.parquet(dvs: _*)),
@@ -990,7 +1079,7 @@ object SnapshotStore {
     // silently dropping it (appends are conflict-free by
     // construction — new immutable files, nothing removed)
     require(latestId(s, root) >= 0, s"no committed snapshot at $root")
-    commitRebase(s, root, base => base ++ files, 10)
+    commitRebase(s, root, base => base() ++ files, 10)
   }
 
   // ---- branches (Iceberg-style named refs) ----------------------
@@ -1065,8 +1154,13 @@ object SnapshotStore {
     val head = branchHead(s, root, name).getOrElse(
       throw new IllegalArgumentException(s"no branch $name at $root"))
     val (_, files) = writeSnapshotData(df, root)
+    // the manifest carries a ref marker so trunk resolution can tell
+    // branch lineage from trunk lineage (one marker, this branch's --
+    // the head's own marker is stripped, not duplicated)
+    val headLines = manifestLines(s, root, Some(head))
+      .filterNot(_.startsWith(RefMarker + "\t"))
     val id = commitManifest(s, root,
-      manifestLines(s, root, Some(head)) ++ files, 10)
+      headLines ++ files :+ s"$RefMarker\t$name", 10)
     updateBranch(s, root, name, id)
     id
   }
@@ -1688,7 +1782,25 @@ object SnapshotStore {
     require(keepLast >= 1, "must keep at least the latest snapshot")
     val f = fs(s, root)
     val ids = snapshots(s, root)
-    val (drop, keep) = ids.splitAt(math.max(0, ids.length - keepLast))
+    // branch refs are retention ROOTS: a ref'd manifest (and its
+    // data) must survive however old its id is, or every branch
+    // head older than keepLast would dangle after a vacuum
+    val refDir = new Path(root, "refs")
+    val refIds: Set[Long] =
+      if (!f.exists(refDir)) Set.empty
+      else f.listStatus(refDir).toSeq.map(_.getPath)
+        .filterNot(_.getName.startsWith("."))
+        .flatMap { rp =>
+          val in = f.open(rp)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim.toLong)
+          catch { case _: Exception => None }
+          finally in.close()
+        }.toSet
+    val (drop, keep) = {
+      val (d, k) = ids.splitAt(math.max(0, ids.length - keepLast))
+      (d.filterNot(refIds), k ++ d.filter(refIds))
+    }
     // retained data dirs: parents of kept data files, plus kept DV
     // sidecar dirs (they live directly under data/)
     def referenced(of: Seq[Long]): Set[String] =

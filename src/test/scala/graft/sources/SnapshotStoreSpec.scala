@@ -639,6 +639,60 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(SnapshotStore.readBranch(spark, root, "stage").count() == 3)
   }
 
+  test("trunk and branch lineages stay isolated under interleaving") {
+    import spark.implicits._
+    val root = freshRoot()
+    val v0 = SnapshotStore.commit(Seq(1L, 2L).toDF("id"), root)
+    SnapshotStore.createBranch(spark, root, "stage", v0)
+    // a branch commit takes the next GLOBAL id...
+    SnapshotStore.appendToBranch(Seq(100L).toDF("id"), root, "stage")
+    // ...but an unqualified read still resolves the TRUNK head
+    assert(SnapshotStore.read(spark, root).as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L))
+    // a trunk append AFTER the branch commit extends the trunk, not
+    // the branch lineage the id race would otherwise hand it
+    SnapshotStore.appendCommit(Seq(3L).toDF("id"), root)
+    assert(SnapshotStore.read(spark, root).as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L))
+    // the branch still sees base + its own commit and nothing else
+    assert(SnapshotStore.readBranch(spark, root, "stage")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 100L))
+  }
+
+  test("a rewrite aborts when a concurrent delete's DV landed unseen") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.commit(
+      spark.range(0, 100L).select(col("id")).repartition(2), root)
+    val lines = SnapshotStore.manifestFiles(spark, root)
+    // a merge-on-read delete lands AFTER a rewrite read its inputs
+    SnapshotStore.deleteWhere(spark, root, col("id") < 10L)
+    // the rewrite derived its outputs without the DV's dead
+    // positions: committing would resurrect the deleted rows
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotStore.commitRewrite(spark, root,
+        required = lines.toSet, removed = lines.toSet,
+        added = Seq.empty, maxRetries = 10)
+    }
+    assert(SnapshotStore.read(spark, root).count() == 90)
+  }
+
+  test("vacuum keeps ref'd manifests however old their ids are") {
+    import spark.implicits._
+    val root = freshRoot()
+    val v0 = SnapshotStore.commit(Seq(1L).toDF("id"), root)
+    SnapshotStore.createBranch(spark, root, "pin", v0)
+    SnapshotStore.commit(Seq(2L).toDF("id"), root) // v1 overwrite
+    SnapshotStore.commit(Seq(3L).toDF("id"), root) // v2 overwrite
+    SnapshotStore.vacuum(spark, root, keepLast = 1, minAgeMs = 0)
+    // v0 is older than keepLast but a ref points at it: both the
+    // manifest and its data must survive the reclaim
+    assert(SnapshotStore.readBranch(spark, root, "pin")
+      .as[Long].collect().toSeq == Seq(1L))
+    assert(SnapshotStore.read(spark, root).as[Long].collect()
+      .toSeq == Seq(3L))
+  }
+
   test("latest.hint accelerates resolution and never lies") {
     import spark.implicits._
     val root = freshRoot()
