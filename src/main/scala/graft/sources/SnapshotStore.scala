@@ -1022,6 +1022,53 @@ object SnapshotStore {
         sum(col("o_orderkey")).cast("bigint").as("sum_keys"))
   }
 
+  /** SHALLOW CLONE (the Delta CLONE verb): create table `dst` whose
+    * first snapshot REFERENCES `src`'s current trunk data files —
+    * zero data copied, O(manifest) at any table size (the dev/test
+    * copy of a 100-TB table costs one small file). The clone is
+    * independent forward: appends/rewrites on either side land in
+    * their own manifests and never touch the shared files (all data
+    * files are immutable; a rewrite writes NEW files). Caveat, same
+    * as Delta's: a VACUUM on the SOURCE can reclaim files the clone
+    * still references — production either deep-clones or tracks
+    * cross-table references; this store documents the limitation. */
+  def cloneTable(s: SparkSession, src: String, dst: String): Long = {
+    val lines = manifestLines(s, src, None)
+      .filterNot(_.startsWith(RefMarker + "\t"))
+    commitManifest(s, dst, lines, maxRetries = 10)
+  }
+
+  /** S33 — shallow clone end-to-end: clone the committed orders
+    * table, append a planted slice to the CLONE only, and read both.
+    * The oracle pins (src unchanged) + (clone = src + plant) in one
+    * union — a clone that copied nothing must still read everything,
+    * and a clone append that leaked into the source breaks the src
+    * half. SnapshotStoreSpec additionally proves the zero-copy claim
+    * (the clone's data directory holds only its OWN append) and
+    * rewrite independence. */
+  def s33ShallowClone(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = graft.Tables.orders(s, dir).select("o_orderkey")
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val root = new Path(
+      sys.props("java.io.tmpdir"),
+      s"graft_s33${tag}_${s.sparkContext.applicationId}").toString
+    Scratch.fresh(s, new Path(root))
+    val srcRoot = s"$root/src"
+    val dstRoot = s"$root/clone"
+    commit(base, srcRoot)
+    cloneTable(s, srcRoot, dstRoot)
+    val strideV = base.agg(max("o_orderkey")).head().getLong(0) + 1L
+    appendCommit(base.filter(col("o_orderkey") % 10 === 0)
+      .select((col("o_orderkey") + strideV).as("o_orderkey")), dstRoot)
+    read(s, srcRoot).select(lit("src").as("side"), col("o_orderkey"))
+      .unionByName(read(s, dstRoot)
+        .select(lit("clone").as("side"), col("o_orderkey")))
+      .groupBy("side")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_orderkey")).cast("bigint").as("sum_keys"))
+  }
+
   /** S20 — compaction end-to-end: commit orders in a deliberately
     * fragmented 64-file layout (a streaming ingest's small-file
     * debt), OPTIMIZE it, and read the table back through the new
@@ -1594,9 +1641,24 @@ object SnapshotStore {
     "s28_stats_only" -> s28StatsOnly,
     "s29_wap" -> s29Wap,
     "s31_stats_join" -> s31StatsJoin,
-    "s32_optimize_zorder" -> s32OptimizeZorder)
+    "s32_optimize_zorder" -> s32OptimizeZorder,
+    "s33_shallow_clone" -> s33ShallowClone)
 
   val oracle: Map[String, String] = Map(
+    // src must be byte-unchanged by the clone's append; the clone =
+    // src + the shifted %10 slice (stride = max(key)+1, scale-safe)
+    "s33_shallow_clone" ->
+      """WITH b AS (SELECT o_orderkey FROM orders),
+         st AS (SELECT max(o_orderkey) + 1 AS stride FROM b),
+         cl AS (SELECT o_orderkey FROM b
+                UNION ALL
+                SELECT o_orderkey + stride FROM b, st
+                WHERE o_orderkey % 10 = 0)
+         SELECT 'src' AS side, cast(count(*) AS bigint) AS n_rows,
+           cast(sum(o_orderkey) AS bigint) AS sum_keys FROM b
+         UNION ALL
+         SELECT 'clone', cast(count(*) AS bigint),
+           cast(sum(o_orderkey) AS bigint) FROM cl""",
     // the band read after the recluster must equal the raw scan:
     // a recluster that lost/duplicated/resurrected a row breaks this
     "s32_optimize_zorder" ->

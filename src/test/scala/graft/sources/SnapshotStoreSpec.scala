@@ -639,6 +639,30 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(SnapshotStore.readBranch(spark, root, "stage").count() == 3)
   }
 
+  test("shallow clone copies no data and rewrites stay independent") {
+    import spark.implicits._
+    val root = freshRoot()
+    val src = s"$root/src"
+    val dst = s"$root/clone"
+    SnapshotStore.commit(
+      spark.range(0, 400L).select(col("id")).repartition(4), src)
+    SnapshotStore.cloneTable(spark, src, dst)
+    // zero-copy: the clone has NO data directory of its own yet
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Path.of(dst, "data")),
+      "a shallow clone must not copy data files")
+    assert(SnapshotStore.read(spark, dst).count() == 400)
+    // a rewrite on the clone writes NEW files; the source still reads
+    // its originals (immutable shared files, independent manifests)
+    SnapshotStore.deleteWhere(spark, dst, col("id") < 100L)
+    assert(SnapshotStore.read(spark, dst).count() == 300)
+    assert(SnapshotStore.read(spark, src).count() == 400)
+    // and a source append never leaks into the clone
+    SnapshotStore.appendCommit(Seq(9999L).toDF("id"), src)
+    assert(SnapshotStore.read(spark, src).count() == 401)
+    assert(SnapshotStore.read(spark, dst).count() == 300)
+  }
+
   test("trunk and branch lineages stay isolated under interleaving") {
     import spark.implicits._
     val root = freshRoot()
