@@ -157,9 +157,17 @@ object SnapshotStore {
     * human-facing one ("the table as of last night's run"). */
   def readAsOf(s: SparkSession, root: String, tsMillis: Long)
       : DataFrame = {
+    // trunk lineage only: a staged (possibly unaudited) branch
+    // commit must not leak into unqualified wall-clock time travel
+    // any more than into read() — branch history travels through
+    // readBranch + the branch's own ids
+    val f = fs(s, root)
     val elig = history(s, root).filter(_._2 <= tsMillis)
-    require(elig.nonEmpty, s"no snapshot at or before $tsMillis")
-    readSnapshot(s, root, Some(elig.map(_._1).max))
+      .map(_._1).sorted.reverse
+      .find(i => !rawManifestLines(f, root, i)
+        .exists(_.startsWith(RefMarker + "\t")))
+    require(elig.nonEmpty, s"no trunk snapshot at or before $tsMillis")
+    readSnapshot(s, root, Some(elig.get))
   }
 
   /** Commit `df` as the table's next snapshot; returns its id.
@@ -229,11 +237,7 @@ object SnapshotStore {
     while (committed < 0 && attempt < maxRetries) {
       // hint-accelerated: O(probes) per attempt, not O(commits)
       val id = latestId(s, root) + 1L
-      val baseThunk = () => {
-        val trunk = trunkLatestId(s, root)
-        if (trunk < 0) Seq.empty[String]
-        else rawManifestLines(f, root, trunk)
-      }
+      val baseThunk = () => trunkHead(s, root)._2
       (try Some(mkLines(baseThunk))
        catch {
          // base vanished under us (a racing vacuum between the id
@@ -301,16 +305,37 @@ object SnapshotStore {
     * run of branch commits at the head of the log; a vacuumed
     * manifest in the walk is skipped (vacuum only drops old ids).
     * -1 for a fresh table. */
-  private def trunkLatestId(s: SparkSession, root: String): Long = {
+  private def trunkLatestId(s: SparkSession, root: String): Long =
+    trunkHead(s, root)._1
+
+  /** [[trunkLatestId]] plus the head's lines, read once — commit
+    * rebase and latest reads need both and must not pay a second
+    * manifest open for them. (-1, empty) for a fresh table. */
+  private def trunkHead(s: SparkSession, root: String)
+      : (Long, Seq[String]) = {
     val f = fs(s, root)
     var k = latestId(s, root)
-    while (k >= 0 && {
-      try rawManifestLines(f, root, k)
-        .exists(_.startsWith(RefMarker + "\t"))
-      catch { case _: java.io.FileNotFoundException => true }
-    }) k -= 1
-    k
+    var lines = Seq.empty[String]
+    var found = false
+    while (k >= 0 && !found) {
+      try {
+        val ls = rawManifestLines(f, root, k)
+        if (ls.exists(_.startsWith(RefMarker + "\t"))) k -= 1
+        else { lines = ls; found = true }
+      } catch { case _: java.io.FileNotFoundException => k -= 1 }
+    }
+    (if (found) k else -1L, lines)
   }
+
+  /** Shared line-list projections: the DATA paths and the DV sidecar
+    * paths of one already-read manifest — derive both from a single
+    * read so no reader can see files from one snapshot and DVs from
+    * another (the reader-side TOCTOU). */
+  private def dataFilesOf(lines: Seq[String]): Seq[String] =
+    lines.map(_.split('\t'))
+      .filter(a => !MetaMarkers(a.head)).map(_.head)
+  private def dvsOf(lines: Seq[String]): Seq[String] =
+    lines.map(_.split('\t')).collect { case Array(DvMarker, p) => p }
 
   /** A manifest line's conflict-detection identity: data lines are
     * keyed by path (stats suffixes may be rewritten by a concurrent
@@ -408,21 +433,20 @@ object SnapshotStore {
   private def manifestLines(s: SparkSession, root: String,
       id: Option[Long]): Seq[String] = {
     val f = fs(s, root)
-    val pick = id match {
+    id match {
       case Some(i) =>
-        val ids = snapshots(s, root)
-        require(ids.nonEmpty, s"no committed snapshot at $root")
-        require(ids.contains(i), s"snapshot $i not found (have $ids)")
-        i
+        require(f.exists(manifestPath(root, i)),
+          s"snapshot $i not found at $root")
+        rawManifestLines(f, root, i)
       case None =>
         // "latest" for an unqualified read means the TRUNK head:
         // branch manifests (ref-marked) are visible only through
-        // their refs ([[readBranch]])
-        val k = trunkLatestId(s, root)
+        // their refs ([[readBranch]]); lines come from the walk's
+        // own read, never a second open
+        val (k, lines) = trunkHead(s, root)
         require(k >= 0, s"no committed snapshot at $root")
-        k
+        lines
     }
-    rawManifestLines(f, root, pick)
   }
 
   private def rawManifestLines(f: FileSystem, root: String,
@@ -463,12 +487,16 @@ object SnapshotStore {
     * [[commit]], a different stats column, or an all-null file — are
     * kept conservatively. Returns (kept files, total files). */
   def pruneFiles(s: SparkSession, root: String, statsCol: String,
-      lo: Any, hi: Any, id: Option[Long] = None): (Seq[String], Int) = {
+      lo: Any, hi: Any, id: Option[Long] = None): (Seq[String], Int) =
+    pruneFromLines(s, manifestLines(s, root, id), statsCol, lo, hi)
+
+  private def pruneFromLines(s: SparkSession, lines: Seq[String],
+      statsCol: String, lo: Any, hi: Any): (Seq[String], Int) = {
     import org.apache.spark.sql.functions._
     import s.implicits._
     // DV sidecar lines are metadata, not data files — a table that
     // has seen a merge-on-read delete must still prune correctly
-    val parsed = manifestLines(s, root, id).map(_.split("\t", -1))
+    val parsed = lines.map(_.split("\t", -1))
       .filter(a => !MetaMarkers(a.head))
     val stats = parsed.map {
       // 4-field (legacy) and 5-field (row-count-bearing) stats lines
@@ -494,16 +522,18 @@ object SnapshotStore {
   def readPruned(s: SparkSession, root: String, statsCol: String,
       lo: Any, hi: Any, id: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions._
-    val (kept, _) = pruneFiles(s, root, statsCol, lo, hi, id)
-    val all = manifestFiles(s, root, id)
+    // ONE manifest read feeds the prune, the fallback file list, and
+    // the DV set (see readSnapshot for why)
+    val lines = manifestLines(s, root, id)
+    val (kept, _) = pruneFromLines(s, lines, statsCol, lo, hi)
     if (kept.isEmpty)
-      s.read.parquet(all.head).filter(lit(false))
+      s.read.parquet(dataFilesOf(lines).head).filter(lit(false))
     else {
       val data = s.read.parquet(kept: _*)
         .filter(col(statsCol) >= lit(lo) && col(statsCol) <= lit(hi))
       // merge-on-read deletes apply here too: a pruned range read
       // must not resurrect rows readSnapshot hides
-      val dvs = dvPaths(s, root, id)
+      val dvs = dvsOf(lines)
       if (dvs.isEmpty) data else applyDv(data, s.read.parquet(dvs: _*))
     }
   }
@@ -530,14 +560,10 @@ object SnapshotStore {
     // resolve the snapshot ONCE: the DV check and the stats fold must
     // see the same manifest or a commit landing between them could
     // slip a DV past the overcount guard
-    val pick = id.getOrElse {
-      val k = trunkLatestId(s, root)
-      require(k >= 0, s"no committed snapshot at $root")
-      k
-    }
-    require(dvPaths(s, root, Some(pick)).isEmpty,
+    val lines = manifestLines(s, root, id)
+    require(dvsOf(lines).isEmpty,
       s"statsQuery at $root: DV-bearing snapshot would overcount; compact first")
-    val parsed = manifestLines(s, root, Some(pick))
+    val parsed = lines
       .map(_.split("\t", -1)).filter(a => !MetaMarkers(a.head))
     val rows = parsed.map {
       case a if a.length >= 5 && a(1) == statsCol =>
@@ -604,9 +630,12 @@ object SnapshotStore {
     * normalization between `_metadata.file_path` and manifest paths. */
   def readSnapshot(s: SparkSession, root: String,
       id: Option[Long]): DataFrame = {
-    val files = manifestFiles(s, root, id)
-    val data = s.read.parquet(files: _*)
-    val dvs = dvPaths(s, root, id)
+    // ONE manifest read: files and DVs must come from the same
+    // snapshot, or a compaction landing between two reads would
+    // pair old files with a newer DV set (resurrected deletes)
+    val lines = manifestLines(s, root, id)
+    val data = s.read.parquet(dataFilesOf(lines): _*)
+    val dvs = dvsOf(lines)
     if (dvs.isEmpty) data
     else applyDv(data, s.read.parquet(dvs: _*))
   }
@@ -649,12 +678,12 @@ object SnapshotStore {
     // come from the same manifest, or a commit landing mid-read
     // desynchronizes the OCC sets from the snapshot the dead
     // positions were computed against (silent lost delete)
-    val latest0 = trunkLatestId(s, root)
+    val (latest0, lines0) = trunkHead(s, root)
     require(latest0 >= 0, s"no committed snapshot at $root")
-    val files = manifestFiles(s, root, Some(latest0))
-    val dataLines = manifestLines(s, root, Some(latest0))
+    val dataLines = lines0
       .filterNot(l => MetaMarkers(l.split('\t').head))
-    val dvs = dvPaths(s, root, Some(latest0))
+    val files = dataFilesOf(lines0)
+    val dvs = dvsOf(lines0)
     val tagged = s.read.parquet(files: _*)
       .withColumn("dv_file", col("_metadata.file_name"))
       .withColumn("dv_pos", col("_metadata.row_index"))
@@ -910,9 +939,9 @@ object SnapshotStore {
     // plain lines — their stats would need recomputation)
     // one snapshot resolution for lines AND DVs (no mid-read commit
     // can desynchronize the OCC sets from the rewrite's inputs)
-    val snap0 = trunkLatestId(s, root)
+    val (snap0, lines0) = trunkHead(s, root)
     require(snap0 >= 0, s"no committed snapshot at $root")
-    val dataLines = manifestLines(s, root, Some(snap0))
+    val dataLines = lines0
       .filter(l => !MetaMarkers(l.split('\t').head))
     val sized = dataLines.map { line =>
       val p = line.split('\t').head
@@ -923,7 +952,7 @@ object SnapshotStore {
     val totalSmall = small.map(_._3).sum
     val nOut = math.max(1,
       math.ceil(totalSmall.toDouble / targetBytes).toInt)
-    val dvs = dvPaths(s, root, Some(snap0))
+    val dvs = dvsOf(lines0)
     val smallRaw = s.read.parquet(small.map(_._2): _*)
     // a rewrite MATERIALIZES deletes: apply the DV to the rewritten
     // rows (else compaction would resurrect them) and carry forward
@@ -976,12 +1005,12 @@ object SnapshotStore {
   def optimizeZorder(s: SparkSession, root: String,
       cx: String, cy: String, numFiles: Int, statsCol: String): Long = {
     // one snapshot resolution for lines AND DVs (see compact)
-    val snap0 = trunkLatestId(s, root)
+    val (snap0, lines0) = trunkHead(s, root)
     require(snap0 >= 0, s"no committed snapshot at $root")
-    val dataLines = manifestLines(s, root, Some(snap0))
+    val dataLines = lines0
       .filter(l => !MetaMarkers(l.split('\t').head))
     val files = dataLines.map(_.split('\t').head)
-    val dvs = dvPaths(s, root, Some(snap0))
+    val dvs = dvsOf(lines0)
     val raw = s.read.parquet(files: _*)
     val clustered = ZOrder.zCluster(
       if (dvs.isEmpty) raw else applyDv(raw, s.read.parquet(dvs: _*)),
@@ -1442,9 +1471,10 @@ object SnapshotStore {
     * append-only and never rewrites history. */
   def readEvolved(s: SparkSession, root: String,
       id: Option[Long] = None): DataFrame = {
+    val lines = manifestLines(s, root, id) // one read, see readSnapshot
     val data = s.read.option("mergeSchema", "true")
-      .parquet(manifestFiles(s, root, id): _*)
-    val dvs = dvPaths(s, root, id)
+      .parquet(dataFilesOf(lines): _*)
+    val dvs = dvsOf(lines)
     if (dvs.isEmpty) data
     else applyDv(data, s.read.parquet(dvs: _*))
   }
@@ -1850,18 +1880,22 @@ object SnapshotStore {
     val refDir = new Path(root, "refs")
     val refIds: Set[Long] =
       if (!f.exists(refDir)) Set.empty
-      else f.listStatus(refDir).toSeq.map(_.getPath)
-        .filterNot(_.getName.startsWith("."))
-        .flatMap { rp =>
-          val in = f.open(rp)
-          try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-            .mkString.trim.toLong)
+      else f.listStatus(refDir).toSeq.map(_.getPath.getName)
+        .filterNot(_.startsWith("."))
+        .flatMap { n =>
+          try branchHead(s, root, n)
           catch { case _: Exception => None }
-          finally in.close()
         }.toSet
+    // the TRUNK HEAD is a retention root too: with branch commits at
+    // the top of the global log, a keepLast window of branch ids
+    // would otherwise delete the newest trunk manifest and orphan
+    // the whole trunk lineage
+    val trunkPin = trunkLatestId(s, root)
+    val pinned = refIds ++ (if (trunkPin >= 0) Set(trunkPin)
+                            else Set.empty[Long])
     val (drop, keep) = {
       val (d, k) = ids.splitAt(math.max(0, ids.length - keepLast))
-      (d.filterNot(refIds), k ++ d.filter(refIds))
+      (d.filterNot(pinned), k ++ d.filter(pinned))
     }
     // retained data dirs: parents of kept data files, plus kept DV
     // sidecar dirs (they live directly under data/)

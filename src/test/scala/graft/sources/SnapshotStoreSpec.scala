@@ -639,6 +639,38 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(SnapshotStore.readBranch(spark, root, "stage").count() == 3)
   }
 
+  test("vacuum pins the trunk head when branch commits top the log") {
+    import spark.implicits._
+    val root = freshRoot()
+    val v0 = SnapshotStore.commit(Seq(1L, 2L).toDF("id"), root)
+    SnapshotStore.createBranch(spark, root, "stage", v0)
+    // the newest GLOBAL ids are all branch commits...
+    SnapshotStore.appendToBranch(Seq(100L).toDF("id"), root, "stage")
+    SnapshotStore.appendToBranch(Seq(101L).toDF("id"), root, "stage")
+    // ...so a keepLast=1 window alone would reclaim the trunk head
+    SnapshotStore.vacuum(spark, root, keepLast = 1, minAgeMs = 0)
+    assert(SnapshotStore.read(spark, root).as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L), "trunk head must survive the reclaim")
+    // and a later trunk append extends it, not an empty base
+    SnapshotStore.appendCommit(Seq(3L).toDF("id"), root)
+    assert(SnapshotStore.read(spark, root).as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("readAsOf travels the trunk only, never a staged branch") {
+    import spark.implicits._
+    val root = freshRoot()
+    val v0 = SnapshotStore.commit(Seq(1L).toDF("id"), root)
+    SnapshotStore.createBranch(spark, root, "stage", v0)
+    SnapshotStore.appendToBranch(Seq(666L).toDF("id"), root, "stage")
+    // "now" is after the staged (possibly unaudited) branch commit,
+    // but unqualified time travel must resolve the trunk head
+    val got = SnapshotStore
+      .readAsOf(spark, root, System.currentTimeMillis() + 60000)
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L), s"staged rows leaked into readAsOf: $got")
+  }
+
   test("shallow clone copies no data and rewrites stay independent") {
     import spark.implicits._
     val root = freshRoot()
