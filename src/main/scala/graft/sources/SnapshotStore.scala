@@ -1488,7 +1488,11 @@ object SnapshotStore {
     * snapshots stay time-travelable for the post-mortem (vacuum
     * reclaims them when policy says so). Returns the new snapshot id. */
   def restore(s: SparkSession, root: String, toId: Long): Long =
-    commitManifest(s, root, manifestLines(s, root, Some(toId)), 10)
+    // strip any ref marker: restoring to a BRANCH snapshot promotes
+    // its content to the trunk — carrying the marker verbatim would
+    // make the restored manifest invisible to trunk resolution
+    commitManifest(s, root, manifestLines(s, root, Some(toId))
+      .filterNot(_.startsWith(RefMarker + "\t")), 10)
 
   /** S23 — restore end-to-end: commit orders (v0), "fat-finger" a
     * destructive overwrite that drops every high-value row (v1), then

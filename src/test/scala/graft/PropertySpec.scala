@@ -187,6 +187,106 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("branch-aware state machine: 40 interleavings keep lineages isolated") {
+    import scala.collection.mutable
+    import graft.sources.SnapshotStore
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_prop_branch").toString + "/t"
+    val rnd = new scala.util.Random(4242)
+    def rows(n: Int): Seq[(Long, Double)] =
+      (0 until n).map(_ => (rnd.nextInt(50).toLong,
+        (rnd.nextInt(1000) + 1).toDouble))
+    def df(r: Seq[(Long, Double)]) = {
+      import spark.implicits._
+      r.toDF("id", "v")
+    }
+    def collect(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq.sorted
+    var trunk: Seq[(Long, Double)] = Nil
+    val branches = mutable.Map.empty[String, Seq[(Long, Double)]]
+    val snapHist = mutable.Map.empty[Long, Seq[(Long, Double)]]
+    def known = SnapshotStore.snapshots(spark, root).toSet
+    def recordNew(content: Seq[(Long, Double)], before: Set[Long]): Unit =
+      (known -- before).foreach(snapHist(_) = content)
+    val names = Seq("b0", "b1", "b2")
+    var pre = Set.empty[Long]
+    SnapshotStore.commit(df(rows(5)), root)
+    trunk = collect(SnapshotStore.read(spark, root))
+    recordNew(trunk, pre)
+    for (step <- 1 to 40) {
+      pre = known
+      rnd.nextInt(9) match {
+        case 0 => // trunk overwrite
+          val r = rows(3 + rnd.nextInt(4))
+          SnapshotStore.commit(df(r), root)
+          trunk = r.sorted; recordNew(trunk, pre)
+        case 1 => // trunk append
+          val r = rows(1 + rnd.nextInt(3))
+          SnapshotStore.appendCommit(df(r), root)
+          trunk = (trunk ++ r).sorted; recordNew(trunk, pre)
+        case 2 => // trunk merge-on-read delete
+          val k = 2 + rnd.nextInt(4); val res = rnd.nextInt(k)
+          SnapshotStore.deleteWhere(spark, root, col("id") % k === res)
+          trunk = trunk.filterNot(t => t._1 % k == res)
+          recordNew(trunk, pre)
+        case 3 => // trunk compaction: content-invariant
+          SnapshotStore.compact(spark, root, targetBytes = 1L << 16)
+          recordNew(trunk, pre)
+        case 4 => // fork a branch at a random recorded snapshot
+          val free = names.filterNot(branches.contains)
+          if (free.nonEmpty && snapHist.nonEmpty) {
+            val ids = snapHist.keys.toSeq.sorted
+            val from = ids(rnd.nextInt(ids.length))
+            SnapshotStore.createBranch(spark, root, free.head, from)
+            branches(free.head) = snapHist(from)
+          }
+        case 5 => // append to a random branch
+          if (branches.nonEmpty) {
+            val n = branches.keys.toSeq.sorted.apply(
+              rnd.nextInt(branches.size))
+            val r = rows(1 + rnd.nextInt(3))
+            SnapshotStore.appendToBranch(df(r), root, n)
+            branches(n) = (branches(n) ++ r).sorted
+            recordNew(branches(n), pre)
+          }
+        case 6 => // fast-forward one branch to another
+          if (branches.size >= 2) {
+            val ns = branches.keys.toSeq.sorted
+            val into = ns(rnd.nextInt(ns.length))
+            val from = ns(rnd.nextInt(ns.length))
+            if (into != from) {
+              SnapshotStore.fastForward(spark, root, into, from)
+              branches(into) = branches(from)
+            }
+          }
+        case 7 => // restore trunk to ANY recorded snapshot — branch
+          // content promotes to trunk with its marker stripped
+          val ids = snapHist.keys.toSeq.sorted
+          val to = ids(rnd.nextInt(ids.length))
+          SnapshotStore.restore(spark, root, to)
+          trunk = snapHist(to); recordNew(trunk, pre)
+        case 8 => // vacuum: all live lineages must survive
+          SnapshotStore.vacuum(spark, root,
+            keepLast = 1 + rnd.nextInt(3), minAgeMs = 0)
+          val live = known
+          snapHist.filterInPlace((id, _) => live(id))
+      }
+      assert(collect(SnapshotStore.read(spark, root)) == trunk,
+        s"step $step: trunk read diverged")
+      branches.foreach { case (n, m) =>
+        assert(collect(SnapshotStore.readBranch(spark, root, n)) == m,
+          s"step $step: branch $n diverged")
+      }
+      if (snapHist.nonEmpty) {
+        val ids = snapHist.keys.toSeq.sorted
+        val probe = ids(rnd.nextInt(ids.length))
+        assert(collect(SnapshotStore.readSnapshot(spark, root,
+          Some(probe))) == snapHist(probe).sorted,
+          s"step $step: snapshot $probe no longer replays")
+      }
+    }
+  }
+
   test("star contraction equals union-find on random adversarial graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
