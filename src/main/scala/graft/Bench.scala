@@ -1,6 +1,93 @@
 package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+
+/** Headline benchmark: run every declarative `SparkEntry` query at
+  * the given scale factor and emit one JSON line of per-query wall
+  * times plus the total.
+  *
+  * A 190-query one-JVM bench is NOT the production shape (one
+  * pipeline per job is) — so between queries the harness actively
+  * scrubs cross-query session state that a long session otherwise
+  * accumulates: catalog-cached relations, forgotten RDD persists,
+  * and GC-pending broadcasts. Without the scrub, late heavy queries
+  * read multiples of their quiet-run cost because stale storage
+  * blocks squat in the unified memory pool and turn their
+  * sorts/joins spill-heavy (round-7 driver run: x34 at 25.6 s vs a
+  * 3.9 s quiet band). Deliberately-shared session caches — the
+  * pipeline kept-list, d6 cluster labels, BPE fits — are
+  * `localCheckpoint(true)` DataFrames whose lineage is TRUNCATED,
+  * so the scrub must not (and does not) unpersist them: dropping
+  * their blocks would be unrecoverable, and their warm-reuse
+  * semantics (x25 after x26, x39 after d6) are part of the measured
+  * contract.
+  *
+  * Each query also records its execution-memory fingerprint
+  * (spill, shuffle I/O, peak execution memory, post-scrub storage
+  * residue) from a task-metrics listener, so a contended run is
+  * diagnosable from the artifact (`BENCH_FULL.json`) instead of
+  * needing a quiet re-run.
+  */
 object Bench {
+
+  /** Task-metric totals since the last [[MetricsListener.drain]] —
+    * attributed to the query that ran in between. The listener bus
+    * is asynchronous, so a tail of events can land after the query's
+    * action returns; attribution is therefore approximate at the
+    * boundary (observability data, not the graded number). */
+  private final class MetricsListener extends SparkListener {
+    private val spillMem = new AtomicLong
+    private val spillDisk = new AtomicLong
+    private val shufRead = new AtomicLong
+    private val shufWrite = new AtomicLong
+    private val peakExec = new AtomicLong
+
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        spillMem.addAndGet(m.memoryBytesSpilled)
+        spillDisk.addAndGet(m.diskBytesSpilled)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        peakExec.accumulateAndGet(m.peakExecutionMemory, math.max)
+      }
+    }
+
+    /** (spillBytes, shuffleReadBytes, shuffleWriteBytes, peakExec) —
+      * then reset for the next query. */
+    def drain(): (Long, Long, Long, Long) = {
+      val t = (spillMem.get + spillDisk.get, shufRead.get,
+        shufWrite.get, peakExec.get)
+      spillMem.set(0); spillDisk.set(0)
+      shufRead.set(0); shufWrite.set(0); peakExec.set(0)
+      t
+    }
+  }
+
+  /** Drop cross-query state a long bench session accumulates.
+    * Catalog-cached relations recompute lazily if a later query
+    * needs them — safe to clear. Persistent RDDs are unpersisted
+    * EXCEPT locally-checkpointed ones: those are the deliberate
+    * session caches (kept-list, cluster labels, planted ANN
+    * fixtures) whose truncated lineage cannot recompute — dropping
+    * their blocks would fail every later consumer, and keeping them
+    * is the measured warm-reuse contract. Returns the storage bytes
+    * still resident after the scrub (the legitimate session-cache
+    * footprint). */
+  private def scrub(spark: SparkSession): Long = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.valuesIterator
+      // isCheckpointed = materialized local (or reliable) checkpoint;
+      // the eager localCheckpoint(true) caches always qualify
+      .filterNot(_.isCheckpointed)
+      .foreach(_.unpersist(blocking = true))
+    spark.sparkContext.getExecutorMemoryStatus.valuesIterator
+      .map { case (max, remaining) => max - remaining }.sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -9,10 +96,16 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the ContextCleaner's driver-GC default is 30 min — longer
+      // than the whole bench, so weak-ref'd broadcast/shuffle state
+      // would never be reclaimed mid-run without this
+      .config("spark.cleaner.periodicGC.interval", "1min")
       // events.parquet carries TIMESTAMP(NANOS) — see Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = new MetricsListener
+    spark.sparkContext.addSparkListener(metrics)
     // Warmup: touch the fact table once so session/codegen/parquet
     // reader startup is not charged to whichever query runs first.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
@@ -21,12 +114,18 @@ object Bench {
     // time, not query latency — so they are excluded by MEMBERSHIP in
     // that module (a name-prefix filter would also drop the m9_*
     // single-pass diagnostic aggregates, which DO belong here).
-    val headline = SparkEntry.queries -- ml.Models.queries.keySet
+    // Sorted name order: deterministic run-to-run, so per-query
+    // numbers are comparable across rounds and any shared-cache
+    // "first consumer pays" cost lands on the same query every time.
+    val headline = (SparkEntry.queries -- ml.Models.queries.keySet)
+      .toSeq.sortBy(_._1)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    var sinceGc = 0
     // A failed query records null (not its time-to-failure) so the
     // headline total only reflects COMPLETED queries.
-    val results: Map[String, Option[Double]] =
+    val results: Seq[(String, Option[Double], (Long, Long, Long, Long, Long))] =
       headline.map { case (name, fn) =>
+        val storageAfterScrub = scrub(spark)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -36,25 +135,44 @@ object Bench {
               System.err.println(s"BENCH FAIL $name: ${e.getMessage}")
               false
           }
-        name -> (if (ok) Some((System.nanoTime() - t0) / 1e9) else None)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (spill, sr, sw, peak) = metrics.drain()
+        // a spilling query is the signal that memory is tight NOW:
+        // force the cleaner's GC immediately instead of waiting for
+        // the periodic tick; otherwise nudge it every 16 queries
+        sinceGc += 1
+        if (spill > (128L << 20) || sinceGc >= 16) {
+          System.gc(); sinceGc = 0
+        }
+        (name, if (ok) Some(sec) else None,
+          (spill, sr, sw, peak, storageAfterScrub))
       }
-    // Sorted keys: the artifact diffs cleanly round-over-round.
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
+    val qs = results.map { case (k, v, _) =>
       s"\"" + k + "\":" + v.fold("null")(_.toString)
     }.mkString("{", ",", "}")
+    def mb(b: Long): String = f"${b / 1048576.0}%.1f"
+    val qm = results.map { case (k, _, (spill, sr, sw, peak, res)) =>
+      s"""\"$k\":{"spill_mb":${mb(spill)},"shuffle_read_mb":${mb(sr)},""" +
+        s""""shuffle_write_mb":${mb(sw)},"peak_exec_mb":${mb(peak)},""" +
+        s""""storage_resident_mb":${mb(res)}}"""
+    }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.flatten.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"ok":${failed.isEmpty},"failed":$failedJson,"queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // The sbt-stdout tail the driver snapshots truncates long lines —
-    // r4 lost 34 of 101 per-query numbers that way. The full artifact
-    // (every per-query time + the explicit total) also lands in a repo
-    // file that survives the round. Repo-relative default (resolves
-    // against the launch cwd) so any checkout location works;
-    // SPARK_GRAFT_BENCH_OUT overrides.
+    val total = results.flatMap(_._2).sum
+    val head = s""""metric":"total","value":$total,"unit":"sec"""" +
+      s""","n_queries":${results.size},"ok":${failed.isEmpty}""" +
+      s""","failed":$failedJson,"queries":$qs,"sf":"$sfDir""""
+    // stdout stays the compact driver contract (the sbt-stdout tail
+    // the driver snapshots truncates long lines — r4 lost 34 of 101
+    // per-query numbers that way)...
+    println(s"{$head}")
+    // ...while the full artifact adds the per-query memory
+    // fingerprint and lands in a repo file that survives the round.
+    // Repo-relative default (resolves against the launch cwd) so any
+    // checkout location works; SPARK_GRAFT_BENCH_OUT overrides.
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "BENCH_FULL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+      s"""{$head,"query_metrics":$qm}""")
     catch { case e: Throwable =>
       System.err.println(s"BENCH_FULL write failed: ${e.getMessage}")
     }

@@ -1141,7 +1141,7 @@ object Dedup {
              cast(len(list_intersect(ta, tb)) AS double)
                / len(list_distinct(list_concat(ta, tb))) AS jac
            FROM cand)
-         SELECT DISTINCT doc_a, doc_b, round(jac, 6) AS jac
+         SELECT DISTINCT doc_a, doc_b, ${Det.sql("jac", 6)} AS jac
          FROM pairs WHERE jac >= 0.6""",
     "d11_delta_dedup" -> d11OracleSql,
     "d11b_delta_dedup_served" -> d11OracleSql,

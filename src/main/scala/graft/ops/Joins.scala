@@ -254,10 +254,10 @@ object Joins {
 
   val oracle: Map[String, String] = Map(
     "j11_jaro_winkler_join" ->
-      """WITH names AS (
+      s"""WITH names AS (
            SELECT DISTINCT p_brand, p_name FROM part)
          SELECT a.p_brand, a.p_name AS name_a, b.p_name AS name_b,
-           round(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+           ${Det.sql("jaro_winkler_similarity(a.p_name, b.p_name)", 6)}
              AS jw_sim
          FROM names a JOIN names b
            ON a.p_brand = b.p_brand AND a.p_name < b.p_name

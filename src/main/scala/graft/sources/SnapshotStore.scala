@@ -107,6 +107,42 @@ object SnapshotStore {
       }
     } catch { case _: Exception => () }
 
+  /** Highest manifest id any vacuum has ever DELETED at this root
+    * (monotonic; -1 before the first deleting vacuum). Vacuum keeps
+    * PINNED old manifests (branch refs, the trunk head) while
+    * deleting unpinned ids above them, so the log can have gaps at
+    * or below this floor — but never above it: ids > floor were
+    * never vacuumed, so the live log is contiguous there. */
+  private def vacuumFloorPath(root: String) = new Path(root, "vacuum.floor")
+
+  private def readFloor(f: FileSystem, root: String): Long =
+    try {
+      val in = f.open(vacuumFloorPath(root))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      txt.toLong
+    } catch { case _: Exception => -1L }
+
+  /** Monotonic best-effort floor write (same contract as
+    * [[writeHint]]: a lost write only weakens the fast path — a
+    * floor that is too LOW makes [[latestId]] trust a probe it
+    * should have cross-checked only if the hint ALSO regressed below
+    * a gap, and the post-vacuum hint refresh makes that a
+    * double-failure corner; a floor too high merely costs a
+    * listing). */
+  private def writeFloor(f: FileSystem, root: String, id: Long): Unit =
+    try {
+      if (readFloor(f, root) < id) {
+        val tmp = new Path(root, s".floor-tmp-${UUID.randomUUID()}")
+        val out = f.create(tmp, true)
+        try out.write(s"$id\n".getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        f.delete(vacuumFloorPath(root), false)
+        if (!f.rename(tmp, vacuumFloorPath(root))) f.delete(tmp, false)
+      }
+    } catch { case _: Exception => () }
+
   /** Resolve the LATEST snapshot id in O(hint lag) instead of
     * O(commits): the `latest.hint` file (the Delta `_last_checkpoint`
     * idea, reduced to a pointer) names a recent id; resolution starts
@@ -115,7 +151,17 @@ object SnapshotStore {
     * after each commit, so a crash can omit it, a slow writer can
     * lag it, and vacuum can delete a regressed hint's manifest; all
     * three only cost extra probes or one fallback listing, never a
-    * wrong answer, because only real manifests are believed. The
+    * wrong answer, because only real manifests are believed. One
+    * hazard needs an explicit guard: vacuum PINS branch-ref'd and
+    * trunk-head manifests while deleting unpinned ids above them, so
+    * a mid-log gap can exist and a hint lagged to a pinned id below
+    * it would stop the probe early — returning a stale latest whose
+    * successor id was already vacuumed, which the next commit would
+    * then RECLAIM, silently forking the log. The guard is the
+    * vacuum floor ([[vacuumFloorPath]]): ids above the floor were
+    * never vacuumed, so a probe result ABOVE the floor proves
+    * contiguity to the true head; a hint-derived result at or below
+    * it is suspect and falls back to the listing (the truth). The
     * directory listing stays the truth for history()/time-travel;
     * this serves the HOT paths — every commit attempt and every
     * latest read — which would otherwise re-list O(commits) names on
@@ -123,11 +169,23 @@ object SnapshotStore {
   private[sources] def latestId(s: SparkSession, root: String): Long = {
     val f = fs(s, root)
     val hinted = readHint(f, root)
-    var k =
-      if (hinted >= 0 && f.exists(manifestPath(root, hinted))) hinted
-      else snapshots(s, root).lastOption.getOrElse(-1L)
-    while (f.exists(manifestPath(root, k + 1))) k += 1
-    k
+    if (hinted >= 0 && f.exists(manifestPath(root, hinted))) {
+      var k = hinted
+      while (f.exists(manifestPath(root, k + 1))) k += 1
+      if (k > readFloor(f, root)) k
+      else {
+        // probe stopped inside the possibly-gapped region: believe
+        // the listing, then re-probe forward past it (a commit can
+        // land between the listing and here)
+        var m = snapshots(s, root).lastOption.getOrElse(-1L).max(k)
+        while (f.exists(manifestPath(root, m + 1))) m += 1
+        m
+      }
+    } else {
+      var k = snapshots(s, root).lastOption.getOrElse(-1L)
+      while (f.exists(manifestPath(root, k + 1))) k += 1
+      k
+    }
   }
 
   /** DESCRIBE HISTORY — one row per committed snapshot: id, commit
@@ -296,6 +354,15 @@ object SnapshotStore {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+        // Not every mount Hadoop reports as scheme "file" supports
+        // link(2) (overlay/network mounts throw FileSystemException /
+        // UnsupportedOperationException). Degrade to exists+rename —
+        // the HDFS-path protocol, with its documented weaker
+        // single-writer-per-instant guarantee — instead of crashing
+        // every commit and leaking the tmp file.
+        case _: java.nio.file.FileSystemException |
+             _: UnsupportedOperationException =>
+          !f.exists(dst) && f.rename(tmp, dst)
       }
     else !f.exists(dst) && f.rename(tmp, dst)
 
@@ -1256,6 +1323,12 @@ object SnapshotStore {
       from: String): Long = {
     val toId = branchHead(s, root, from).getOrElse(
       throw new IllegalArgumentException(s"no branch $from at $root"))
+    // Iceberg's fast_forward requires an existing target ref; without
+    // this check a typo'd `into` would silently MINT a new branch
+    // (updateBranch's delete-then-rename tolerates a missing ref)
+    // instead of failing the publish.
+    require(branchHead(s, root, into).isDefined,
+      s"no branch $into at $root — fast-forward cannot create refs")
     updateBranch(s, root, into, toId)
     toId
   }
@@ -1910,6 +1983,16 @@ object SnapshotStore {
           .map(p => new Path(p).toUri.getPath)).toSet
     val keptFiles = referenced(keep)
     drop.foreach(i => f.delete(manifestPath(root, i), false))
+    if (drop.nonEmpty) {
+      // Deleting unpinned ids above a pinned one punches a mid-log
+      // gap; record the highest deleted id so latestId distrusts any
+      // hint-derived probe that stops at or below it, and refresh
+      // the hint to the global head while the full listing is in
+      // hand — both best-effort, the floor cross-check is the
+      // correctness backstop.
+      writeFloor(f, root, drop.max)
+      writeHint(f, root, ids.last)
+    }
     val dataRoot = new Path(root, "data")
     if (!f.exists(dataRoot)) return 0
     val now = System.currentTimeMillis()

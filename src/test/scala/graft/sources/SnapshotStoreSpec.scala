@@ -779,6 +779,53 @@ class SnapshotStoreSpec extends SparkTestBase {
       .toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("latestId survives a vacuum mid-log gap with a regressed hint " +
+      "— no id reclaim, no forked log") {
+    import spark.implicits._
+    val root = freshRoot()
+    val v0 = SnapshotStore.commit(Seq(1L).toDF("id"), root)
+    SnapshotStore.createBranch(spark, root, "pin", v0) // pins id 0
+    SnapshotStore.commit(Seq(2L).toDF("id"), root)     // id 1
+    SnapshotStore.commit(Seq(3L).toDF("id"), root)     // id 2
+    SnapshotStore.commit(Seq(4L).toDF("id"), root)     // id 3
+    // vacuum deletes unpinned ids 1,2 ABOVE the pinned id 0 →
+    // the manifest log is now gapped: {0, 3}
+    SnapshotStore.vacuum(spark, root, keepLast = 1, minAgeMs = 0)
+    assert(SnapshotStore.snapshots(spark, root) == Seq(0L, 3L))
+    // simulate the slow-writer hint regression the non-atomic
+    // delete+rename permits: the hint lags to the PINNED id below
+    // the gap — the forward probe from 0 stops at the gap
+    val hint = java.nio.file.Path.of(root, "latest.hint")
+    java.nio.file.Files.writeString(hint, "0\n")
+    // the vacuum floor marks ids ≤ 2 as gap-suspect → listing wins
+    assert(SnapshotStore.latestId(spark, root) == 3L)
+    // and the next commit claims a FRESH id (4), never reclaiming a
+    // vacuumed one (1) — which would fork the log between
+    // listing-based readers and hint-based writers
+    val next = SnapshotStore.commit(Seq(5L).toDF("id"), root)
+    assert(next == 4L, s"commit reclaimed a vacuumed id: $next")
+    assert(SnapshotStore.read(spark, root).as[Long].collect()
+      .toSeq == Seq(5L))
+    // vacuum also refreshed the hint to the head while it had the
+    // listing; the regression above was synthetic — a fresh read of
+    // the store must see the new head through the hint fast path
+    assert(java.nio.file.Files.readString(hint).trim == "4")
+  }
+
+  test("fastForward refuses to mint a branch for a typo'd target") {
+    import spark.implicits._
+    val root = freshRoot()
+    val v0 = SnapshotStore.commit(Seq(1L).toDF("id"), root)
+    SnapshotStore.createBranch(spark, root, "exp", v0)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.fastForward(spark, root, "relaese", "exp")
+    }
+    assert(e.getMessage.contains("relaese"))
+    // no ref file was created by the failed publish
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Path.of(root, "refs", "relaese")))
+  }
+
   test("s32 recluster: stats prune after, not before; history intact") {
     val root = freshRoot()
     SnapshotStore.commit(spark.range(0, 4000L)
