@@ -347,16 +347,20 @@ object Dedup {
     * xxhash not reproducible in ANSI SQL); parity with d2 is asserted
     * in ScalaTest (LSH candidates recover all d2 pairs at j >= 0.4
     * w.h.p., and every emitted pair passes the same exact filter). */
-  def d3DedupMinhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def d3DedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    d3PairsOf(Tables.documents(s, dir).select("doc_id", "text"))
+
+  /** The d3 kernel over an arbitrary (doc_id, text) frame — shared
+    * by the corpus query and the planted oracle gate. */
+  private[graft] def d3PairsOf(docsDf: DataFrame): DataFrame = {
     // Explode shingles FIRST, hash each once per seed, then min() in a
     // codegen'd hash aggregate — higher-order array lambdas
     // (transform/aggregate) run on Catalyst's interpreted path and are
     // ~100× slower, and Catalyst may inline them repeatedly across a
     // self-join. The explode+groupBy shape is also the scalable one:
     // one keyed shuffle on doc_id, partial min map-side.
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), shingles.as("sh"))
-    val banded = bandedSignatures(Tables.documents(s, dir))
+    val docs = docsDf.select(col("doc_id"), shingles.as("sh"))
+    val banded = bandedSignatures(docsDf)
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
@@ -384,7 +388,12 @@ object Dedup {
     * candidate; Hamming distance <= 3 guarantees one of 4 chunks
     * matches), verified by exact Hamming distance. No oracle
     * (bit-level hashing) — ScalaTest'd on planted near-dups. */
-  def d4DedupSimhash(s: SparkSession, dir: String): DataFrame = {
+  def d4DedupSimhash(s: SparkSession, dir: String): DataFrame =
+    d4PairsOf(Tables.documents(s, dir).select("doc_id", "text"))
+
+  /** The d4 kernel over an arbitrary (doc_id, text) frame — shared
+    * by the corpus query and the planted oracle gate. */
+  private[graft] def d4PairsOf(docsDf: DataFrame): DataFrame = {
     // The signature is a pure per-document computation — no shuffle at
     // all: a mapPartitions kernel tokenizes, hashes each token once
     // (two murmur32 rounds → 64 bits) and folds ±1 bit counts in a
@@ -392,8 +401,9 @@ object Dedup {
     // explode + 64-column hash-agg (which shuffled 1.5M token rows at
     // sf0.1); only the tiny (doc_id, simhash) table enters the
     // banding join below.
+    val s = docsDf.sparkSession
     import s.implicits._
-    val docs = Tables.documents(s, dir).select("doc_id", "text")
+    val docs = docsDf
       .as[(Long, String)]
       .mapPartitions { it =>
         import scala.util.hashing.MurmurHash3
@@ -448,6 +458,65 @@ object Dedup {
       .filter(col("hamming") <= 3)
       .distinct()
   }
+
+  /** Planted-gate id space for [[d3bMinhashPlantedGate]] /
+    * [[d4bSimhashPlantedGate]] — far above any organic doc_id, and
+    * OffsetA < OffsetB so a planted pair's (min, max) orientation is
+    * closed-form. */
+  private[graft] val GateOffsetA = 1L << 44
+  private[graft] val GateOffsetB = (1L << 44) + (1L << 43)
+
+  /** Synthetic EXACT-duplicate doc pairs with corpus-disjoint
+    * vocabulary, seeded from every [[D7PlantStride]]-th organic
+    * doc_id: copies A (id + OffsetA) and B (id + OffsetB) share the
+    * identical 12-token text `pg<id>t0 … pg<id>t11`, and no token —
+    * hence no 3-gram shingle — appears in any organic document or any
+    * other planted pair. So within the planted id space the ONLY
+    * similarity structure is (A_id, B_id) at Jaccard exactly 1.0 /
+    * Hamming exactly 0, a closed form the DuckDB oracle states from
+    * `documents` alone without reproducing a single hash. */
+  private[graft] def plantedGateDocs(s: SparkSession, dir: String)
+      : DataFrame = {
+    val seeds = Tables.documents(s, dir)
+      .filter(col("doc_id") % D7PlantStride === 0).select("doc_id")
+    val text = concat_ws(" ", (0 until 12).map(j =>
+      concat(lit("pg"), col("doc_id"), lit(s"t$j"))): _*)
+    seeds.select((col("doc_id") + GateOffsetA).as("doc_id"),
+        text.as("text"))
+      .union(seeds.select((col("doc_id") + GateOffsetB).as("doc_id"),
+        text.as("text")))
+  }
+
+  /** D3B — the MinHash-LSH ORACLE GATE (the n7 pattern): run the
+    * full d3 kernel — shingle → 16 minhashes → 4-row bands →
+    * band-bucket join → exact-Jaccard verify — over the organic
+    * corpus UNION the planted pairs, then restrict to the planted id
+    * space. An exact duplicate has the identical shingle set, hence
+    * the identical signature, hence collides in EVERY band with
+    * probability 1 — no LSH luck involved — and its verify score is
+    * exactly 1.0; disjoint vocabulary rules out every other pair in
+    * the restriction. The organic corpus still flows through the
+    * banding join, so the gate exercises the production shuffle
+    * shape, not a toy. Unrestricted d3 stays rows-only: which
+    * ORGANIC near-dups LSH surfaces is hash-scheme-specific by
+    * design (DedupSimSpec pins that envelope). */
+  def d3bMinhashPlantedGate(s: SparkSession, dir: String): DataFrame =
+    d3PairsOf(Tables.documents(s, dir).select("doc_id", "text")
+        .union(plantedGateDocs(s, dir)))
+      .filter(col("doc_a") >= GateOffsetA)
+
+  /** D4B — the SimHash ORACLE GATE: identical construction for d4.
+    * Exact duplicates have identical token streams, hence identical
+    * 64-bit signatures — every 16-bit chunk collides and the exact
+    * Hamming verify reads 0; cross-pair signatures over disjoint
+    * random vocabularies sit ~32 bits apart, astronomically outside
+    * the ≤3 gate (and deterministically so for a fixed corpus — the
+    * oracle sweep would catch a collision, none exists at any test
+    * scale). */
+  def d4bSimhashPlantedGate(s: SparkSession, dir: String): DataFrame =
+    d4PairsOf(Tables.documents(s, dir).select("doc_id", "text")
+        .union(plantedGateDocs(s, dir)))
+      .filter(col("doc_a") >= GateOffsetA)
 
   /** D5 — embedding-cosine near-dup pairs, brute force (the oracle
     * baseline; n2SimLshTopk / n3SimIvfTopk in graft.sim are the
@@ -1011,7 +1080,9 @@ object Dedup {
     "d2b_dedup_ngram_capped" -> d2bDedupNgramCapped,
     "d6_dedup_clusters" -> d6DedupClusters,
     "d3_dedup_minhash_lsh" -> d3DedupMinhashLsh,
+    "d3b_minhash_planted_gate" -> d3bMinhashPlantedGate,
     "d4_dedup_simhash" -> d4DedupSimhash,
+    "d4b_simhash_planted_gate" -> d4bSimhashPlantedGate,
     "d5_dedup_embedding" -> d5DedupEmbedding)
 
   /** Shared d2 shingle/pair CTEs, parameterized by the stop-shingle
@@ -1121,8 +1192,22 @@ object Dedup {
       s"""SELECT doc_id AS a, b$k AS b, toks AS ta, t$k AS tb
           FROM $src WHERE b$k IS NOT NULL""").mkString("\n  UNION ALL\n  ")
 
-  /** DuckDB mirrors. d3/d4 are hash-scheme-specific → rows-only. */
+  /** DuckDB mirrors. d3/d4 are hash-scheme-specific → rows-only;
+    * their planted gates (d3b/d4b) have closed forms. */
   val oracle: Map[String, String] = Map(
+    // the planted pairs are the ONLY similarity structure in the
+    // planted id space (disjoint vocabulary; see plantedGateDocs), so
+    // the gate output is a pure arithmetic projection of `documents`
+    "d3b_minhash_planted_gate" ->
+      s"""SELECT cast($GateOffsetA + doc_id AS bigint) AS doc_a,
+            cast($GateOffsetB + doc_id AS bigint) AS doc_b,
+            cast(1.0 AS double) AS jaccard
+          FROM documents WHERE doc_id % ${D7PlantStride} = 0""",
+    "d4b_simhash_planted_gate" ->
+      s"""SELECT cast($GateOffsetA + doc_id AS bigint) AS doc_a,
+            cast($GateOffsetB + doc_id AS bigint) AS doc_b,
+            cast(0 AS integer) AS hamming
+          FROM documents WHERE doc_id % ${D7PlantStride} = 0""",
     "d13_dedup_sorted_neighborhood" ->
       s"""WITH toks AS (
            SELECT doc_id,

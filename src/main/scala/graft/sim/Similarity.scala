@@ -321,8 +321,15 @@ object Similarity {
     topKRanked(scored, 5)
   }
 
-  private val PqM = 8       // subspaces (64 dims → 8 × 8)
-  private val PqSubDim = 8  // dims per subspace
+  // 16 × 4-dim subspaces (was 8 × 8): same fit/encode/LUT flops
+  // (M·K·subdim invariant), 2× the ADC adds and 16 B codes (16×
+  // compression of the 64-float vector) — bought because the measured
+  // 50k probe put the 8×8 ADC ordering noise, not routing, at the
+  // bottom of n6's recall gap: 8×8 read n4 0.667 / n6 0.709; 16×4
+  // reads n4 0.971 / n6 0.757 vs the 0.764 routing ceiling
+  // (BASELINE.md round-8 recall campaign).
+  private val PqM = 16      // subspaces (64 dims → 16 × 4)
+  private val PqSubDim = 4  // dims per subspace
   private val PqK = 32      // centroids per subspace → 5-bit codes
   private val PqRerank = 25 // exact re-rank depth floor before top-5
 
@@ -597,9 +604,9 @@ object Similarity {
     * encodes the RESIDUAL v − centroid with that CELL's own codebook:
     * residuals are centered near zero and orientation-consistent
     * within a cell, so each small codebook only models local
-    * structure (the Jégou IVFADC argument; per-cell books are the
-    * LOPQ refinement of Kalantidis & Avrithis 2014, minus the local
-    * rotation).
+    * structure (the Jégou IVFADC argument; per-cell books PLUS the
+    * per-cell OPQ rotation below are the full LOPQ construction of
+    * Kalantidis & Avrithis 2014 — see [[opqFit]]).
     *
     * Shape: (a) coarse centers + per-cell residual codebooks train
     * driver-locally on the capped key-hash sample (the model is
@@ -770,11 +777,14 @@ object Similarity {
       col("vec_id") >= graft.dedup.Dedup.D7PlantOffset, k = 1)
   }
 
-  /** The trained IVF-PQ index: coarse centroids + one PQ codebook
-    * array per cell (thin cells share the global books by
-    * reference). */
+  /** The trained IVF-PQ index: coarse centroids, one PQ codebook
+    * array per cell, and one LOCAL ROTATION per cell (row-major d×d;
+    * thin cells share the global books + global rotation by
+    * reference — Java serialization keeps the sharing in the
+    * broadcast and the n8 blob). */
   private[graft] type IvfPqModel =
-    (Array[Array[Double]], Array[Array[Array[Array[Double]]]])
+    (Array[Array[Double]], Array[Array[Array[Array[Double]]]],
+      Array[Array[Array[Double]]])
 
   /** The n6 body over an arbitrary (vec_id, embedding) corpus and
     * query predicate — shared by the gated n6 query and the n7
@@ -835,21 +845,122 @@ object Similarity {
     val byCell: Map[Int, Array[Array[Float]]] = sample
       .map(v => (bestCell(v), v)).groupBy(_._1)
       .map { case (c, vs) => (c, vs.map { case (_, v) => residual(v, c) }) }
-    def trainBooks(pts: Array[Array[Float]]): Array[Array[Array[Double]]] =
-      Array.tabulate(PqM) { m =>
-        lloyd(pts.map(v =>
-          java.util.Arrays.copyOfRange(v, m * PqSubDim, (m + 1) * PqSubDim)),
-          PqK, iters = 10)
-      }
-    val globalBooks = trainBooks(sample.map(v => residual(v, bestCell(v))))
-    // one book array per cell; thin cells SHARE the global books by
-    // reference (Java serialization keeps the sharing in the broadcast)
-    val books: Array[Array[Array[Array[Double]]]] =
+    val (globalRot, globalBooks) =
+      opqFit(sample.map(v => residual(v, bestCell(v))))
+    // one (rotation, book array) per cell; thin cells SHARE the
+    // global pair by reference (Java serialization keeps the sharing
+    // in the broadcast)
+    val fitted: Array[(Array[Array[Double]], Array[Array[Array[Double]]])] =
       Array.tabulate(cells) { c =>
         byCell.get(c).filter(_.length >= 2 * PqK)
-          .map(trainBooks).getOrElse(globalBooks)
+          .map(r => opqFit(r)).getOrElse((globalRot, globalBooks))
       }
-    (cents, books)
+    (cents, fitted.map(_._2), fitted.map(_._1))
+  }
+
+  /** Apply a row-major rotation to a float vector (identity when the
+    * matrix is empty — kept as a sentinel nowhere today, but cheap to
+    * honor). Output as floats: the codebooks train and encode in the
+    * same float-rounded rotated space, so trainer and encoder see
+    * bit-identical inputs. */
+  private def applyRot(r: Array[Array[Double]], v: Array[Float])
+      : Array[Float] =
+    if (r.length == 0) v
+    else Array.tabulate(v.length) { i =>
+      val row = r(i)
+      var s = 0.0; var j = 0
+      while (j < v.length) { s += row(j) * v(j); j += 1 }
+      s.toFloat
+    }
+
+  private def trainBooks(pts: Array[Array[Float]])
+      : Array[Array[Array[Double]]] =
+    Array.tabulate(PqM) { m =>
+      lloyd(pts.map(v =>
+        java.util.Arrays.copyOfRange(v, m * PqSubDim, (m + 1) * PqSubDim)),
+        PqK, iters = 10)
+    }
+
+  /** Nearest-codeword reconstruction of one (rotated) residual — the
+    * OPQ inner loop's q(Rx). */
+  private def reconstruct(books: Array[Array[Array[Double]]],
+      xr: Array[Float]): Array[Double] = {
+    val y = new Array[Double](xr.length)
+    var m = 0
+    while (m < PqM) {
+      val centsM = books(m)
+      var best = 0; var bestD = Double.MaxValue
+      var cc = 0
+      while (cc < centsM.length) {
+        var dist = 0.0; var j = 0
+        while (j < PqSubDim) {
+          val df = xr(m * PqSubDim + j) - centsM(cc)(j)
+          dist += df * df; j += 1
+        }
+        if (dist < bestD) { bestD = dist; best = cc }
+        cc += 1
+      }
+      System.arraycopy(centsM(best), 0, y, m * PqSubDim, PqSubDim)
+      m += 1
+    }
+    y
+  }
+
+  /** Non-parametric OPQ (Ge et al. 2013, "Optimized product
+    * quantization", §4; per-cell application = the LOPQ local
+    * rotations of Kalantidis & Avrithis 2014): alternate
+    *   (a) train/encode PQ books on the ROTATED residuals Rx,
+    *   (b) update R = argmin_{R orthogonal} Σ‖Rx − q(Rx)‖² — the
+    *       orthogonal-Procrustes closed form R = UVᵀ from
+    *       svd(Σ q(Rx)·xᵀ).
+    * A rotation aligns each cell's residual distribution with the
+    * axis-aligned subspace split, cutting the cross-subspace
+    * correlation that PQ cannot model — measured here as the n6
+    * recall gap to its n3 routing ceiling (0.709 vs 0.764 at 50k,
+    * BASELINE.md round-6/8 notes). Deterministic: Lloyd is
+    * deterministic, the iteration count is fixed, and LAPACK's SVD
+    * is a pure function of its input on a fixed runtime (sign flips
+    * pair between U and V columns, so UVᵀ is unaffected). */
+  private def opqFit(resid: Array[Array[Float]], iters: Int = 4)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val d = resid(0).length
+    var rot = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var books: Array[Array[Array[Double]]] = null
+    var t = 0
+    while (t <= iters) {
+      val xr = resid.map(applyRot(rot, _))
+      books = trainBooks(xr)
+      if (t < iters) {
+        val a = Array.fill(d, d)(0.0)
+        var p = 0
+        while (p < resid.length) {
+          val y = reconstruct(books, xr(p))
+          val x = resid(p)
+          var i = 0
+          while (i < d) {
+            val yi = y(i); val ai = a(i)
+            var j = 0
+            while (j < d) { ai(j) += yi * x(j); j += 1 }
+            i += 1
+          }
+          p += 1
+        }
+        rot = procrustes(a)
+      }
+      t += 1
+    }
+    (rot, books)
+  }
+
+  /** R = UVᵀ for svd(A) — the orthogonal matrix nearest (in
+    * Frobenius norm) to mapping x-space onto the reconstruction
+    * space. Breeze delegates to LAPACK dgesdd (in Spark's jars). */
+  private def procrustes(a: Array[Array[Double]]): Array[Array[Double]] = {
+    val d = a.length
+    val m = breeze.linalg.DenseMatrix.tabulate(d, d)((i, j) => a(i)(j))
+    val s = breeze.linalg.svd(m)
+    val r = s.U * s.Vt
+    Array.tabulate(d, d)((i, j) => r(i, j))
   }
 
   /** Encode phase: route every vector to its cell and quantize the
@@ -861,7 +972,7 @@ object Similarity {
     emb.select("vec_id", "embedding")
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val (cs, bks) = bcModel.value
+        val (cs, bks, rts) = bcModel.value
         it.map { case (id, v) =>
           var nv = 0.0
           var i = 0; while (i < v.length) { nv += v(i).toDouble * v(i); i += 1 }
@@ -879,6 +990,11 @@ object Similarity {
           }
           val cb = bks(cell)
           val ct = cs(cell)
+          // residual, rotated into the cell's OPQ frame — the exact
+          // float-rounded space the cell's books trained in
+          val resid = Array.tabulate(v.length)(j =>
+            (v(j) - ct(j)).toFloat)
+          val rr = applyRot(rts(cell), resid)
           val code = new Array[Byte](PqM)
           var m = 0
           while (m < PqM) {
@@ -888,8 +1004,7 @@ object Similarity {
             while (cc < centsM.length) {
               var dist = 0.0; var j = 0
               while (j < PqSubDim) {
-                val df = (v(m * PqSubDim + j) - ct(m * PqSubDim + j)) -
-                  centsM(cc)(j)
+                val df = rr(m * PqSubDim + j) - centsM(cc)(j)
                 dist += df * df; j += 1
               }
               if (dist < bestD) { bestD = dist; best = cc }
@@ -941,7 +1056,7 @@ object Similarity {
     val approx = codes.repartition(col("cell"))
       .as[(Long, Int, Array[Byte], Double)]
       .mapPartitions { it =>
-        val (cs, bks) = bcModel.value
+        val (cs, bks, rts) = bcModel.value
         val qs = bcQ.value
         // cell -> queries probing it (q kept raw; LUT deferred)
         val probing = new java.util.HashMap[Int,
@@ -978,6 +1093,10 @@ object Similarity {
               else {
                 val cb = bks(cell)
                 buf.iterator.map { case (qid, qn, qdotc, q) =>
+                  // codes live in the cell's rotated OPQ frame:
+                  // dot(q, r) = dot(Rq, Rr) ≈ Σ_m lut[code_m] with
+                  // the LUT built from the ROTATED query
+                  val qr = applyRot(rts(cell), q)
                   val lut = new Array[Double](PqM * PqK)
                   var m = 0
                   while (m < PqM) {
@@ -986,7 +1105,7 @@ object Similarity {
                     while (cc < centsM.length) {
                       var dot = 0.0; var j = 0
                       while (j < PqSubDim) {
-                        dot += q(m * PqSubDim + j).toDouble * centsM(cc)(j)
+                        dot += qr(m * PqSubDim + j).toDouble * centsM(cc)(j)
                         j += 1
                       }
                       lut(m * PqK + cc) = dot
@@ -1013,12 +1132,16 @@ object Similarity {
         }
       }.toDF("q_id", "neighbor_id", "approx_cosine")
     // deeper floor than n4: the probed set is already nprobe/cells of
-    // the corpus, so a 2× candidate depth costs 2× a small number of
+    // the corpus, so a 4× candidate depth costs 4× a small number of
     // exact cosines while recovering the ADC ordering error ON TOP of
-    // the routing loss (n6's recall ceiling is n3's routing recall)
+    // the routing loss (n6's recall ceiling is n3's routing recall).
+    // The dial is from the measured 50k probe (BASELINE.md round-8):
+    // 2× read 0.704–0.709 against the 0.764 ceiling; 4× plus the
+    // 16-subspace codes reads 0.757 — 99% of the ceiling — while
+    // exact-scoring ~16% of the probed set.
     val cand = graft.plans.TopK.topKPerKey(approx, Seq(col("q_id")),
       Seq(col("approx_cosine").desc, col("neighbor_id").asc),
-      2 * n4RerankDepth(total))
+      4 * n4RerankDepth(total))
     val scored = cand.select("q_id", "neighbor_id")
       .join(emb.select(col("vec_id").as("q_id"),
         col("embedding").as("q_embedding")), "q_id")

@@ -327,9 +327,82 @@ object BpeMerges {
       .toDF("doc_id", "n_char_tokens", "n_bpe_tokens")
   }
 
+  /** Merge count for the [[x22bBpeMergesGate]] oracle gate: small
+    * enough that the DuckDB replay (one MATERIALIZED CTE pair per
+    * step) stays sub-second at sf0.1, large enough to exercise every
+    * fit mechanism several times over — weighted pair counting, the
+    * (count desc, left, right) argmax tie-break, and greedy
+    * left-to-right merge application including the multi-character
+    * ranks that only appear after earlier merges land. */
+  private[graft] val GateMerges = 12
+
+  /** X22B — the BPE-fit ORACLE GATE (the n7 pattern, for the
+    * tokenizer trainer): the first [[GateMerges]] rows of the learned
+    * merge table, which the DuckDB oracle re-derives INDEPENDENTLY by
+    * replaying the fit — per step, weighted adjacent-pair counts over
+    * the current vocabulary segmentation, argmax with the identical
+    * tie-break, then the greedy left-to-right merge as a list_reduce
+    * fold (the accumulator is the merged word joined on '~', a
+    * character the [a-z]+ word convention excludes; "last symbol = l
+    * and next = r → replace last with lr" replicates the
+    * skip-after-merge scan exactly, because lr ≠ l for nonempty r).
+    * Greedy BPE is a prefix-deterministic sequence, so gating the
+    * first 12 merges value-gates the machinery the full 1000-cap
+    * x22/x23 run on; the full table stays rows-only (a 1000-step SQL
+    * unroll buys no additional coverage at real oracle cost). */
+  def x22bBpeMergesGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    learnedMerges(s, dir).take(GateMerges)
+      .toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** One replay step of the oracle: p$i picks step i's merge from
+    * v${i-1}'s segmentation; v$i applies it. MATERIALIZED is
+    * load-bearing — DuckDB inlines plain CTEs, and a 12-step chain
+    * re-evaluated per reference is exponential. */
+  private def bpeGateStepSql(i: Int): String = {
+    val prev = s"v${i - 1}"
+    s"""p$i AS MATERIALIZED (
+       |  SELECT z[1] AS pa, z[2] AS pb, sum(f) AS n
+       |  FROM (SELECT f, unnest(list_zip(syms[1:len(syms)-1], syms[2:])) AS z
+       |        FROM $prev WHERE len(syms) >= 2)
+       |  GROUP BY 1, 2 ORDER BY n DESC, pa, pb LIMIT 1),
+       |v$i AS MATERIALIZED (
+       |  SELECT f, CASE WHEN len(syms) < 2 THEN syms
+       |    ELSE string_split(
+       |      list_reduce(syms, (acc, x) -> CASE
+       |        WHEN regexp_extract(acc, '[^~]*$$') = p$i.pa AND x = p$i.pb
+       |        THEN concat(
+       |          left(acc, length(acc) - length(regexp_extract(acc, '[^~]*$$'))),
+       |          p$i.pa, p$i.pb)
+       |        ELSE concat(acc, '~', x) END), '~') END AS syms
+       |  FROM $prev, p$i)""".stripMargin
+  }
+
+  private[graft] def bpeGateOracleSql: String = {
+    val steps = (1 to GateMerges).map(bpeGateStepSql).mkString(",\n")
+    val out = (1 to GateMerges).map(i =>
+      s"""SELECT cast(${i - 1} AS int) AS rank, pa AS "left",
+         |  pb AS "right", cast(n AS bigint) AS pair_count FROM p$i"""
+        .stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents),
+       |vcap AS (
+       |  SELECT word, cast(count(*) AS bigint) AS f FROM words
+       |  GROUP BY word ORDER BY f DESC, word LIMIT $VocabCap),
+       |v0 AS (
+       |  SELECT f, regexp_extract_all(substr(word, 1, $WordLimit), '.') AS syms
+       |  FROM vcap),
+       |$steps
+       |SELECT * FROM ($out)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x22_bpe_merges" -> x22BpeMerges,
+    "x22b_bpe_merges_gate" -> x22bBpeMergesGate,
     "x23_bpe_tokenize" -> x23BpeTokenize)
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "x22b_bpe_merges_gate" -> bpeGateOracleSql)
 }

@@ -203,6 +203,29 @@ object TextAnalysis {
       .orderBy(col("count_lb").desc, col("token"))
       .limit(20)
 
+  /** X9B — the Misra–Gries ORACLE GATE (the n7 planted-gate pattern,
+    * for sketches): run the IDENTICAL k=64 summary — same Aggregator,
+    * same partial/merge path across partitions — over a stream whose
+    * key domain is bounded UNDER the sketch capacity (token length
+    * capped at 30 → ≤ 31 distinct keys). With distinct ≤ k the update
+    * rule never decrements and the shuffle merge never truncates, so
+    * every reported lower bound is the EXACT count and the output
+    * equals a plain GROUP BY — a closed form DuckDB states directly.
+    * This value-gates the sketch machinery itself (per-partition
+    * folds, map-side summaries, the Agarwal et al. merge); the
+    * unbounded-domain x9 keeps its rows-only + envelope-spec
+    * contract, which is the honest claim for a lossy summary. */
+  def x9bHeavyHittersGate(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens).as("token"))
+      .select(least(length(col("token")), lit(30)).cast("string")
+        .as("len_key"))
+      .agg(graft.functions.HeavyHitters.heavyHitters(64)(col("len_key"))
+        .as("hh"))
+      .select(explode(col("hh")).as(Seq("len_key", "count_lb")))
+      .orderBy(col("count_lb").desc, col("len_key"))
+      .limit(20)
+
   /** X10 — the native `ngrams` UDTF ([[graft.functions.NGramGenerator]])
     * in anger: every 3-token window of every document with its
     * position, streamed through GenerateExec with no intermediate
@@ -1124,10 +1147,19 @@ object TextAnalysis {
     "x6_corpus_curation" -> x6CorpusCuration,
     "x7_token_vocab" -> x7TokenVocab,
     "x9_heavy_hitters" -> x9HeavyHitters,
+    "x9b_heavy_hitters_gate" -> x9bHeavyHittersGate,
     "x10_ngrams" -> x10Ngrams,
     "x11_bm25" -> x11Bm25)
 
   val oracle: Map[String, String] = Map(
+    // distinct ≤ 31 keys < k=64 ⇒ the Misra–Gries summary is exact
+    // and equals the plain GROUP BY (see x9bHeavyHittersGate)
+    "x9b_heavy_hitters_gate" ->
+      """SELECT cast(least(length(token), 30) AS varchar) AS len_key,
+           cast(count(*) AS bigint) AS count_lb
+         FROM (SELECT unnest(string_split(text, ' ')) AS token
+               FROM documents)
+         GROUP BY 1 ORDER BY count_lb DESC, len_key LIMIT 20""",
     // the oracle uses the textbook plan (global quality sort +
     // running-sum window) — the histogram-threshold engine plan must
     // reproduce its kept set exactly, boundary tie-breaks included

@@ -72,6 +72,18 @@ class BpeSpec extends SparkTestBase {
     }
   }
 
+  test("x22b gate is the exact 12-row prefix of the full fit") {
+    val full = BpeMerges.x22BpeMerges(spark, sfSmoke).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val gate = BpeMerges.x22bBpeMergesGate(spark, sfSmoke).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(gate.length == 12)
+    // greedy BPE is prefix-deterministic: the gate's 12 rows ARE the
+    // head of the 1000-cap table, so the DuckDB replay that
+    // hash-gates the gate transitively pins the full fit's mechanism
+    assert(gate.toSeq == full.take(12).toSeq)
+  }
+
   test("learnLocal reproduces the distributed merge table exactly") {
     import spark.implicits._
     val vocab = Seq(("hug", 10L), ("pug", 5L), ("pun", 12L),

@@ -562,4 +562,21 @@ class DedupSimSpec extends SparkTestBase {
     assert(r.filter(col("rank") < 1 || col("rank") > 5).count() == 0)
     r.unpersist()
   }
+
+  test("d3b/d4b planted gates: closed form holds — every planted pair, " +
+      "nothing else, through the full kernels") {
+    import spark.implicits._
+    val expected = Tables.documents(spark, sfSmoke)
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(expected.nonEmpty)
+    val d3b = Dedup.d3bMinhashPlantedGate(spark, sfSmoke).collect()
+    assert(d3b.map(_.getLong(0) - (1L << 44)).toSet == expected)
+    assert(d3b.forall(r =>
+      r.getLong(1) - r.getLong(0) == (1L << 43) && r.getDouble(2) == 1.0))
+    val d4b = Dedup.d4bSimhashPlantedGate(spark, sfSmoke).collect()
+    assert(d4b.map(_.getLong(0) - (1L << 44)).toSet == expected)
+    assert(d4b.forall(r =>
+      r.getLong(1) - r.getLong(0) == (1L << 43) && r.getInt(2) == 0))
+  }
 }

@@ -84,4 +84,20 @@ class HeavyHittersSpec extends SparkTestBase {
     try q.processAllAvailable() finally q.stop()
     assert(SnapshotStore.read(spark, s"$base/state").count() <= k)
   }
+
+  test("x9b gate: bounded domain under k ⇒ the sketch IS the exact " +
+      "group-by (the oracle's closed form)") {
+    import org.apache.spark.sql.functions._
+    val got = graft.text.TextAnalysis
+      .x9bHeavyHittersGate(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = graft.Tables.documents(spark, sfSmoke)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .select(least(length(col("t")), lit(30)).cast("string").as("k"))
+      .groupBy("k").count()
+      .orderBy(col("count").desc, col("k"))
+      .limit(20).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
 }
