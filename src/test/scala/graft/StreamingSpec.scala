@@ -8,7 +8,21 @@ import graft.sources.SnapshotStore
 
 /** Batch-parity of the Structured Streaming window aggregations: the
   * streaming twin over the same parquet must produce exactly the rows
-  * of the batch query once all data is processed. */
+  * of the batch query once all data is processed.
+  *
+  * Regenerated-testdata robustness (round-8 audit of the max-ts
+  * flake class — an assertion is fragile iff it needs the corpus
+  * maximum timestamp to fall conveniently relative to a window or
+  * watermark boundary): window-agg parity runs in COMPLETE mode (no
+  * watermark withholding); the one append-mode windowed test
+  * (session_window) asserts suffix-tolerance instead of equality —
+  * the r6 fix; stream-stream parity is an INNER join, which emits on
+  * match rather than on watermark advance; dedup/curation/quality/
+  * drift parity is per-row or forced single-batch; funnel state is
+  * update-mode (every state change reaches the sink); WatermarkSpec
+  * drives a synthetic fixture with hand-placed timestamps. No
+  * assertion in this suite depends on where the generated corpus's
+  * max ts lands. */
 class StreamingSpec extends SparkTestBase {
 
   private def runToCompletion(df: org.apache.spark.sql.DataFrame,
