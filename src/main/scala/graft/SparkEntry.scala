@@ -8,7 +8,7 @@ import graft.ops.{Aggregates, BloomJoin, Expectations, Joins, Ordering,
   PageRank, Relational, Reshape, SkewJoin, Sketches, SqlSurface,
   TemporalJoins}
 import graft.plans.TopK
-import graft.sim.Similarity
+import graft.sim.{HybridRetrieval, Similarity}
 import graft.sources.{BloomSkip, Bucketing, MergeInto,
   PartitionPruning, SnapshotStore, ZOrder}
 import graft.pipeline.CurationPipeline
@@ -43,7 +43,8 @@ object SparkEntry {
       Expectations.queries ++ PartitionPruning.queries ++
       BpeMerges.queries ++ BloomSkip.queries ++
       QualityClassifier.queries ++ PageRank.queries ++
-      CurationPipeline.queries ++ Chunking.queries
+      CurationPipeline.queries ++ Chunking.queries ++
+      HybridRetrieval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -59,5 +60,6 @@ object SparkEntry {
       Expectations.oracle ++ PartitionPruning.oracle ++
       BpeMerges.oracle ++ BloomSkip.oracle ++
       QualityClassifier.oracle ++ PageRank.oracle ++
-      CurationPipeline.oracle ++ Chunking.oracle
+      CurationPipeline.oracle ++ Chunking.oracle ++
+      HybridRetrieval.oracle
 }

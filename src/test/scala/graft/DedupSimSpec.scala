@@ -563,6 +563,45 @@ class DedupSimSpec extends SparkTestBase {
     r.unpersist()
   }
 
+  test("x47 hybrid retrieval: contiguous fused ranks, RRF arithmetic, " +
+      "rank dominance, no cartesian in the lexical arm") {
+    import graft.sim.HybridRetrieval
+    val r = HybridRetrieval.x47HybridRetrieval(spark, sfTest).cache()
+    // 10 fused results per query, ranks contiguous from 1
+    val perQ = r.groupBy("q_id").agg(
+      count(lit(1)).as("n"), max("fused_rank").as("mx"),
+      min("fused_rank").as("mn")).collect()
+    assert(perQ.nonEmpty)
+    perQ.foreach { row =>
+      assert(row.getLong(1) == 10 && row.getInt(2) == 10
+        && row.getInt(3) == 1, s"bad rank shape: $row")
+    }
+    // the fused score IS the RRF formula over the arm ranks
+    r.collect().foreach { row =>
+      val (lex, sem) = (row.getInt(3), row.getInt(4))
+      val want = (if (lex > 0) 1.0 / (60 + lex) else 0.0) +
+        (if (sem > 0) 1.0 / (60 + sem) else 0.0)
+      val got = row.getDouble(5)
+      assert(math.abs(got - want) < 2e-6, s"rrf mismatch: $row vs $want")
+    }
+    // dominance: a doc ranked in BOTH arms beats one ranked only in
+    // ONE arm at an equal-or-worse position (RRF monotonicity)
+    val both = r.filter(col("lex_rank") > 0 && col("sem_rank") > 0)
+    val single = r.filter((col("lex_rank") === 0) =!=
+      (col("sem_rank") === 0))
+    val viol = both.as("b").join(single.as("s"), Seq("q_id"))
+      .filter(col("s.lex_rank") + col("s.sem_rank") >=
+        greatest(col("b.lex_rank"), col("b.sem_rank")) &&
+        col("s.fused_rank") < col("b.fused_rank"))
+    assert(viol.count() == 0, "single-arm doc outranked a dominated " +
+      "both-arm doc")
+    // the lexical arm is an inverted-index JOIN, never a cartesian
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"lexical arm must join on token:\n$plan")
+    r.unpersist()
+  }
+
   test("d3b/d4b planted gates: closed form holds — every planted pair, " +
       "nothing else, through the full kernels") {
     import spark.implicits._
