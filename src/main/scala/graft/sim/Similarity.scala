@@ -921,7 +921,7 @@ object Similarity {
     * deterministic, the iteration count is fixed, and LAPACK's SVD
     * is a pure function of its input on a fixed runtime (sign flips
     * pair between U and V columns, so UVᵀ is unaffected). */
-  private def opqFit(resid: Array[Array[Float]], iters: Int = 4)
+  private def opqFit(resid: Array[Array[Float]], iters: Int = 2)
       : (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val d = resid(0).length
     var rot = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)

@@ -453,6 +453,74 @@ object TextAnalysis {
       .select("doc_id", "lang")
   }
 
+  /** X48 — DOMAIN REWEIGHTING from excess loss (the DoReMi idea —
+    * Xie et al. 2023, "Doremi: Optimizing data mixtures speeds up
+    * language model pretraining" — reduced to one deterministic
+    * analytic step): for each `source` domain, measure how much
+    * worse the SHARED corpus unigram LM scores the domain's tokens
+    * than the domain's OWN unigram LM — the per-token excess NLL
+    *   excess(d) = mean_d[−ln p_corpus(t)] − mean_d[−ln p_d(t)] ≥ 0
+    * (non-negative by Gibbs' inequality over the same token stream).
+    * A high-excess domain is one a shared model underserves, so the
+    * mixture upweights it:  w(d) ∝ share(d) · (1 + excess(d)),
+    * normalized. The exp(η·excess) of the paper's multiplicative-
+    * weights step is LINEARIZED to its first-order form — libm exp
+    * is not bit-portable across engines, and the 1e−6-quantized
+    * linear step is hash-gateable while keeping the paper's
+    * monotone-in-excess behavior (documented deviation, not an
+    * accident).
+    *
+    * Shape at 100 TB: one (source, token)-keyed aggregate — the x7
+    * vocab pass with the domain key attached — then every LM
+    * quantity folds FROM that table (domain totals, corpus counts,
+    * corpus total), so the corpus is scanned once; the NLL sums
+    * reuse the x12 discipline (per-token −ln p quantized to 1e−4
+    * integers, summed as longs — order-independent, cross-engine
+    * exact), the normalizer sums 1e−6-quantized weight terms as
+    * longs, and the output weights are long/long divisions. */
+  def x48DomainReweight(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val dt = docs.select(col("source"), explode(tokens).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c_dt"))
+      // feeds THREE folds below — unmaterialized, each would re-run
+      // the corpus scan + the (source, token) shuffle
+      .localCheckpoint(true)
+    val dTot = dt.groupBy("source").agg(sum("c_dt").as("n_d"))
+    val ct = dt.groupBy("t").agg(sum("c_dt").as("c_t"))
+    val nTot = dTot.agg(sum("n_d").as("n"))
+    val nllQ = (num: org.apache.spark.sql.Column,
+        den: org.apache.spark.sql.Column) =>
+      floor(log(num.cast("double") / den.cast("double")) * 10000.0
+        + 0.5).cast("long")
+    val perDomain = dt
+      .join(ct, "t")
+      .join(dTot, "source")
+      .crossJoin(broadcast(nTot))
+      .select(col("source"), col("n_d"),
+        (col("c_dt") * nllQ(col("n_d"), col("c_dt"))).as("ref_m"),
+        (col("c_dt") * nllQ(col("n"), col("c_t"))).as("proxy_m"))
+      .groupBy("source")
+      .agg(first("n_d").as("n_d"), sum("ref_m").as("ref_m"),
+        sum("proxy_m").as("proxy_m"))
+    val nDocs = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    // excess per token (micro-NLL longs → double mean), then the
+    // 1e−6-quantized weight term; share(d) = n_d/n
+    val scored = perDomain.crossJoin(broadcast(nTot))
+      .withColumn("excess",
+        greatest((col("proxy_m") - col("ref_m")).cast("double")
+          / (lit(10000.0) * col("n_d").cast("double")), lit(0.0)))
+      .withColumn("term_q",
+        floor(col("n_d").cast("double") / col("n").cast("double")
+          * (lit(1.0) + col("excess")) * 1e6 + 0.5).cast("long"))
+    val termTot = scored.agg(sum("term_q").as("term_tot"))
+    scored.crossJoin(broadcast(termTot))
+      .join(nDocs, "source")
+      .select(col("source"), col("n_docs"), col("n_d").as("n_tokens"),
+        Det.r6(col("excess")).as("excess_nll"),
+        Det.r6(col("term_q").cast("double")
+          / col("term_tot").cast("double")).as("weight"))
+  }
+
   /** X17 — deterministic training shards: the global-shuffle + shard
     * step every pretraining corpus pays between curation and
     * tokenization. Shard assignment derives from the o3/x14
@@ -1129,6 +1197,7 @@ object TextAnalysis {
     "x31_domain_caps" -> x31DomainCaps,
     "x33_bigram_nll" -> x33BigramNll,
     "x37_temperature_mixture" -> x37TemperatureMixture,
+    "x48_domain_reweight" -> x48DomainReweight,
     "x38_ks_test" -> x38KsTest,
     "x30_dsir_selection" -> x30DsirSelection,
     "x28_distribution_drift" -> x28DistributionDrift,
@@ -1152,6 +1221,52 @@ object TextAnalysis {
     "x11_bm25" -> x11Bm25)
 
   val oracle: Map[String, String] = Map(
+    // the linearized DoReMi step replayed fold-for-fold: same 1e−4
+    // NLL quantization, same 1e−6 weight terms, same long divisions
+    "x48_domain_reweight" ->
+      """WITH dt AS (
+           SELECT source, token, cast(count(*) AS bigint) AS c_dt
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+                 FROM documents)
+           GROUP BY 1, 2),
+         dtot AS (SELECT source, cast(sum(c_dt) AS bigint) AS n_d
+                  FROM dt GROUP BY 1),
+         ctok AS (SELECT token, cast(sum(c_dt) AS bigint) AS c_t
+                  FROM dt GROUP BY 1),
+         ntot AS (SELECT cast(sum(n_d) AS bigint) AS n FROM dtot),
+         perdom AS (
+           SELECT dt.source, any_value(dtot.n_d) AS n_d,
+             cast(sum(c_dt * cast(floor(ln(cast(dtot.n_d AS double)
+               / cast(c_dt AS double)) * 10000.0 + 0.5) AS bigint))
+               AS bigint) AS ref_m,
+             cast(sum(c_dt * cast(floor(ln(cast(ntot.n AS double)
+               / cast(ctok.c_t AS double)) * 10000.0 + 0.5) AS bigint))
+               AS bigint) AS proxy_m
+           FROM dt
+           JOIN ctok ON ctok.token = dt.token
+           JOIN dtot ON dtot.source = dt.source
+           CROSS JOIN ntot
+           GROUP BY 1),
+         ndocs AS (SELECT source, cast(count(*) AS bigint) AS n_docs
+                   FROM documents GROUP BY 1),
+         scored AS (
+           SELECT source, n_d, ref_m, proxy_m,
+             greatest(cast(proxy_m - ref_m AS double)
+               / (10000.0 * cast(n_d AS double)), 0.0) AS excess
+           FROM perdom),
+         terms AS (
+           SELECT source, n_d, excess,
+             cast(floor(cast(n_d AS double) / cast(ntot.n AS double)
+               * (1.0 + excess) * 1000000.0 + 0.5) AS bigint) AS term_q
+           FROM scored CROSS JOIN ntot),
+         termtot AS (SELECT cast(sum(term_q) AS bigint) AS term_tot
+                     FROM terms)
+         SELECT t.source, nd.n_docs, t.n_d AS n_tokens,
+           floor(t.excess * 1000000.0 + 0.5) / 1000000.0 AS excess_nll,
+           floor(cast(t.term_q AS double) / cast(tt.term_tot AS double)
+             * 1000000.0 + 0.5) / 1000000.0 AS weight
+         FROM terms t CROSS JOIN termtot tt
+         JOIN ndocs nd ON nd.source = t.source""",
     // distinct ≤ 31 keys < k=64 ⇒ the Misra–Gries summary is exact
     // and equals the plain GROUP BY (see x9bHeavyHittersGate)
     "x9b_heavy_hitters_gate" ->

@@ -535,6 +535,30 @@ class OperatorSpec extends SparkTestBase {
     assert(card("top_lang_share") > 0.0 && card("top_lang_share") <= 1.0)
   }
 
+  test("x48 domain reweight: Gibbs non-negativity, conservation, " +
+      "normalized monotone weights") {
+    val r = graft.text.TextAnalysis.x48DomainReweight(spark, sfTest)
+      .collect()
+    val sources = Tables.documents(spark, sfTest)
+      .select("source").distinct().count()
+    assert(r.length == sources)
+    // excess NLL ≥ 0 for every domain (Gibbs' inequality — a domain's
+    // own unigram LM can't lose to the corpus LM on its own stream)
+    r.foreach(row => assert(row.getDouble(3) >= 0.0, s"negative: $row"))
+    // token conservation and a normalized mixture
+    val tokTotal = Tables.documents(spark, sfTest)
+      .select(explode(split(col("text"), " ")).as("t")).count()
+    assert(r.map(_.getLong(2)).sum == tokTotal)
+    val wSum = r.map(_.getDouble(4)).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum to $wSum")
+    // monotone in the update's inputs: ordering by weight/share ratio
+    // must equal ordering by excess (the (1+excess) step, normalized)
+    val byRatio = r.sortBy(row =>
+      row.getDouble(4) / row.getLong(2).toDouble).map(_.getString(0))
+    val byExcess = r.sortBy(_.getDouble(3)).map(_.getString(0))
+    assert(byRatio.toSeq == byExcess.toSeq)
+  }
+
   test("t1 union equals f2-style isin filter (SURVEY T1 ≡ F2)") {
     val union = ops.Joins.t1Union(spark, sfTest).select("c_custkey")
     val isin = Tables.customer(spark, sfTest)
