@@ -67,26 +67,12 @@ object Bench {
     }
   }
 
-  /** Drop cross-query state a long bench session accumulates.
-    * Catalog-cached relations recompute lazily if a later query
-    * needs them — safe to clear. Persistent RDDs are unpersisted
-    * EXCEPT locally-checkpointed ones: those are the deliberate
-    * session caches (kept-list, cluster labels, planted ANN
-    * fixtures) whose truncated lineage cannot recompute — dropping
-    * their blocks would fail every later consumer, and keeping them
-    * is the measured warm-reuse contract. Returns the storage bytes
-    * still resident after the scrub (the legitimate session-cache
-    * footprint). */
-  private def scrub(spark: SparkSession): Long = {
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.valuesIterator
-      // isCheckpointed = materialized local (or reliable) checkpoint;
-      // the eager localCheckpoint(true) caches always qualify
-      .filterNot(_.isCheckpointed)
-      .foreach(_.unpersist(blocking = true))
-    spark.sparkContext.getExecutorMemoryStatus.valuesIterator
-      .map { case (max, remaining) => max - remaining }.sum
-  }
+  // Cross-query scrub: SessionCaches.scrub drops catalog caches and
+  // every persistent RDD EXCEPT the registered session caches
+  // (kept-list, cluster labels) — including dead single-query
+  // checkpoints, which an isCheckpointed predicate could not
+  // distinguish from the deliberate ones and which otherwise
+  // accumulate in the protected storage pool for the whole run.
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -125,7 +111,7 @@ object Bench {
     // headline total only reflects COMPLETED queries.
     val results: Seq[(String, Option[Double], (Long, Long, Long, Long, Long))] =
       headline.map { case (name, fn) =>
-        val storageAfterScrub = scrub(spark)
+        val storageAfterScrub = SessionCaches.scrub(spark)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -150,7 +136,11 @@ object Bench {
     val qs = results.map { case (k, v, _) =>
       s"\"" + k + "\":" + v.fold("null")(_.toString)
     }.mkString("{", ",", "}")
-    def mb(b: Long): String = f"${b / 1048576.0}%.1f"
+    // locale-independent: the f-interpolator uses the JVM default
+    // locale, which renders a comma decimal point on de/fr machines —
+    // invalid JSON
+    def mb(b: Long): String =
+      (math.round(b / 1048576.0 * 10) / 10.0).toString
     val qm = results.map { case (k, _, (spill, sr, sw, peak, res)) =>
       s"""\"$k\":{"spill_mb":${mb(spill)},"shuffle_read_mb":${mb(sr)},""" +
         s""""shuffle_write_mb":${mb(sw)},"peak_exec_mb":${mb(peak)},""" +

@@ -126,7 +126,7 @@ object Dedup {
 
   def d6DedupClusters(s: SparkSession, dir: String): DataFrame =
     clusterCache.computeIfAbsent((s.sparkContext.applicationId, dir),
-      _ => d6ClustersOf(s, dir, d2bDedupNgramCapped).localCheckpoint(true))
+      _ => graft.SessionCaches.pin(d6ClustersOf(s, dir, d2bDedupNgramCapped)))
 
   /** D6 body over an arbitrary (doc_a, doc_b) pair source. */
   def d6ClustersOf(s: SparkSession, dir: String,

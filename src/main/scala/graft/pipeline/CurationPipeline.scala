@@ -135,7 +135,7 @@ object CurationPipeline {
 
   private[graft] def survivedDocs(s: SparkSession, dir: String): DataFrame =
     survivedCache.computeIfAbsent((s.sparkContext.applicationId, dir),
-      _ => survivedPlan(s, dir).localCheckpoint(true))
+      _ => graft.SessionCaches.pin(survivedPlan(s, dir)))
 
   /** Stages 6–7: near-dup keep-list over the survivors (d2b capped
     * pair graph → d6 star contraction → keep component minimum),
@@ -149,7 +149,7 @@ object CurationPipeline {
 
   private[graft] def keptDocs(s: SparkSession, dir: String): DataFrame =
     keptCache.computeIfAbsent((s.sparkContext.applicationId, dir),
-      _ => keptPlan(s, dir).localCheckpoint(true))
+      _ => graft.SessionCaches.pin(keptPlan(s, dir)))
 
   private def keptPlan(s: SparkSession, dir: String): DataFrame = {
     val survived = survivedDocs(s, dir)

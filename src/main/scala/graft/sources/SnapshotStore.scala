@@ -107,12 +107,15 @@ object SnapshotStore {
       }
     } catch { case _: Exception => () }
 
-  /** Highest manifest id any vacuum has ever DELETED at this root
-    * (monotonic; -1 before the first deleting vacuum). Vacuum keeps
-    * PINNED old manifests (branch refs, the trunk head) while
-    * deleting unpinned ids above them, so the log can have gaps at
-    * or below this floor — but never above it: ids > floor were
-    * never vacuumed, so the live log is contiguous there. */
+  /** Highest manifest id any vacuum has ever COMMITTED TO DELETE at
+    * this root (monotonic; -1 before the first deleting vacuum;
+    * write-ahead — recorded before the first deletion, so a crashed
+    * vacuum can leave it higher than anything actually deleted,
+    * which only costs a listing). Vacuum keeps PINNED old manifests
+    * (branch refs, the trunk head) while deleting unpinned ids above
+    * them, so the log can have gaps at or below this floor — but
+    * never above it: ids > floor were never vacuumed, so the live
+    * log is contiguous there. */
   private def vacuumFloorPath(root: String) = new Path(root, "vacuum.floor")
 
   private def readFloor(f: FileSystem, root: String): Long =
@@ -138,8 +141,16 @@ object SnapshotStore {
         try out.write(s"$id\n".getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        f.delete(vacuumFloorPath(root), false)
-        if (!f.rename(tmp, vacuumFloorPath(root))) f.delete(tmp, false)
+        // Rename-over-existing FIRST (local-FS rename replaces, so
+        // the path is never transiently absent — a reader seeing a
+        // missing floor during an update would trust a gap-stopped
+        // probe, unlike the hint where absence only costs a
+        // listing); only HDFS-semantics stores fall back to the
+        // delete+rename pair and its brief absence window.
+        if (!f.rename(tmp, vacuumFloorPath(root))) {
+          f.delete(vacuumFloorPath(root), false)
+          if (!f.rename(tmp, vacuumFloorPath(root))) f.delete(tmp, false)
+        }
       }
     } catch { case _: Exception => () }
 
@@ -354,8 +365,15 @@ object SnapshotStore {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+        // Genuine I/O causes must SURFACE, not masquerade as lost id
+        // races (a read-only root would otherwise loop to a
+        // misleading "lost N id races" failure): rethrow the
+        // specific subclasses that mean permission/missing-path.
+        case e @ (_: java.nio.file.AccessDeniedException |
+             _: java.nio.file.NoSuchFileException) => throw e
         // Not every mount Hadoop reports as scheme "file" supports
-        // link(2) (overlay/network mounts throw FileSystemException /
+        // link(2) (overlay/network mounts throw the generic
+        // FileSystemException "operation not supported" /
         // UnsupportedOperationException). Degrade to exists+rename —
         // the HDFS-path protocol, with its documented weaker
         // single-writer-per-instant guarantee — instead of crashing
@@ -1982,17 +2000,21 @@ object SnapshotStore {
         of.flatMap(i => dvPaths(s, root, Some(i)))
           .map(p => new Path(p).toUri.getPath)).toSet
     val keptFiles = referenced(keep)
-    drop.foreach(i => f.delete(manifestPath(root, i), false))
     if (drop.nonEmpty) {
       // Deleting unpinned ids above a pinned one punches a mid-log
-      // gap; record the highest deleted id so latestId distrusts any
-      // hint-derived probe that stops at or below it, and refresh
-      // the hint to the global head while the full listing is in
-      // hand — both best-effort, the floor cross-check is the
-      // correctness backstop.
+      // gap; record the highest to-be-deleted id so latestId
+      // distrusts any hint-derived probe that stops at or below it,
+      // and refresh the hint to the global head while the full
+      // listing is in hand. The floor write is WRITE-AHEAD — it must
+      // be durable BEFORE the first deletion, or a reader probing
+      // from a lagged hint in the window between delete and floor
+      // write would trust a gap-stopped probe and its next commit
+      // would reclaim a vacuumed id (the fork this guard exists to
+      // prevent).
       writeFloor(f, root, drop.max)
       writeHint(f, root, ids.last)
     }
+    drop.foreach(i => f.delete(manifestPath(root, i), false))
     val dataRoot = new Path(root, "data")
     if (!f.exists(dataRoot)) return 0
     val now = System.currentTimeMillis()
