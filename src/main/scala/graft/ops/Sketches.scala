@@ -183,11 +183,50 @@ object Sketches {
         "v_max")
   }
 
+  /** X19B — the CMS EXACTNESS ORACLE GATE (the x9b bounded-domain
+    * pattern, for the frequency sketch): run the IDENTICAL sharded
+    * count_min_sketch build + driver-side mergeInPlace rollup over a
+    * key domain bounded far under the sketch's width (token length
+    * capped at 30 → ≤31 keys vs ε=0.001 → width ⌈e/ε⌉ = 2719,
+    * depth 5). A CMS point query over-counts a key only if that key
+    * collides with another in EVERY row — p ≈ (31/2719)⁵ ≈ 2·10⁻¹⁰
+    * per key, and deterministic for the fixed seed 42, so every
+    * estimate equals the exact count and the oracle is the plain
+    * GROUP BY. This value-gates Spark's sketch aggregate, the
+    * map-side partial merges, and the driver rollup; the open-domain
+    * x19 keeps its honest envelope contract. */
+  def x19bCmsGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val keyed = shardedTokens(s, dir)
+      .select(col("shard"),
+        least(length(col("token")), lit(30)).cast("string").as("k"))
+    val sketches = keyed.groupBy("shard")
+      .agg(expr("count_min_sketch(k, 0.001d, 0.99d, 42)").as("sk"))
+      .select("sk").collect()
+      .map(r => CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](0))))
+    val merged = sketches.reduce { (a, b) => a.mergeInPlace(b); a }
+    // ≤31 probe keys by construction — bounded collect
+    val keys = keyed.select("k").distinct().collect()
+      .map(_.getString(0)).sorted
+    s.createDataFrame(
+        keys.toSeq.map(k => (k, merged.estimateCount(k))))
+      .toDF("len_key", "est_count")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_sketch_rollup" -> x18SketchRollup,
     "x19_cms_rollup" -> x19CmsRollup,
+    "x19b_cms_gate" -> x19bCmsGate,
     "x27_kll_rollup" -> x27KllRollup)
 
-  /** Estimates are engine-specific — rows-only by contract. */
-  val oracle: Map[String, String] = Map.empty
+  /** Open-domain estimates are engine-specific — rows-only by
+    * contract; the bounded-domain gate has a closed form. */
+  val oracle: Map[String, String] = Map(
+    "x19b_cms_gate" ->
+      """SELECT cast(least(length(token), 30) AS varchar) AS len_key,
+           cast(count(*) AS bigint) AS est_count
+         FROM (SELECT unnest(string_split(text, ' ')) AS token
+               FROM documents)
+         GROUP BY 1""")
 }

@@ -293,16 +293,44 @@ object Similarity {
       }.toDF("vec_id", "embedding", "cell")
   }
 
-  def n3SimIvfTopk(s: SparkSession, dir: String): DataFrame = {
+  def n3SimIvfTopk(s: SparkSession, dir: String): DataFrame =
+    ivfTopkOf(s, Tables.embeddings(s, dir),
+      col("vec_id") % 50 === 0, k = 5)
+
+  /** N3B — the planted closed-form ORACLE GATE for the plain IVF
+    * path (the n7 pattern one tier down the stack): exact copies of
+    * every 25th vector query the full n3 machinery — coarse fit,
+    * cosine cell assignment, nprobe routing, in-cell exact scoring.
+    * A copy's best-cell computation is IDENTICAL to its source's, so
+    * its own cell ranks first among the probed cells, the source is
+    * in it, and exact cosine scores it 1.0 — top-1 is closed-form.
+    * This value-gates the routing arithmetic itself, which n3's
+    * rows-only contract (plus the statistical recall spec) could
+    * not. */
+  def n3bIvfPlantedGate(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val planted = base
+      .filter(col("vec_id") % graft.dedup.Dedup.D7PlantStride === 0)
+      .select((col("vec_id") + graft.dedup.Dedup.D7PlantOffset)
+        .as("vec_id"), col("embedding"))
+    ivfTopkOf(s, base.union(planted),
+      col("vec_id") >= graft.dedup.Dedup.D7PlantOffset, k = 1)
+  }
+
+  /** The n3 body over an arbitrary (vec_id, embedding) corpus and
+    * query predicate — shared by the gated n3 query and the n3b
+    * planted gate. */
+  private def ivfTopkOf(s: SparkSession, embIn: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
     GraftFunctions.register(s)
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
+    val emb = embIn.select("vec_id", "embedding")
     val total = emb.count()
     val (cells, probes) = n3AutoDial(total)
     val cents = fitCentroids(emb, cells, total)
     val assigned = cosineAssign(emb, cents)
     val centroids = cents.toSeq.toDF("cell", "centroid")
-    val queries = assigned.filter(col("vec_id") % 50 === 0)
+    val queries = assigned.filter(queryPred)
       .select(col("vec_id").as("q_id"),
         col("embedding").as("q_embedding"))
     val wCells = Window.partitionBy("q_id")
@@ -318,7 +346,7 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         GraftFunctions.floatCosine("q_embedding", "embedding")
           .as("cosine"))
-    topKRanked(scored, 5)
+    topKRanked(scored, k)
   }
 
   // 16 × 4-dim subspaces (was 8 × 8): same fit/encode/LUT flops
@@ -1180,6 +1208,7 @@ object Similarity {
     "n1_sim_topk_bruteforce" -> n1SimTopkBruteforce,
     "n2_sim_lsh_topk" -> n2SimLshTopk,
     "n3_sim_ivf_topk" -> n3SimIvfTopk,
+    "n3b_ivf_planted_gate" -> n3bIvfPlantedGate,
     "n4_sim_pq_topk" -> n4SimPqTopk,
     "n6_sim_ivfpq_topk" -> n6SimIvfPqTopk,
     "n10_filtered_topk" -> n10FilteredTopk)
@@ -1197,6 +1226,15 @@ object Similarity {
     // routes each planted copy to its twin's cell regardless of
     // whether its code row came from the build or the delta commit
     "n9_index_delta_merge" ->
+      s"""SELECT vec_id + ${graft.dedup.Dedup.D7PlantOffset} AS q_id,
+           vec_id AS neighbor_id, cast(1 AS int) AS rank,
+           1.0 AS cosine
+         FROM embeddings
+         WHERE vec_id % ${graft.dedup.Dedup.D7PlantStride} = 0""",
+    // the same closed form one tier down: identical best-cell
+    // arithmetic routes the copy to its source's cell, exact cosine
+    // finishes the argument (see n3bIvfPlantedGate scaladoc)
+    "n3b_ivf_planted_gate" ->
       s"""SELECT vec_id + ${graft.dedup.Dedup.D7PlantOffset} AS q_id,
            vec_id AS neighbor_id, cast(1 AS int) AS rank,
            1.0 AS cosine
