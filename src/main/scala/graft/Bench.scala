@@ -18,12 +18,14 @@ import org.apache.spark.sql.SparkSession
   * blocks squat in the unified memory pool and turn their
   * sorts/joins spill-heavy (round-7 driver run: x34 at 25.6 s vs a
   * 3.9 s quiet band). Deliberately-shared session caches — the
-  * pipeline kept-list, d6 cluster labels, BPE fits — are
+  * pipeline kept/survived lists and the d6 cluster labels — are
   * `localCheckpoint(true)` DataFrames whose lineage is TRUNCATED,
   * so the scrub must not (and does not) unpersist them: dropping
   * their blocks would be unrecoverable, and their warm-reuse
   * semantics (x25 after x26, x39 after d6) are part of the measured
-  * contract.
+  * contract. (The BPE/IVF-PQ fit memos also persist across queries
+  * but are DRIVER-LOCAL objects with no RDD blocks — immune to the
+  * scrub by nature, not by registration in SessionCaches.)
   *
   * Each query also records its execution-memory fingerprint
   * (spill, shuffle I/O, peak execution memory, post-scrub storage

@@ -154,11 +154,10 @@ object Dedup {
     * cardinality + empty one-way except over two distinct sets). */
   private[graft] def alternatingStarLabels(
       pairs: DataFrame): (DataFrame, Int) = {
-    var edges = pairs
+    var edges = graft.ops.Rounds.materialize(pairs
       .select(greatest(col("doc_a"), col("doc_b")).as("u"),
         least(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .filter(col("u") =!= col("v")).distinct())
     var converged = edges.isEmpty
     var rounds = 0
     while (!converged && rounds < 50) {
@@ -173,14 +172,17 @@ object Dedup {
       // SMALL-STAR: for every node, link its smaller-or-self
       // neighborhood (incl. itself) to that neighborhood's min
       val ssMin = ls.groupBy("u").agg(min("v").as("mn"))
-      val ss = ls.join(ssMin, "u")
+      val ss = graft.ops.Rounds.materialize(ls.join(ssMin, "u")
         .select(col("v").as("u"), col("mn").as("v"))
         .union(ssMin.select(col("u"), col("mn").as("v")))
         .filter(col("u") =!= col("v"))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       converged = ss.count() == edges.count() &&
         ss.exceptAll(edges).isEmpty
+      // round k's edges are materialized and the convergence check
+      // (the only reader of round k−1) has run — release k−1's blocks
+      // instead of holding every round's generation until query end
+      graft.ops.Rounds.release(edges)
       edges = ss
       rounds += 1
     }

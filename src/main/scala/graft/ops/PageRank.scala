@@ -64,16 +64,18 @@ object PageRank {
     // iterated state = (node_id, outdeg, r): outdeg is static, so
     // carrying it in the checkpointed state means no round re-joins
     // the degree table — built exactly once here
-    val state0 = nodes.as("nd")
+    val state0 = Rounds.materialize(nodes.as("nd")
       .join(outdeg.as("od"), col("nd.node_id") === col("od.src"), "left")
-      .select(col("nd.node_id").as("node_id"), col("od.outdeg").as("outdeg"))
-      .localCheckpoint(true)
+      .select(col("nd.node_id").as("node_id"), col("od.outdeg").as("outdeg")))
     val n = state0.count()
     // init + per-iteration constants, all integer micro-units
     val init = java.lang.Math.floorDiv(Scale, n)
     val base = math.floor(0.15 * Scale / n).toLong
 
     var ranks = state0.withColumn("r", lit(init))
+    // the previous generation's materialized blocks — released as
+    // soon as the next generation exists (see below)
+    var prevGen = state0
     for (_ <- 1 to Iters) {
       // dangling nodes: no out-edges → their whole damped mass is
       // shared uniformly; a filter+sum over the checkpointed state
@@ -96,14 +98,21 @@ object PageRank {
       // per iteration, so an un-checkpointed ranks plan would replay
       // rounds 1..k-1 inside round k's action (quadratic-in-rounds
       // work). Integer arithmetic ⇒ the checkpoint cannot change a
-      // single bit of the result.
-      ranks = ranks.as("st").join(contrib.as("ct"),
+      // single bit of the result. Rounds.materialize = local or
+      // reliable checkpoint per session conf (executor-loss safety
+      // at cluster scale — RoundsSpec pins mode-identical output).
+      ranks = Rounds.materialize(ranks.as("st").join(contrib.as("ct"),
           col("st.node_id") === col("ct.node_id"), "left")
         .select(col("st.node_id").as("node_id"),
           col("st.outdeg").as("outdeg"),
           (lit(base) + coalesce(col("ct.cs"), lit(0L)) + lit(dangShare))
-            .as("r"))
-        .localCheckpoint(true)
+            .as("r")))
+      // generation k is materialized and lineage-free, so generation
+      // k−1's blocks can go NOW — keeping all Iters generations
+      // resident for the query's lifetime is what held x34 ~1.7×
+      // above its quiet band in the round-8 driver bench
+      Rounds.release(prevGen)
+      prevGen = ranks
     }
     // ranks is checkpointed (independent of the edge lineage), so the
     // query-local edge cache can release its blocks NOW instead of

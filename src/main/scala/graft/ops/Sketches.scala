@@ -187,12 +187,16 @@ object Sketches {
     * pattern, for the frequency sketch): run the IDENTICAL sharded
     * count_min_sketch build + driver-side mergeInPlace rollup over a
     * key domain bounded far under the sketch's width (token length
-    * capped at 30 → ≤31 keys vs ε=0.001 → width ⌈e/ε⌉ = 2719,
-    * depth 5). A CMS point query over-counts a key only if that key
-    * collides with another in EVERY row — p ≈ (31/2719)⁵ ≈ 2·10⁻¹⁰
-    * per key, and deterministic for the fixed seed 42, so every
-    * estimate equals the exact count and the oracle is the plain
-    * GROUP BY. This value-gates Spark's sketch aggregate, the
+    * capped at 30 → ≤31 keys vs Spark's CountMinSketch.create(eps =
+    * 0.001, confidence = 0.99) geometry: width ⌈2/ε⌉ = 2000, depth
+    * ⌈ln(1/(1−0.99))/ln 2⌉ = 7 — Spark uses the 2/ε convention, not
+    * Cormode–Muthukrishnan's e/ε). A CMS point query over-counts a
+    * key only if that key collides with another in EVERY row —
+    * p ≈ (31/2000)⁷ ≈ 4·10⁻¹³ per key, and deterministic for the
+    * fixed seed 42 over the FIXED key strings "0".."30" (the key set
+    * is corpus-independent, so collision-freeness is a property of
+    * the seed, not the data), so every estimate equals the exact
+    * count and the oracle is the plain GROUP BY. This value-gates Spark's sketch aggregate, the
     * map-side partial merges, and the driver rollup; the open-domain
     * x19 keeps its honest envelope contract. */
   def x19bCmsGate(s: SparkSession, dir: String): DataFrame = {

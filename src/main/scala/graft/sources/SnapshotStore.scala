@@ -115,44 +115,67 @@ object SnapshotStore {
     * (branch refs, the trunk head) while deleting unpinned ids above
     * them, so the log can have gaps at or below this floor — but
     * never above it: ids > floor were never vacuumed, so the live
-    * log is contiguous there. */
-  private def vacuumFloorPath(root: String) = new Path(root, "vacuum.floor")
+    * log is contiguous there.
+    *
+    * The floor is load-bearing for the no-fork guarantee, so unlike
+    * the hint it is stored as an APPEND-ONLY set of marker files
+    * (`vacuum.floor-<id>`), readFloor = max over their NAMES:
+    *  - monotonic by construction — a concurrent vacuum recording a
+    *    lower id adds a file that max() ignores, where a single
+    *    read-check-overwrite file could REGRESS the floor below ids
+    *    another vacuum is about to delete (the exact window the
+    *    guard exists to close);
+    *  - atomic visibility — each marker is created under a fresh
+    *    unique name, so there is no delete+rename window in which a
+    *    reader sees NO floor and trusts a gap-stopped probe;
+    *  - crash-safe — the id lives in the NAME; a torn write of the
+    *    (informational) content cannot corrupt the value.
+    * Markers strictly below the max are garbage-collected
+    * best-effort AFTER the new max is durable. */
+  private val FloorPrefix = "vacuum.floor-"
+
+  private def floorMarkerPath(root: String, id: Long) =
+    new Path(root, f"$FloorPrefix$id%012d")
 
   private def readFloor(f: FileSystem, root: String): Long =
     try {
-      val in = f.open(vacuumFloorPath(root))
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString.trim finally in.close()
-      txt.toLong
+      f.listStatus(new Path(root)).iterator
+        .map(_.getPath.getName)
+        .filter(_.matches(s"$FloorPrefix\\d{12}"))
+        .map(_.stripPrefix(FloorPrefix).toLong)
+        .foldLeft(-1L)(math.max)
     } catch { case _: Exception => -1L }
 
-  /** Monotonic best-effort floor write (same contract as
-    * [[writeHint]]: a lost write only weakens the fast path — a
-    * floor that is too LOW makes [[latestId]] trust a probe it
-    * should have cross-checked only if the hint ALSO regressed below
-    * a gap, and the post-vacuum hint refresh makes that a
-    * double-failure corner; a floor too high merely costs a
-    * listing). */
-  private def writeFloor(f: FileSystem, root: String, id: Long): Unit =
+  /** Durable monotonic floor update. Returns whether the recorded
+    * floor is now ≥ `id` — verified by READ-BACK, not by trusting
+    * the create call: vacuum must not delete a single manifest
+    * unless this returns true (write-ahead contract, see [[vacuum]]).
+    * Idempotent and race-free under concurrent vacuums: each writer
+    * creates its own marker, max() resolves. */
+  private def writeFloor(f: FileSystem, root: String, id: Long): Boolean =
     try {
       if (readFloor(f, root) < id) {
-        val tmp = new Path(root, s".floor-tmp-${UUID.randomUUID()}")
-        val out = f.create(tmp, true)
+        val out = f.create(floorMarkerPath(root, id), true)
         try out.write(s"$id\n".getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
-        // Rename-over-existing FIRST (local-FS rename replaces, so
-        // the path is never transiently absent — a reader seeing a
-        // missing floor during an update would trust a gap-stopped
-        // probe, unlike the hint where absence only costs a
-        // listing); only HDFS-semantics stores fall back to the
-        // delete+rename pair and its brief absence window.
-        if (!f.rename(tmp, vacuumFloorPath(root))) {
-          f.delete(vacuumFloorPath(root), false)
-          if (!f.rename(tmp, vacuumFloorPath(root))) f.delete(tmp, false)
-        }
       }
-    } catch { case _: Exception => () }
+      val ok = readFloor(f, root) >= id
+      if (ok) {
+        // GC markers strictly below the (now-durable) max; a reader
+        // racing this still sees the max marker, which is never
+        // deleted, so the observed floor cannot dip
+        try f.listStatus(new Path(root)).iterator
+          .map(_.getPath.getName)
+          .filter(_.matches(s"$FloorPrefix\\d{12}"))
+          .filter(_.stripPrefix(FloorPrefix).toLong < id)
+          .foreach(n => f.delete(new Path(root, n), false))
+        catch { case _: Exception => () }
+      }
+      ok
+    } catch { case _: Exception =>
+      try readFloor(f, root) >= id catch { case _: Exception => false }
+    }
 
   /** Resolve the LATEST snapshot id in O(hint lag) instead of
     * O(commits): the `latest.hint` file (the Delta `_last_checkpoint`
@@ -2010,8 +2033,10 @@ object SnapshotStore {
       // from a lagged hint in the window between delete and floor
       // write would trust a gap-stopped probe and its next commit
       // would reclaim a vacuumed id (the fork this guard exists to
-      // prevent).
-      writeFloor(f, root, drop.max)
+      // prevent). writeFloor read-back-verifies; if the floor could
+      // not be recorded the deletion pass ABORTS — skipping a vacuum
+      // only costs disk, deleting without the guard risks the fork.
+      if (!writeFloor(f, root, drop.max)) return 0
       writeHint(f, root, ids.last)
     }
     drop.foreach(i => f.delete(manifestPath(root, i), false))
