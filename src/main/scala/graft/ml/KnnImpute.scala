@@ -1,0 +1,152 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Det
+
+/** K-nearest-neighbor imputation — the one reference capability that
+  * existed only as commented-out alternatives to the median impute
+  * (/root/reference/20210803_이승하.R:820–829: `knnImputation(...)`
+  * via the DMwR/VIM packages loaded at R:56–60 but never called).
+  * Re-expressed Spark-first as a composition of kernels the repo
+  * already trusts: an exact scored candidate join (the n1 shape) +
+  * TopKPerKey (the o4 operator) + a keyed mean.
+  *
+  * Semantics (the DMwR form, simplified to the deterministic core):
+  * a row with a missing target takes the MEAN of the target over its
+  * k nearest COMPLETE rows, distance = Euclidean over the always-
+  * present numeric features, each feature standardized by the
+  * complete rows' population std (mean subtraction cancels in a
+  * difference, so only the σ's enter). Ties break on the neighbor
+  * key — fully deterministic, no RNG.
+  *
+  * Scale shape: the missing side of a real table is the SMALL side
+  * (percent-level missingness), so the candidate join BROADCASTS the
+  * incomplete rows against the complete corpus — an embarrassingly
+  * parallel scan, no shuffle until the k-row-per-key heap — and cost
+  * is |complete| × |missing|, linear in the corpus for a fixed
+  * missing fraction. When the missing side outgrows broadcast, the
+  * same mean-of-neighbors composes over the n3/n6 ANN kernels
+  * (cell-bucketed candidates instead of the full scan) — the
+  * exact/ANN twin discipline of n1 vs n6.
+  *
+  * K1 gate: every 100th customer's acctbal is DECLARED missing and
+  * re-imputed from the (order-count, spend) feature space. All
+  * inputs are exact decimals (counts, cents), the σ's and distances
+  * are the same IEEE expression tree in both engines, and the
+  * neighbor mean is an exact decimal sum ÷ count — so the full
+  * operator (not a planted corner) replays value-for-value in SQL.
+  */
+object KnnImpute {
+
+  private val K = 5
+
+  /** Generic kernel: impute `target` (NULL = missing) as the mean of
+    * the k nearest complete rows in standardized `features` space.
+    * Returns (key, imputed) for the incomplete rows only. `exact`
+    * features must be engine-exact doubles (counts/cents) for the
+    * oracle contract; the parking wrapper relaxes that (spec-gated,
+    * no SQL oracle). */
+  private[graft] def imputeOf(df: DataFrame, key: String,
+      features: Seq[String], target: String, k: Int): DataFrame = {
+    val complete = df.filter(col(target).isNotNull)
+    val incomplete = df.filter(col(target).isNull)
+    // population σ per feature over the complete rows (mean cancels
+    // in the pairwise difference; ONE tiny aggregate, broadcast)
+    val stats = complete.agg(
+      count(lit(1)).cast("double").as("n"),
+      features.flatMap(f => Seq(
+        sum(col(f)).cast("double").as(s"s_$f"),
+        sum(col(f) * col(f)).cast("double").as(s"ss_$f"))): _*)
+    def sd(f: String): Column =
+      sqrt((col(s"ss_$f") - col(s"s_$f") * col(s"s_$f") / col("n"))
+        / col("n"))
+    val q = incomplete.select(col(key).as("q_key") +:
+      features.map(f => col(f).as(s"q_$f")): _*)
+    val scored = complete
+      .crossJoin(broadcast(q))
+      .crossJoin(broadcast(stats))
+      .select(col("q_key"), col(key).as("n_key"),
+        col(target).as("n_target"),
+        features.map(f =>
+          ((col(s"q_$f") - col(f)) / sd(f)) *
+            ((col(s"q_$f") - col(f)) / sd(f)))
+          .reduce(_ + _).as("dist2"))
+    val nn = graft.plans.TopK.topKPerKey(scored, Seq(col("q_key")),
+      Seq(col("dist2").asc, col("n_key").asc), k)
+    nn.groupBy("q_key")
+      .agg((sum(col("n_target")) / count(lit(1)).cast("double"))
+        .as("imputed"))
+  }
+
+  /** K1 — the oracle-gated impute on testdata (see object doc). */
+  def k1KnnImpute(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(count(lit(1)).cast("double").as("f_orders"),
+        sum(Det.d2(col("o_totalprice"))).cast(
+          org.apache.spark.sql.types.DecimalType(14, 2))
+          .cast("double").as("f_spend"))
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey").as("custkey"),
+        Det.d2(col("c_acctbal")).as("bal"))
+      .join(perCust, Seq("custkey"), "inner")
+      // plant the missingness: every 100th customer forgets acctbal
+      .select(col("custkey"), col("f_orders"), col("f_spend"),
+        when(col("custkey") % 100 === 0, lit(null))
+          .otherwise(col("bal")).as("bal"))
+    imputeOf(base, "custkey", Seq("f_orders", "f_spend"), "bal", K)
+      .select(col("q_key").as("custkey"),
+        Det.r6(col("imputed")).as("imputed_acctbal"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "k1_knn_impute" -> k1KnnImpute)
+
+  /** Full SQL replay: same σ's, same distance expression tree, same
+    * (dist2, key) tie-break, same mean. sum(decimal)/count keeps the
+    * neighbor mean exact before the one final double division. */
+  val oracle: Map[String, String] = Map(
+    "k1_knn_impute" -> {
+      def sd(f: String) =
+        s"sqrt((ss_$f - s_$f * s_$f / n) / n)"
+      s"""WITH percust AS (
+           SELECT o_custkey AS custkey,
+             cast(count(*) AS double) AS f_orders,
+             cast(cast(sum(cast(o_totalprice AS decimal(12,2)))
+               AS decimal(14,2)) AS double) AS f_spend
+           FROM orders GROUP BY 1),
+         base AS (
+           SELECT c_custkey AS custkey, f_orders, f_spend,
+             CASE WHEN c_custkey % 100 = 0 THEN NULL
+                  ELSE cast(c_acctbal AS decimal(12,2)) END AS bal
+           FROM customer JOIN percust ON c_custkey = custkey),
+         complete AS (SELECT * FROM base WHERE bal IS NOT NULL),
+         stats AS (
+           SELECT cast(count(*) AS double) AS n,
+             cast(sum(f_orders) AS double) AS s_f_orders,
+             cast(sum(f_orders * f_orders) AS double) AS ss_f_orders,
+             cast(sum(f_spend) AS double) AS s_f_spend,
+             cast(sum(f_spend * f_spend) AS double) AS ss_f_spend
+           FROM complete),
+         scored AS (
+           SELECT q.custkey AS q_key, c.custkey AS n_key, c.bal,
+             ((q.f_orders - c.f_orders) / ${sd("f_orders")})
+               * ((q.f_orders - c.f_orders) / ${sd("f_orders")})
+             + ((q.f_spend - c.f_spend) / ${sd("f_spend")})
+               * ((q.f_spend - c.f_spend) / ${sd("f_spend")}) AS dist2
+           FROM (SELECT * FROM base WHERE bal IS NULL) q,
+                complete c, stats),
+         nn AS (
+           SELECT q_key, bal,
+             row_number() OVER (PARTITION BY q_key
+               ORDER BY dist2, n_key) AS rn
+           FROM scored)
+         SELECT q_key AS custkey,
+           ${Det.sql(
+          s"cast(sum(bal) AS double) / cast(count(*) AS double)", 6)}
+             AS imputed_acctbal
+         FROM nn WHERE rn <= $K GROUP BY 1"""
+    })
+}

@@ -193,7 +193,8 @@ object Models {
     repeatedCvOf(s, featureTable(s, dir), numFeatures, repeats = 3)
 
   private[graft] def repeatedCvOf(s: SparkSession, df0: DataFrame,
-      features: Array[String], repeats: Int): DataFrame = {
+      features: Array[String], repeats: Int,
+      lambdas: Array[Double] = Array(0.01, 1.0, 100.0)): DataFrame = {
     val df = df0.cache()
     val lr = new LinearRegression().setLabelCol("label")
       .setFeaturesCol("features").setElasticNetParam(1.0)
@@ -202,7 +203,7 @@ object Models {
       new VectorAssembler().setInputCols(features).setOutputCol("features"))
       :+ lr)
     val grid = new ParamGridBuilder()
-      .addGrid(lr.regParam, Array(0.01, 1.0, 100.0)).build()
+      .addGrid(lr.regParam, lambdas).build()
     val perRepeat = (1 to repeats).map { r =>
       val cv = new CrossValidator().setEstimator(pipe)
         .setEvaluator(new RegressionEvaluator().setLabelCol("label")
@@ -301,10 +302,15 @@ object Models {
     * same design reproduces these coefficients, which transitively
     * value-gates m2's machinery (the remaining m2 surface — one-hot
     * design, se/t/p — stays rows-only + spec-pinned). */
-  def m2bLinregNormal(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    // per-customer exact design: n (count), bal (cents-exact),
-    // y = exact decimal spend
+  /** Shared exact-decimal design moments behind every closed-form ML
+    * gate (m2b OLS, m1b PCA, m4b lasso path, m6b AIC lattice): one
+    * row of order-independent decimal sums over the per-customer
+    * design (x1 = order count, x2 = acctbal cents, y = exact-decimal
+    * spend), cast to double only at the end — so Spark and DuckDB
+    * hold bit-identical moments and every downstream closed form is
+    * the same IEEE expression tree in both engines (the m2b
+    * argument; see [[m2bLinregNormal]]). */
+  private[ml] def exactMoments(s: SparkSession, dir: String): DataFrame = {
     val perCust = Tables.orders(s, dir)
       .groupBy(col("o_custkey").as("custkey"))
       .agg(count(lit(1)).as("n"),
@@ -317,7 +323,7 @@ object Models {
       .select(col("n").cast(org.apache.spark.sql.types.DecimalType(10, 0))
         .as("x1"), col("bal").as("x2"), col("y"))
     // exact decimal moments — order-independent, cross-engine exact
-    val m = dm.agg(
+    dm.agg(
       count(lit(1)).cast("double").as("s1"),
       sum(col("x1")).cast("double").as("sx1"),
       sum(col("x2")).cast("double").as("sx2"),
@@ -328,32 +334,65 @@ object Models {
       sum(col("x1") * col("y")).cast("double").as("sx1y"),
       sum(col("x2") * col("y")).cast("double").as("sx2y"),
       sum(col("y") * col("y")).cast("double").as("syy"))
-    // Cramer's rule on [s1 sx1 sx2; sx1 sx11 sx12; sx2 sx12 sx22]
-    // β = [sy sx1y sx2y] — formula text mirrored in the oracle
-    val det = col("s1") * (col("sx11") * col("sx22")
-      - col("sx12") * col("sx12")) -
-      col("sx1") * (col("sx1") * col("sx22")
-        - col("sx12") * col("sx2")) +
-      col("sx2") * (col("sx1") * col("sx12")
-        - col("sx11") * col("sx2"))
-    val b0 = (col("sy") * (col("sx11") * col("sx22")
-      - col("sx12") * col("sx12")) -
-      col("sx1") * (col("sx1y") * col("sx22")
-        - col("sx12") * col("sx2y")) +
-      col("sx2") * (col("sx1y") * col("sx12")
-        - col("sx11") * col("sx2y"))) / det
-    val b1 = (col("s1") * (col("sx1y") * col("sx22")
-      - col("sx12") * col("sx2y")) -
-      col("sy") * (col("sx1") * col("sx22")
-        - col("sx12") * col("sx2")) +
-      col("sx2") * (col("sx1") * col("sx2y")
-        - col("sx1y") * col("sx2"))) / det
-    val b2 = (col("s1") * (col("sx11") * col("sx2y")
-      - col("sx1y") * col("sx12")) -
-      col("sx1") * (col("sx1") * col("sx2y")
-        - col("sx1y") * col("sx2")) +
-      col("sy") * (col("sx1") * col("sx12")
-        - col("sx11") * col("sx2"))) / det
+  }
+
+  /** The same moment table as a DuckDB CTE chain (percust/dm/m) —
+    * prepended to every gate oracle so the SQL reads the identical
+    * exact-decimal moments. */
+  private val momentsSqlCte: String =
+    s"""percust AS (
+         SELECT o_custkey AS custkey,
+           cast(count(*) AS decimal(10,0)) AS x1,
+           cast(sum(cast(o_totalprice AS decimal(12,2)))
+             AS decimal(12,2)) AS y
+         FROM orders GROUP BY 1),
+       dm AS (
+         SELECT x1, cast(c_acctbal AS decimal(12,2)) AS x2, y
+         FROM customer JOIN percust ON c_custkey = custkey),
+       m AS (
+         SELECT cast(count(*) AS double) AS s1,
+           cast(sum(x1) AS double) AS sx1,
+           cast(sum(x2) AS double) AS sx2,
+           cast(sum(x1 * x1) AS double) AS sx11,
+           cast(sum(x1 * x2) AS double) AS sx12,
+           cast(sum(x2 * x2) AS double) AS sx22,
+           cast(sum(y) AS double) AS sy,
+           cast(sum(x1 * y) AS double) AS sx1y,
+           cast(sum(x2 * y) AS double) AS sx2y,
+           cast(sum(y * y) AS double) AS syy
+         FROM dm)"""
+
+  // Cramer's rule on [s1 sx1 sx2; sx1 sx11 sx12; sx2 sx12 sx22]
+  // β = [sy sx1y sx2y] — shared by m2b (coefficients) and m6b (the
+  // full-model RSS); formula text mirrored in the oracles
+  private val cDet = col("s1") * (col("sx11") * col("sx22")
+    - col("sx12") * col("sx12")) -
+    col("sx1") * (col("sx1") * col("sx22")
+      - col("sx12") * col("sx2")) +
+    col("sx2") * (col("sx1") * col("sx12")
+      - col("sx11") * col("sx2"))
+  private val cB0 = (col("sy") * (col("sx11") * col("sx22")
+    - col("sx12") * col("sx12")) -
+    col("sx1") * (col("sx1y") * col("sx22")
+      - col("sx12") * col("sx2y")) +
+    col("sx2") * (col("sx1y") * col("sx12")
+      - col("sx11") * col("sx2y"))) / cDet
+  private val cB1 = (col("s1") * (col("sx1y") * col("sx22")
+    - col("sx12") * col("sx2y")) -
+    col("sy") * (col("sx1") * col("sx22")
+      - col("sx12") * col("sx2")) +
+    col("sx2") * (col("sx1") * col("sx2y")
+      - col("sx1y") * col("sx2"))) / cDet
+  private val cB2 = (col("s1") * (col("sx11") * col("sx2y")
+    - col("sx1y") * col("sx12")) -
+    col("sx1") * (col("sx1") * col("sx2y")
+      - col("sx1y") * col("sx2")) +
+    col("sy") * (col("sx1") * col("sx12")
+      - col("sx11") * col("sx2"))) / cDet
+
+  def m2bLinregNormal(s: SparkSession, dir: String): DataFrame = {
+    val m = exactMoments(s, dir)
+    val (b0, b1, b2) = (cB0, cB1, cB2)
     // R² from the same moments: SSE = syy − b0·sy − b1·sx1y − b2·sx2y,
     // SST = syy − sy²/n
     val sse = col("syy") - b0 * col("sy") - b1 * col("sx1y") -
@@ -368,63 +407,305 @@ object Models {
       .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
   }
 
+  /** M1B — the PCA ORACLE GATE (the m2b pattern for prcomp): the
+    * 2-feature STANDARDIZED design's PCA is closed-form. Scaling to
+    * unit variance makes the covariance of the scaled data the
+    * correlation matrix [[1, r], [r, 1]], whose eigen-structure is
+    * a textbook identity: eigenvalues 1 ± |r| (explained-variance
+    * proportions (1 ± |r|)/2) and eigenvectors (1, ±1)/√2 — every
+    * (component, feature) loading has magnitude 1/√2. r comes off
+    * the exact-decimal moments, so both engines evaluate the same
+    * IEEE expression tree end to end. MlMultimodalSpec bridges this
+    * to spark.ml: [[pcaOf]] on the same 2-column design reproduces
+    * the proportions and |loadings| to 1e-6, transitively
+    * value-gating m1's machinery (scaler → covariance →
+    * eigensolver); m1's 5-feature surface stays rows-only. */
+  def m1bPcaClosed(s: SparkSession, dir: String): DataFrame = {
+    val m = exactMoments(s, dir)
+    val r = (col("s1") * col("sx12") - col("sx1") * col("sx2")) /
+      sqrt((col("s1") * col("sx11") - col("sx1") * col("sx1")) *
+        (col("s1") * col("sx22") - col("sx2") * col("sx2")))
+    val load = lit(1.0) / sqrt(lit(2.0))
+    val ev1 = (lit(1.0) + abs(r)) / lit(2.0)
+    val ev2 = (lit(1.0) - abs(r)) / lit(2.0)
+    def rowOf(c: String, f: String, ev: org.apache.spark.sql.Column) =
+      struct(lit(c).as("component"), lit(f).as("feature"),
+        Det.r6(load).as("abs_loading"),
+        Det.r6(ev).as("explained_variance"))
+    m.select(explode(array(
+      rowOf("pc1", "n_orders", ev1), rowOf("pc1", "acctbal", ev1),
+      rowOf("pc2", "n_orders", ev2), rowOf("pc2", "acctbal", ev2)))
+      .as("kv"))
+      .select(col("kv.component").as("component"),
+        col("kv.feature").as("feature"),
+        col("kv.abs_loading").as("abs_loading"),
+        col("kv.explained_variance").as("explained_variance"))
+  }
+
+  /** M6B — the stepwise-AIC ORACLE GATE: the 2-predictor model
+    * lattice {x1,x2}, {x1}, {x2}, {intercept} has every RSS in
+    * closed form from the moments (full model via the shared Cramer
+    * solve, simple regressions via RSS = SST − Sxy²/Sxx), so each
+    * model's AIC = n·ln(RSS/n) + 2(k+2) — the exact formula
+    * [[stepwiseAicOf]] optimizes — is statable in SQL, and so is the
+    * first backward-elimination DECISION (which drop wins, with
+    * minBy's first-on-tie order). ln() is the one primitive whose
+    * last ulp differs between engines (the x28 finding), so the ln
+    * is quantized to 1e-4 BEFORE the n· multiply on both sides; all
+    * other arithmetic is identical IEEE. MlMultimodalSpec bridges
+    * the lattice to stepwiseAicOf's spark.ml refits (≤0.05 AIC,
+    * the quantization envelope) and pins the same greedy choice. */
+  def m6bStepAicLattice(s: SparkSession, dir: String): DataFrame = {
+    val m = exactMoments(s, dir)
+    val n = col("s1")
+    val sst = col("syy") - col("sy") * col("sy") / n
+    val rssF = col("syy") - cB0 * col("sy") - cB1 * col("sx1y") -
+      cB2 * col("sx2y")
+    val d1 = col("sx1y") - col("sx1") * col("sy") / n
+    val v1 = col("sx11") - col("sx1") * col("sx1") / n
+    val d2 = col("sx2y") - col("sx2") * col("sy") / n
+    val v2 = col("sx22") - col("sx2") * col("sx2") / n
+    val rss1 = sst - d1 * d1 / v1 // model {x1}
+    val rss2 = sst - d2 * d2 / v2 // model {x2}
+    def aic(rss: org.apache.spark.sql.Column, k: Int) =
+      n * Det.r4(log(rss / n)) + lit(2.0 * (k + 2))
+    val (aicF, aic1, aic2, aic0) =
+      (aic(rssF, 2), aic(rss1, 1), aic(rss2, 1), aic(sst, 0))
+    // backward step 1 from the full model, minBy-first-on-tie over
+    // candidates in feature order: [drop x1 → {x2}, drop x2 → {x1}]
+    // → 0 = keep full, 1 = drop x1, 2 = drop x2
+    val greedy = when(least(aic1, aic2) >= aicF, lit(0.0))
+      .when(aic2 <= aic1, lit(1.0)).otherwise(lit(2.0))
+    m.select(explode(array(
+      struct(lit("aic_full").as("metric"), Det.r4(aicF).as("value")),
+      struct(lit("aic_x1").as("metric"), Det.r4(aic1).as("value")),
+      struct(lit("aic_x2").as("metric"), Det.r4(aic2).as("value")),
+      struct(lit("aic_intercept").as("metric"), Det.r4(aic0).as("value")),
+      struct(lit("greedy_step1").as("metric"), greedy.as("value"))))
+      .as("kv"))
+      .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
+  }
+
+  /** M4B — the LASSO λ-PATH ORACLE GATE: for ONE predictor the lasso
+    * solution is the closed-form soft threshold. Under spark.ml's
+    * objective — features and label standardized by their
+    * POPULATION std (÷n: the ∑/n in the 1/(2n)-scaled aggregator
+    * absorbs the scaling, verified against the solver in
+    * MlMultimodalSpec — a sample-std (n−1) model misses by exactly
+    * √(n/(n−1))), penalty λ/σ_y on the standardized coefficient —
+    * the standardized solution is β̃(λ) = sign(r)·max(|r| − λ/σ_y, 0)
+    * (r = corr(x, y)), mapped back by β = β̃·σ_y/σ_x, b₀ = ȳ − β·x̄.
+    * The path is reported at λ = {0, ½, 2}·λ_max where
+    * λ_max = σ_y·|r| is the smallest λ that zeroes the coefficient —
+    * exercising the OLS limit, a genuinely shrunk fit, and the zero
+    * regime. Every input is an exact-decimal moment, so the whole
+    * path is engine-identical. MlMultimodalSpec bridges it to
+    * spark.ml's OWLQN solver at the same λ's (≤1e-3 relative —
+    * solver convergence, not ulp). */
+  def m4bLassoPathClosed(s: SparkSession, dir: String): DataFrame = {
+    val m = exactMoments(s, dir)
+    val n = col("s1")
+    val sxxC = col("sx11") - col("sx1") * col("sx1") / n
+    val syyC = col("syy") - col("sy") * col("sy") / n
+    val sxyC = col("sx1y") - col("sx1") * col("sy") / n
+    val sigX = sqrt(sxxC / n)
+    val sigY = sqrt(syyC / n)
+    val r = sxyC / sqrt(sxxC * syyC)
+    val lamMax = sigY * abs(r)
+    val xBar = col("sx1") / n
+    val yBar = col("sy") / n
+    def betaAt(lam: org.apache.spark.sql.Column) =
+      signum(r) * greatest(abs(r) - lam / sigY, lit(0.0)) *
+        sigY / sigX
+    def rows(tag: String, lam: org.apache.spark.sql.Column) = {
+      val b = betaAt(lam)
+      Seq(struct(lit(s"beta_$tag").as("metric"), Det.r6(b).as("value")),
+        struct(lit(s"intercept_$tag").as("metric"),
+          Det.r6(yBar - b * xBar).as("value")))
+    }
+    m.select(explode(array(
+      Seq(struct(lit("lambda_max").as("metric"),
+        Det.r6(lamMax).as("value"))) ++
+        rows("at_0", lit(0.0)) ++
+        rows("at_half_max", lamMax * lit(0.5)) ++
+        rows("at_2x_max", lamMax * lit(2.0)): _*)).as("kv"))
+      .select(col("kv.metric").as("metric"), col("kv.value").as("value"))
+  }
+
+  /** M5B — the tree-regressor EXACTNESS ORACLE GATE (the x9b/x19b
+    * bounded-domain idea, for CART): a random forest with
+    * bootstrap=false, numTrees=1 and all features per split is a
+    * deterministic variance-split CART tree, and on a design whose
+    * single feature has 8 ordered values with integer labels the
+    * fully-grown tree's leaves are unions of feature values with
+    * IDENTICAL label means — so every prediction equals the per-value
+    * label mean EXACTLY (variance splitting has positive gain
+    * whenever child means differ, minInfoGain = 0 and maxDepth = 8 >
+    * the worst-case 7-deep chain let it run to purity; integer label
+    * sums ≪ 2^53 are order-independent in double, and the final
+    * sum/count division is the identical IEEE op in both engines).
+    * The oracle is the plain GROUP BY mean. This value-gates
+    * spark.ml's tree machinery — binning, variance-gain argmax,
+    * leaf stats — which m5's 5-feature forest (rows-only) cannot. */
+  def m5bTreeExactGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.RandomForestRegressor
+    val data = Tables.orders(s, dir).select(
+      (col("o_orderkey") % 8).cast("double").as("x"),
+      (col("o_orderkey") % 97).cast("double").as("label"))
+    val rf = new RandomForestRegressor().setLabelCol("label")
+      .setFeaturesCol("features").setNumTrees(1).setBootstrap(false)
+      .setFeatureSubsetStrategy("all").setMaxDepth(8).setSeed(4)
+    val model = new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(Array("x"))
+        .setOutputCol("features"), rf)).fit(data)
+    val grid = data.groupBy(col("x"))
+      .agg(count(lit(1)).cast("bigint").as("n_rows"))
+    model.transform(grid)
+      .select(col("x").cast("bigint").as("bucket"), col("n_rows"),
+        col("prediction"))
+  }
+
+  /** M10B — the repeated-CV PLANTED ORACLE GATE (the n7 idea for
+    * model selection): on a design where the label is EXACTLY linear
+    * in the single feature (y = 3x + 7, integers), the λ = 0 entry
+    * of the grid fits every fold to machine precision (normal
+    * solver: no L1 at regParam 0), so every repeat's CV-RMSE is
+    * ~1e−9 — 0 after the 1e−6 quantization — while λ = 1 pays a
+    * shrinkage bias orders of magnitude above it. The closed form is
+    * therefore constant: best_reg = 0, cv_rmse = 0 for every repeat,
+    * mean = sd = 0 — REGARDLESS of how the seeds assign folds. What
+    * it gates: the fold machinery ran, the per-fold fits converged
+    * to the exact solution, and selection picked the exact-fit λ in
+    * all repeats × folds × grid cells. */
+  def m10bCvPlantedGate(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.orders(s, dir).select(
+      (col("o_orderkey") % 100).cast("double").as("x"),
+      ((col("o_orderkey") % 100) * 3 + 7).cast("double").as("label"))
+    repeatedCvOf(s, df, Array("x"), repeats = 3,
+      lambdas = Array(0.0, 1.0))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_pca" -> m1Pca,
+    "m1b_pca_closed" -> m1bPcaClosed,
     "m2_linreg" -> m2Linreg,
     "m2b_linreg_normal" -> m2bLinregNormal,
     "m4_lasso_cv" -> m4LassoCv,
+    "m4b_lasso_path_closed" -> m4bLassoPathClosed,
     "m10_repeated_cv" -> m10RepeatedCv,
+    "m10b_cv_planted_gate" -> m10bCvPlantedGate,
     "m5_random_forest" -> m5RandomForest,
-    "m6_stepwise_aic" -> m6StepwiseAic)
+    "m5b_tree_exact_gate" -> m5bTreeExactGate,
+    "m6_stepwise_aic" -> m6StepwiseAic,
+    "m6b_stepaic_lattice" -> m6bStepAicLattice)
 
-  /** m2b replays exactly in SQL (exact-decimal moments + the same
-    * closed-form solve); the remaining fits are spark.ml surface —
-    * rows-only checked by the driver, semantics pinned in MlSpec. */
+  // SQL fragments of the shared Cramer solve (mirrors cB0/cB1/cB2)
+  private val sqlDet = """(s1 * (sx11 * sx22 - sx12 * sx12) -
+    sx1 * (sx1 * sx22 - sx12 * sx2) +
+    sx2 * (sx1 * sx12 - sx11 * sx2))"""
+  private val sqlB0 = s"""((sy * (sx11 * sx22 - sx12 * sx12) -
+    sx1 * (sx1y * sx22 - sx12 * sx2y) +
+    sx2 * (sx1y * sx12 - sx11 * sx2y)) / $sqlDet)"""
+  private val sqlB1 = s"""((s1 * (sx1y * sx22 - sx12 * sx2y) -
+    sy * (sx1 * sx22 - sx12 * sx2) +
+    sx2 * (sx1 * sx2y - sx1y * sx2)) / $sqlDet)"""
+  private val sqlB2 = s"""((s1 * (sx11 * sx2y - sx1y * sx12) -
+    sx1 * (sx1 * sx2y - sx1y * sx2) +
+    sy * (sx1 * sx12 - sx11 * sx2)) / $sqlDet)"""
+
+  /** Closed-form gates replay exactly in SQL (exact-decimal moments
+    * + the same IEEE expression tree); the full spark.ml fits stay
+    * rows-only, each value-gated by its b-twin plus an
+    * MlMultimodalSpec bridge (m1↔m1b, m2↔m2b, m4↔m4b, m5↔m5b,
+    * m6↔m6b, m10↔m10b). */
   val oracle: Map[String, String] = Map(
     "m2b_linreg_normal" -> {
-      val det = """(s1 * (sx11 * sx22 - sx12 * sx12) -
-        sx1 * (sx1 * sx22 - sx12 * sx2) +
-        sx2 * (sx1 * sx12 - sx11 * sx2))"""
-      val b0 = s"""((sy * (sx11 * sx22 - sx12 * sx12) -
-        sx1 * (sx1y * sx22 - sx12 * sx2y) +
-        sx2 * (sx1y * sx12 - sx11 * sx2y)) / $det)"""
-      val b1 = s"""((s1 * (sx1y * sx22 - sx12 * sx2y) -
-        sy * (sx1 * sx22 - sx12 * sx2) +
-        sx2 * (sx1 * sx2y - sx1y * sx2)) / $det)"""
-      val b2 = s"""((s1 * (sx11 * sx2y - sx1y * sx12) -
-        sx1 * (sx1 * sx2y - sx1y * sx2) +
-        sy * (sx1 * sx12 - sx11 * sx2)) / $det)"""
-      val sse = s"(syy - $b0 * sy - $b1 * sx1y - $b2 * sx2y)"
+      val sse = s"(syy - $sqlB0 * sy - $sqlB1 * sx1y - $sqlB2 * sx2y)"
       val sst = "(syy - sy * sy / s1)"
-      s"""WITH percust AS (
-           SELECT o_custkey AS custkey,
-             cast(count(*) AS decimal(10,0)) AS x1,
-             cast(sum(cast(o_totalprice AS decimal(12,2)))
-               AS decimal(12,2)) AS y
-           FROM orders GROUP BY 1),
-         dm AS (
-           SELECT x1, cast(c_acctbal AS decimal(12,2)) AS x2, y
-           FROM customer JOIN percust ON c_custkey = custkey),
-         m AS (
-           SELECT cast(count(*) AS double) AS s1,
-             cast(sum(x1) AS double) AS sx1,
-             cast(sum(x2) AS double) AS sx2,
-             cast(sum(x1 * x1) AS double) AS sx11,
-             cast(sum(x1 * x2) AS double) AS sx12,
-             cast(sum(x2 * x2) AS double) AS sx22,
-             cast(sum(y) AS double) AS sy,
-             cast(sum(x1 * y) AS double) AS sx1y,
-             cast(sum(x2 * y) AS double) AS sx2y,
-             cast(sum(y * y) AS double) AS syy
-           FROM dm)
+      s"""WITH $momentsSqlCte
          SELECT metric, value FROM (
            SELECT 'intercept' AS metric,
-             ${Det.sql(b0, 6)} AS value FROM m
+             ${Det.sql(sqlB0, 6)} AS value FROM m
            UNION ALL
-           SELECT 'coef_n_orders', ${Det.sql(b1, 6)} FROM m
+           SELECT 'coef_n_orders', ${Det.sql(sqlB1, 6)} FROM m
            UNION ALL
-           SELECT 'coef_acctbal', ${Det.sql(b2, 6)} FROM m
+           SELECT 'coef_acctbal', ${Det.sql(sqlB2, 6)} FROM m
            UNION ALL
            SELECT 'r2', ${Det.sql(s"1.0 - $sse / $sst", 6)} FROM m)"""
-    })
+    },
+    "m1b_pca_closed" -> {
+      val r = """((s1 * sx12 - sx1 * sx2) /
+        sqrt((s1 * sx11 - sx1 * sx1) * (s1 * sx22 - sx2 * sx2)))"""
+      val load = Det.sql("1.0 / sqrt(2.0)", 6)
+      s"""WITH $momentsSqlCte
+         SELECT component, feature, $load AS abs_loading,
+           CASE WHEN component = 'pc1'
+             THEN ${Det.sql(s"(1.0 + abs($r)) / 2.0", 6)}
+             ELSE ${Det.sql(s"(1.0 - abs($r)) / 2.0", 6)}
+           END AS explained_variance
+         FROM m, (VALUES ('pc1', 'n_orders'), ('pc1', 'acctbal'),
+                         ('pc2', 'n_orders'), ('pc2', 'acctbal'))
+              AS t(component, feature)"""
+    },
+    "m6b_stepaic_lattice" -> {
+      val sst = "(syy - sy * sy / s1)"
+      val rssF = s"(syy - $sqlB0 * sy - $sqlB1 * sx1y - $sqlB2 * sx2y)"
+      val rss1 = s"""($sst - (sx1y - sx1 * sy / s1) * (sx1y - sx1 * sy / s1)
+        / (sx11 - sx1 * sx1 / s1))"""
+      val rss2 = s"""($sst - (sx2y - sx2 * sy / s1) * (sx2y - sx2 * sy / s1)
+        / (sx22 - sx2 * sx2 / s1))"""
+      def aic(rss: String, k: Int) =
+        s"(s1 * (${Det.sql(s"ln($rss / s1)", 4)}) + ${2.0 * (k + 2)})"
+      val (aF, a1, a2, a0) =
+        (aic(rssF, 2), aic(rss1, 1), aic(rss2, 1), aic(sst, 0))
+      s"""WITH $momentsSqlCte
+         SELECT metric, value FROM (
+           SELECT 'aic_full' AS metric, ${Det.sql(aF, 4)} AS value FROM m
+           UNION ALL SELECT 'aic_x1', ${Det.sql(a1, 4)} FROM m
+           UNION ALL SELECT 'aic_x2', ${Det.sql(a2, 4)} FROM m
+           UNION ALL SELECT 'aic_intercept', ${Det.sql(a0, 4)} FROM m
+           UNION ALL SELECT 'greedy_step1',
+             CASE WHEN least($a1, $a2) >= $aF THEN 0.0
+                  WHEN $a2 <= $a1 THEN 1.0 ELSE 2.0 END FROM m)"""
+    },
+    "m4b_lasso_path_closed" -> {
+      val sxxC = "(sx11 - sx1 * sx1 / s1)"
+      val syyC = "(syy - sy * sy / s1)"
+      val sxyC = "(sx1y - sx1 * sy / s1)"
+      val sigX = s"sqrt($sxxC / s1)"
+      val sigY = s"sqrt($syyC / s1)"
+      val r = s"($sxyC / sqrt($sxxC * $syyC))"
+      val lamMax = s"($sigY * abs($r))"
+      def beta(lam: String) =
+        s"""(sign($r) * greatest(abs($r)
+          - $lam / $sigY, 0.0) * $sigY / $sigX)"""
+      def pair(tag: String, lam: String) = {
+        val b = beta(lam)
+        s"""SELECT 'beta_$tag' AS metric, ${Det.sql(b, 6)} AS value FROM m
+           UNION ALL SELECT 'intercept_$tag',
+             ${Det.sql(s"sy / s1 - $b * (sx1 / s1)", 6)} FROM m"""
+      }
+      s"""WITH $momentsSqlCte
+         SELECT metric, value FROM (
+           SELECT 'lambda_max' AS metric, ${Det.sql(lamMax, 6)} AS value
+           FROM m
+           UNION ALL ${pair("at_0", "0.0")}
+           UNION ALL ${pair("at_half_max", s"($lamMax * 0.5)")}
+           UNION ALL ${pair("at_2x_max", s"($lamMax * 2.0)")})"""
+    },
+    "m5b_tree_exact_gate" ->
+      """SELECT cast(o_orderkey % 8 AS bigint) AS bucket,
+           cast(count(*) AS bigint) AS n_rows,
+           cast(sum(o_orderkey % 97) AS double)
+             / cast(count(*) AS double) AS prediction
+         FROM orders GROUP BY 1""",
+    "m10b_cv_planted_gate" ->
+      """SELECT metric, cast(value AS double) AS value FROM (VALUES
+           ('repeat_1_best_reg', 0.0), ('repeat_1_cv_rmse', 0.0),
+           ('repeat_2_best_reg', 0.0), ('repeat_2_cv_rmse', 0.0),
+           ('repeat_3_best_reg', 0.0), ('repeat_3_cv_rmse', 0.0),
+           ('cv_rmse_mean', 0.0), ('cv_rmse_sd', 0.0))
+         AS t(metric, value)""")
 }

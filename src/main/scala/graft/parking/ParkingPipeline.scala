@@ -120,15 +120,23 @@ object ParkingPipeline {
   def areaBandPivotFor(df: DataFrame, buildingType: String): DataFrame =
     areaBandPivot(df.filter(col("임대건물구분") === buildingType))
 
-  /** G9 + C6 — per-complex household-weighted mean rent with all-NULL
-    * fallback (R:922–940: the `group_split`+`map_df` loop as ONE hash
-    * aggregate), then exact-median imputation (R:941–943). */
-  def weightedRent(df: DataFrame): DataFrame = {
+  /** G9 — per-complex household-weighted mean rent with all-NULL
+    * groups kept NULL (R:922–940: the `group_split`+`map_df` loop as
+    * ONE hash aggregate) — the pre-impute frame both imputers
+    * ([[weightedRent]] median, [[knnImputeRentsOnComplex]] k-NN)
+    * start from. */
+  def weightedRentRaw(df: DataFrame): DataFrame = {
     def weighted(c: String) =
       (sum(when(col(c).isNotNull, col(c) * col("전용면적별세대수")))
         / sum(when(col(c).isNotNull, col("전용면적별세대수")))).as(c)
-    val perComplexRent = df.groupBy("단지코드")
+    df.groupBy("단지코드")
       .agg(weighted("임대보증금"), weighted("임대료"))
+  }
+
+  /** C6 — [[weightedRentRaw]] + exact-median imputation (R:941–943,
+    * the ACTIVE imputation path of the reference). */
+  def weightedRent(df: DataFrame): DataFrame = {
+    val perComplexRent = weightedRentRaw(df)
     val meds = perComplexRent.agg(
       expr("percentile(`임대보증금`, 0.5)"),
       expr("percentile(`임대료`, 0.5)")).head()
@@ -136,6 +144,31 @@ object ParkingPipeline {
       .withColumn("임대보증금",
         coalesce(col("임대보증금"), lit(meds.getDouble(0))))
       .withColumn("임대료", coalesce(col("임대료"), lit(meds.getDouble(1))))
+  }
+
+  /** The COMMENTED-OUT reference imputation (R:820–829
+    * `knnImputation`, packages loaded at R:56–60 but never called),
+    * made runnable: complexes whose weighted 임대보증금 is NULL (no
+    * priced unit at all) take the mean over their 5 nearest
+    * fully-priced complexes in (총세대수, 공가수, 단지내주차면수,
+    * 총면적) space — the always-present per-complex numerics —
+    * through the shared [[graft.ml.KnnImpute]] kernel (broadcast
+    * scored join + TopKPerKey + keyed mean). Returns (단지코드,
+    * imputed 임대보증금); ParkingSpec pins the full output against a
+    * driver-side brute-force recomputation. */
+  def knnImputeRentsOnComplex(s: SparkSession, path: String): DataFrame = {
+    val cleaned = clean(loadTrain(s, path))
+    val base = perComplex(cleaned)
+      .join(broadcast(totalArea(cleaned)), Seq("단지코드"))
+      .join(broadcast(weightedRentRaw(cleaned)), Seq("단지코드"))
+      .select(col("단지코드"), col("총세대수").cast("double").as("총세대수"),
+        col("공가수"), col("단지내주차면수"), col("총면적"),
+        col("임대보증금"))
+    graft.ml.KnnImpute.imputeOf(base, "단지코드",
+      Seq("총세대수", "공가수", "단지내주차면수", "총면적"),
+      "임대보증금", k = 5)
+      .select(col("q_key").as("단지코드"),
+        col("imputed").as("임대보증금_knn"))
   }
 
   /** Entry point A+B (SURVEY §3.1–3.2): the full per-complex feature

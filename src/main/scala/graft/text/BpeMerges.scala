@@ -379,13 +379,13 @@ object BpeMerges {
        |  FROM $prev, p$i)""".stripMargin
   }
 
-  private[graft] def bpeGateOracleSql: String = {
+  /** The shared fit-replay CTE chain (corpus words → capped vocab →
+    * v0 char split → p1/v1 … p12/v12) — the x22b oracle reads the
+    * p$i argmax rows; the x23b oracle additionally APPLIES the p$i
+    * merges to the document words. */
+  private def bpeGateFitCtes: String = {
     val steps = (1 to GateMerges).map(bpeGateStepSql).mkString(",\n")
-    val out = (1 to GateMerges).map(i =>
-      s"""SELECT cast(${i - 1} AS int) AS rank, pa AS "left",
-         |  pb AS "right", cast(n AS bigint) AS pair_count FROM p$i"""
-        .stripMargin).mkString("\nUNION ALL\n")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
        |  FROM documents),
        |vcap AS (
@@ -394,15 +394,99 @@ object BpeMerges {
        |v0 AS (
        |  SELECT f, regexp_extract_all(substr(word, 1, $WordLimit), '.') AS syms
        |  FROM vcap),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private[graft] def bpeGateOracleSql: String = {
+    val out = (1 to GateMerges).map(i =>
+      s"""SELECT cast(${i - 1} AS int) AS rank, pa AS "left",
+         |  pb AS "right", cast(n AS bigint) AS pair_count FROM p$i"""
+        .stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH ${bpeGateFitCtes}
        |SELECT * FROM ($out)""".stripMargin
+  }
+
+  /** X23B — the TOKENIZER ORACLE GATE (x22b's replay machinery,
+    * pointed at the INFERENCE side): per-document BPE token counts
+    * under the gated [[GateMerges]]-merge prefix vocabulary. The
+    * Spark side runs the EXACT production kernel x23 and x26 use
+    * ([[tokenCounter]] → [[applyMerges]] → [[mergePair]]) with the
+    * first 12 learned merges; the oracle re-derives those merges
+    * independently (the x22b chain) and then APPLIES them to every
+    * distinct document word with the same list_reduce fold, one u$i
+    * CTE per rank — rank order is exactly the ordered replay
+    * [[applyMerges]] performs (its pair-presence probe is a pure
+    * skip optimization: applying an absent merge is a no-op).
+    * Distinct words tokenize once (the same Zipf memo argument as
+    * the kernel's); per-doc counts come back through a (doc_id,
+    * word, multiplicity) join, LEFT so wordless documents keep
+    * their 0. This value-gates the inference kernel end to end —
+    * x23's full-table run (and x26's token counts) differ only in
+    * merge-table LENGTH, which the prefix-deterministic fit (x22b)
+    * already gates. */
+  def x23bBpeTokenizeGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = learnedMerges(s, dir).take(GateMerges)
+      .map { case (_, l, r, _) => (l, r) }
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)").as("words"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val tokens = tokenCounter(merges)
+        it.map { case (id, words) => (id, words.map(tokens).sum) }
+      }
+      .toDF("doc_id", "n_bpe_tokens_12")
+  }
+
+  /** One merge-application step over the distinct-word table: u$i =
+    * u${i-1} with step i's (pa, pb) merged greedily left-to-right —
+    * the v$i fold, applied to document words instead of the vocab. */
+  private def bpeApplyStepSql(i: Int): String = {
+    val prev = if (i == 1) "u0" else s"u${i - 1}"
+    s"""u$i AS MATERIALIZED (
+       |  SELECT word, CASE WHEN len(syms) < 2 THEN syms
+       |    ELSE string_split(
+       |      list_reduce(syms, (acc, x) -> CASE
+       |        WHEN regexp_extract(acc, '[^~]*$$') = p$i.pa AND x = p$i.pb
+       |        THEN concat(
+       |          left(acc, length(acc) - length(regexp_extract(acc, '[^~]*$$'))),
+       |          p$i.pa, p$i.pb)
+       |        ELSE concat(acc, '~', x) END), '~') END AS syms
+       |  FROM $prev, p$i)""".stripMargin
+  }
+
+  private[graft] def bpeTokenizeGateOracleSql: String = {
+    val apply = (1 to GateMerges).map(bpeApplyStepSql).mkString(",\n")
+    s"""WITH ${bpeGateFitCtes},
+       |dw AS (
+       |  SELECT doc_id, word, cast(count(*) AS bigint) AS cnt
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |u0 AS (
+       |  SELECT word, regexp_extract_all(substr(word, 1, $WordLimit), '.') AS syms
+       |  FROM (SELECT DISTINCT word FROM dw)),
+       |$apply,
+       |tok AS (SELECT word, cast(len(syms) AS bigint) AS n
+       |        FROM u$GateMerges)
+       |SELECT d.doc_id,
+       |  cast(coalesce(sum(dw.cnt * tok.n), 0) AS bigint)
+       |    AS n_bpe_tokens_12
+       |FROM (SELECT doc_id FROM documents) d
+       |LEFT JOIN dw ON dw.doc_id = d.doc_id
+       |LEFT JOIN tok ON tok.word = dw.word
+       |GROUP BY 1""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x22_bpe_merges" -> x22BpeMerges,
     "x22b_bpe_merges_gate" -> x22bBpeMergesGate,
-    "x23_bpe_tokenize" -> x23BpeTokenize)
+    "x23_bpe_tokenize" -> x23BpeTokenize,
+    "x23b_bpe_tokenize_gate" -> x23bBpeTokenizeGate)
 
   val oracle: Map[String, String] = Map(
-    "x22b_bpe_merges_gate" -> bpeGateOracleSql)
+    "x22b_bpe_merges_gate" -> bpeGateOracleSql,
+    "x23b_bpe_tokenize_gate" -> bpeTokenizeGateOracleSql)
 }

@@ -111,6 +111,112 @@ class MlMultimodalSpec extends SparkTestBase {
     }
   }
 
+  /** The shared 2-feature row-level design behind the b-gates
+    * (x1 = per-customer order count, x2 = acctbal, label = spend) —
+    * the row form of Models.exactMoments. */
+  private def gateDesign = Tables.orders(spark, sfSmoke)
+    .groupBy(col("o_custkey").as("custkey"))
+    .agg(count(lit(1)).cast("double").as("x1"),
+      sum("o_totalprice").as("label"))
+    .join(Tables.customer(spark, sfSmoke)
+      .select(col("c_custkey").as("custkey"),
+        col("c_acctbal").cast("double").as("x2")),
+      Seq("custkey"), "inner")
+
+  test("m1b closed-form PCA == spark.ml scaler+PCA on the same design") {
+    val gate = Models.m1bPcaClosed(spark, sfSmoke).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val ml = Models.pcaOf(spark, gateDesign, Array("x1", "x2"), k = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    // same eigen-structure: explained-variance proportions (1±|r|)/2
+    // and |loading| = 1/√2 on every (component, feature) pair
+    for ((c, f) <- Seq(("pc1", "x1"), ("pc1", "x2"),
+        ("pc2", "x1"), ("pc2", "x2"))) {
+      val gf = if (f == "x1") "n_orders" else "acctbal"
+      val (gl, gev) = gate((c, gf))
+      val (l, ev) = ml((c, f))
+      assert(math.abs(l - gl) < 1e-6, s"($c,$f) loading $l vs $gl")
+      assert(math.abs(ev - gev) < 1e-6, s"($c,$f) ev $ev vs $gev")
+    }
+  }
+
+  test("m6b AIC lattice == stepwiseAicOf's spark.ml refits, same " +
+      "greedy decision") {
+    val lattice = Models.m6bStepAicLattice(spark, sfSmoke).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val steps = Models.stepwiseAicOf(spark, gateDesign,
+      Array("x1", "x2")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    // the lattice's ln is 1e-4-quantized before the n· multiply;
+    // n ≈ |customers| at sf0.001 → ≤ n·5e-5 AIC divergence
+    val tol = 0.1
+    assert(math.abs(steps.head._3 - lattice("aic_full")) < tol,
+      s"start ${steps.head._3} vs ${lattice("aic_full")}")
+    lattice("greedy_step1") match {
+      case 0.0 => assert(steps.length == 1, s"expected no drop: $steps")
+      case 1.0 =>
+        assert(steps(1)._1 == "drop_x1" && steps(1)._2 == "x2")
+        assert(math.abs(steps(1)._3 - lattice("aic_x2")) < tol)
+      case 2.0 =>
+        assert(steps(1)._1 == "drop_x2" && steps(1)._2 == "x1")
+        assert(math.abs(steps(1)._3 - lattice("aic_x1")) < tol)
+      case g => fail(s"unexpected greedy code $g")
+    }
+  }
+
+  test("m4b closed-form soft-threshold path == spark.ml lasso at the " +
+      "same lambdas") {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.{LinearRegression, LinearRegressionModel}
+    val path = Models.m4bLassoPathClosed(spark, sfSmoke).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val lamMax = path("lambda_max")
+    assert(lamMax > 0)
+    def fitAt(lam: Double): (Double, Double) = {
+      val lr = new LinearRegression().setLabelCol("label")
+        .setFeaturesCol("features").setElasticNetParam(1.0)
+        .setRegParam(lam).setMaxIter(200).setTol(1e-9)
+      val m = new Pipeline().setStages(Array(
+        new VectorAssembler().setInputCols(Array("x1"))
+          .setOutputCol("features"), lr)).fit(gateDesign)
+        .stages.last.asInstanceOf[LinearRegressionModel]
+      (m.coefficients(0), m.intercept)
+    }
+    def relClose(a: Double, b: Double, scale: Double): Boolean =
+      math.abs(a - b) <= 1e-3 * math.max(scale, math.abs(b))
+    val (b0, i0) = fitAt(0.0)
+    assert(relClose(b0, path("beta_at_0"), 1e-3),
+      s"OLS beta $b0 vs ${path("beta_at_0")}")
+    assert(relClose(i0, path("intercept_at_0"), 1.0))
+    val (bH, iH) = fitAt(0.5 * lamMax)
+    assert(relClose(bH, path("beta_at_half_max"), 1e-3),
+      s"half-max beta $bH vs ${path("beta_at_half_max")}")
+    assert(relClose(iH, path("intercept_at_half_max"), 1.0))
+    // at 2·λ_max the soft threshold (and OWLQN) zero the coefficient
+    // EXACTLY, and the intercept collapses to ȳ
+    val (b2, i2) = fitAt(2.0 * lamMax)
+    assert(b2 == 0.0, s"expected exact zero at 2x lambda_max, got $b2")
+    assert(path("beta_at_2x_max") == 0.0)
+    assert(relClose(i2, path("intercept_at_2x_max"), 1.0))
+  }
+
+  test("m5b tree gate: predictions equal per-bucket label means " +
+      "exactly") {
+    val gate = Models.m5bTreeExactGate(spark, sfSmoke)
+    val truth = Tables.orders(spark, sfSmoke)
+      .groupBy((col("o_orderkey") % 8).cast("bigint").as("bucket"))
+      .agg((sum(col("o_orderkey") % 97).cast("double") /
+        count(lit(1)).cast("double")).as("want"))
+    val bad = gate.join(truth, "bucket")
+      .filter(col("prediction") =!= col("want"))
+    assert(bad.count() == 0, "tree prediction != exact bucket mean")
+    assert(gate.count() == 8)
+  }
+
   test("m9 VIF: aux-OLS path agrees with the closed pairwise-corr form") {
     val feats = Array("l_quantity", "l_extendedprice", "l_discount")
     val df = Tables.lineitem(spark, sfSmoke).select(feats.head,

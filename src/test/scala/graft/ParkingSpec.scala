@@ -114,6 +114,53 @@ class ParkingSpec extends SparkTestBase {
     assert(steps.forall(_.getString(1).nonEmpty))
   }
 
+  test("knn impute (R:820-829's commented path): matches a brute-force " +
+      "recomputation for every unpriced complex") {
+    val cleaned = clean(loadTrain(spark, trainCsv))
+    // the pre-impute frame the operator runs on, collected (423 rows)
+    val base = perComplex(cleaned)
+      .join(broadcast(totalArea(cleaned)), Seq("단지코드"))
+      .join(broadcast(weightedRentRaw(cleaned)), Seq("단지코드"))
+      .select(col("단지코드"), col("총세대수").cast("double"),
+        col("공가수"), col("단지내주차면수"), col("총면적"),
+        col("임대보증금"))
+      .collect()
+      .map(r => (r.getString(0), Array(r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    val complete = base.filter(_._3.isDefined)
+    val missing = base.filter(_._3.isEmpty)
+    assert(missing.nonEmpty && complete.length > 5,
+      "fixture lost its unpriced complexes")
+    // independent brute force: population sigma over complete rows,
+    // standardized euclidean, (dist2, key) order, mean of 5
+    val n = complete.length.toDouble
+    val sds = (0 until 4).map { j =>
+      val s = complete.map(_._2(j)).sum
+      val ss = complete.map(v => v._2(j) * v._2(j)).sum
+      math.sqrt((ss - s * s / n) / n)
+    }
+    val want = missing.map { case (key, f, _) =>
+      val nn = complete.map { case (ck, cf, cb) =>
+        val d = (0 until 4).map { j =>
+          val z = (f(j) - cf(j)) / sds(j); z * z
+        }.sum
+        (d, ck, cb.get)
+      }.sortBy(t => (t._1, t._2)).take(5)
+      key -> nn.map(_._3).sum / 5.0
+    }.toMap
+    val got = knnImputeRentsOnComplex(spark, trainCsv).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) <= 1e-6 * math.max(1.0, want(k)),
+        s"$k: got $v want ${want(k)}")
+    }
+    // imputed values live inside the observed price range
+    val (lo, hi) = (complete.map(_._3.get).min, complete.map(_._3.get).max)
+    got.values.foreach(v => assert(v >= lo && v <= hi))
+  }
+
   test("demographic join: 16-region broadcast adds shares, keeps grain") {
     val feats = featureTable(spark, trainCsv)
     val ag = loadAgeGender(spark, "/root/reference/age_gender_info.csv")
