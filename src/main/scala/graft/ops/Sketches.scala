@@ -142,15 +142,19 @@ object Sketches {
     * 99% bound at k=400 — not a flake surface), and the exact-by-
     * design invariants: per-shard n is exact, min/max are exact.
     * Rows-only gate (17 rows: 16 shards + the global rollup). */
-  def x27KllRollup(s: SparkSession, dir: String): DataFrame = {
+  def x27KllRollup(s: SparkSession, dir: String): DataFrame =
+    kllRollupOf(s, Tables.lineitem(s, dir)
+      .select(pmod(xxhash64(col("l_orderkey")), lit(Shards))
+          .cast("int").as("shard"),
+        col("l_extendedprice").cast("double").as("v")))
+
+  /** The x27 kernel over an arbitrary (shard int, v double) frame —
+    * shared by the full rollup and the x27b exactness gate. */
+  private def kllRollupOf(s: SparkSession, input: DataFrame): DataFrame = {
     import org.apache.datasketches.kll.KllDoublesSketch
     import org.apache.datasketches.memory.Memory
     import s.implicits._
-    val rows = Tables.lineitem(s, dir)
-      .select(pmod(xxhash64(col("l_orderkey")), lit(Shards))
-          .cast("int").as("shard"),
-        col("l_extendedprice").cast("double").as("v"))
-      .as[(Int, Double)]
+    val rows = input.as[(Int, Double)]
     val partial = rows.mapPartitions { it =>
       val m = scala.collection.mutable.HashMap
         .empty[Int, KllDoublesSketch]
@@ -181,6 +185,43 @@ object Sketches {
     s.createDataFrame(out.toIndexedSeq)
       .toDF("shard", "n_rows", "v_min", "p25", "p50", "p75", "p95",
         "v_max")
+  }
+
+  /** Row budget of the x27b gate slice: far under the KLL capacity
+    * (k = 400), so no compaction — the one randomized mechanism in
+    * the KLL stack — can ever trigger, for the slice OR the merged
+    * global (200 retained items ≤ k). */
+  private val KllGateRows = 200
+
+  /** X27B — the KLL EXACTNESS ORACLE GATE (the x9b/x19b bounded
+    * pattern, for the quantile sketch; bounded COUNT this time, not
+    * domain — KLL's error comes from compaction, which only fires
+    * past capacity): the IDENTICAL x27 machinery — partition-local
+    * sketch build, shard merge via groupByKey, driver-side fold into
+    * the global summary — over a deterministic [[KllGateRows]]-row
+    * slice of lineitem (hash-ordered top-200, constant at every SF).
+    * Below capacity every sketch RETAINS all items, so getQuantile
+    * is the exact order statistic under the library's inclusive-rank
+    * rule — quantile(p) = the value at sorted position ⌈p·n⌉ — and
+    * the oracle is a plain window-rank SQL over the same slice.
+    * Slice selection uses the o3 Knuth multiplicative key-mix (the
+    * repo's SQL-replayable hash; xxhash64 is Spark-only), over the
+    * unique (l_orderkey, l_linenumber) row key. This value-gates the
+    * whole x27 path (per-task build, blob serialization round-trip,
+    * shard merge, driver rollup, the quantile read-out); the
+    * full-corpus x27 keeps its honest rank-error envelope contract
+    * in SketchesSpec. */
+  def x27bKllExactGate(s: SparkSession, dir: String): DataFrame = {
+    val mix = shiftright(
+      (col("l_orderkey") * 8 + col("l_linenumber")) * 2654435761L, 16)
+    val slice = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").cast("double").as("v"), mix.as("h"))
+      .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))
+      .limit(KllGateRows)
+    kllRollupOf(s, slice.select(
+      pmod(col("h"), lit(Shards)).cast("int").as("shard"),
+      col("v")))
   }
 
   /** X19B — the CMS EXACTNESS ORACLE GATE (the x9b bounded-domain
@@ -222,11 +263,44 @@ object Sketches {
     "x18_sketch_rollup" -> x18SketchRollup,
     "x19_cms_rollup" -> x19CmsRollup,
     "x19b_cms_gate" -> x19bCmsGate,
-    "x27_kll_rollup" -> x27KllRollup)
+    "x27_kll_rollup" -> x27KllRollup,
+    "x27b_kll_exact_gate" -> x27bKllExactGate)
 
   /** Open-domain estimates are engine-specific — rows-only by
-    * contract; the bounded-domain gate has a closed form. */
+    * contract; the bounded gates have closed forms. */
   val oracle: Map[String, String] = Map(
+    // below-capacity KLL = exact order statistics; quantile(p) is
+    // the value at inclusive-rank position ceil(p·n) per scope
+    "x27b_kll_exact_gate" -> {
+      def q(p: String) =
+        s"max(CASE WHEN rn = ceiling($p * n) THEN v END) AS "
+      s"""WITH slice AS (
+           SELECT h, v FROM (
+             SELECT ((l_orderkey * 8 + l_linenumber) * 2654435761)
+                 >> 16 AS h,
+               cast(l_extendedprice AS double) AS v,
+               l_orderkey, l_linenumber
+             FROM lineitem)
+           ORDER BY h, l_orderkey, l_linenumber LIMIT $KllGateRows),
+         sharded AS (
+           SELECT cast(h % $Shards AS int) AS shard, v FROM slice),
+         scopes AS (
+           SELECT shard, v FROM sharded
+           UNION ALL SELECT cast(-1 AS int), v FROM sharded),
+         ranked AS (
+           SELECT shard, v,
+             row_number() OVER (PARTITION BY shard ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY shard) AS n
+           FROM scopes)
+         SELECT shard, cast(max(n) AS bigint) AS n_rows,
+           min(v) AS v_min,
+           ${q("0.25")}p25,
+           ${q("0.5")}p50,
+           ${q("0.75")}p75,
+           ${q("0.95")}p95,
+           max(v) AS v_max
+         FROM ranked GROUP BY shard"""
+    },
     "x19b_cms_gate" ->
       """SELECT cast(least(length(token), 30) AS varchar) AS len_key,
            cast(count(*) AS bigint) AS est_count

@@ -28,8 +28,9 @@ import graft.ops.Det
   *    on token — every shuffle is token- or doc-keyed, nothing is
   *    all-pairs. The tf/dl/df structures are BUILT ONCE per
   *    (session, corpus) and served from persisted snapshot-store
-  *    tables ([[lexIndexRoot]]) — the retrieval-system shape, where
-  *    queries never re-tokenize the corpus. Hot-token fanout (a stopword joins every doc) is
+  *    tables ([[graft.text.LexIndex]], shared with x20/x21) — the
+  *    retrieval-system shape, where queries never re-tokenize the
+  *    corpus. Hot-token fanout (a stopword joins every doc) is
   *    bounded by QUERY-TERM PRUNING: each query keeps only its
   *    [[QueryTerms]] rarest terms (df asc — highest idf, the terms
   *    that carry BM25 mass anyway), so the join fans out to at most
@@ -63,63 +64,25 @@ object HybridRetrieval {
 
   private val tokens = split(col("text"), " ")
 
-  /** Per-(application, dir) memo of the PERSISTED lexical index root
-    * — the n8 build-once/serve-many split for the BM25 arm (and the
-    * persisted form of x20/x21's index structures). The first x47
-    * run in a session BUILDS: one corpus-scale tokenize → (doc,
-    * token, tf) hash agg, with its two rollups (doc lengths, term
-    * document-frequencies), committed as three snapshot-store
-    * tables. Every later run SERVES from the parquet — the corpus is
-    * never re-tokenized (VERDICT r8 task 7: the per-run tf/df
-    * rebuild dominated x47's cost). Values are exact across the
-    * round-trip: tf/df/dl are counts-as-doubles, bit-preserved by
-    * parquet, so the served query is hash-identical to the inline
-    * build. Keyed by applicationId like the IVF/BPE fit memos; a
-    * new session over regenerated parquet rebuilds. */
-  private val indexRoots = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), String]()
-
-  private def lexIndexRoot(s: SparkSession, dir: String): String =
-    indexRoots.computeIfAbsent((s.sparkContext.applicationId, dir), _ => {
-      import graft.sources.SnapshotStore
-      val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
-      val root = new org.apache.hadoop.fs.Path(
-        sys.props("java.io.tmpdir"),
-        s"graft_x47$tag/${s.sparkContext.applicationId}").toString
-      graft.sources.Scratch.fresh(s,
-        new org.apache.hadoop.fs.Path(root))
-      val docs = Tables.documents(s, dir).select("doc_id", "text")
-      val tf = docs
-        .select(col("doc_id"), explode(tokens).as("token"))
-        .groupBy("doc_id", "token")
-        .agg(count(lit(1)).cast("double").as("tf"))
-      SnapshotStore.commit(tf, s"$root/tf")
-      val tfBack = SnapshotStore.read(s, s"$root/tf")
-      // rollups derive from the COMMITTED postings (one tokenize
-      // pass total, and the artifacts can never drift apart)
-      SnapshotStore.commit(tfBack.groupBy("doc_id")
-        .agg(sum("tf").as("dl")), s"$root/dl")
-      SnapshotStore.commit(tfBack.groupBy("token")
-        .agg(count(lit(1)).cast("double").as("df")), s"$root/df")
-      root
-    })
-
   def x47HybridRetrieval(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
-    import graft.sources.SnapshotStore
     val docs = Tables.documents(s, dir).select("doc_id", "text")
     val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val queryIds = emb.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"))
 
-    // ---- lexical arm: BM25 SERVED from the persisted index --------
-    val root = lexIndexRoot(s, dir)
-    val tf = SnapshotStore.read(s, s"$root/tf")
-      .select("doc_id", "token", "tf")
-    val dl = SnapshotStore.read(s, s"$root/dl").select("doc_id", "dl")
+    // ---- lexical arm: BM25 SERVED from the persisted corpus index
+    // (graft.text.LexIndex — shared with x20/x21; exact integer
+    // counts, so the double casts below are value-identical to the
+    // former inline build and the output hash is unchanged) --------
+    val tf = graft.text.LexIndex.tf(s, dir)
+      .select(col("doc_id"), col("token"),
+        col("tf").cast("double").as("tf"))
+    val dl = graft.text.LexIndex.dl(s, dir)
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
       avg("dl").as("avgdl"))
-    val df_ = SnapshotStore.read(s, s"$root/df").select("token", "df")
+    val df_ = graft.text.LexIndex.df(s, dir)
+      .select(col("token"), col("df").cast("double").as("df"))
     // per-query rarest terms: distinct tokens of the query doc,
     // keep QueryTerms by (df asc, token asc) — exact-integer order
     val qTerms0 = queryIds
