@@ -8,7 +8,7 @@ import graft.ops.{Aggregates, BloomJoin, Expectations, Joins, Ordering,
   PageRank, Relational, Reshape, SkewJoin, Sketches, SqlSurface,
   TemporalJoins}
 import graft.plans.TopK
-import graft.sim.{HybridRetrieval, Similarity}
+import graft.sim.{HybridRetrieval, MmrRerank, Similarity}
 import graft.sources.{BloomSkip, Bucketing, MergeInto,
   PartitionPruning, SnapshotStore, ZOrder}
 import graft.pipeline.CurationPipeline
@@ -44,7 +44,7 @@ object SparkEntry {
       BpeMerges.queries ++ BloomSkip.queries ++
       QualityClassifier.queries ++ PageRank.queries ++
       CurationPipeline.queries ++ Chunking.queries ++
-      HybridRetrieval.queries ++ KnnImpute.queries
+      HybridRetrieval.queries ++ KnnImpute.queries ++ MmrRerank.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -61,5 +61,5 @@ object SparkEntry {
       BpeMerges.oracle ++ BloomSkip.oracle ++
       QualityClassifier.oracle ++ PageRank.oracle ++
       CurationPipeline.oracle ++ Chunking.oracle ++
-      HybridRetrieval.oracle ++ KnnImpute.oracle
+      HybridRetrieval.oracle ++ KnnImpute.oracle ++ MmrRerank.oracle
 }

@@ -618,4 +618,47 @@ class DedupSimSpec extends SparkTestBase {
     assert(d4b.forall(r =>
       r.getLong(1) - r.getLong(0) == (1L << 43) && r.getInt(2) == 0))
   }
+
+  test("n11 MMR: hand-computed fixture — diversity penalty reorders; " +
+      "distributed output is well-formed") {
+    import graft.sim.MmrRerank
+    // 4 candidates: 1 and 2 most relevant but near-duplicates of each
+    // other; 3 slightly less relevant, dissimilar. After picking 1,
+    // MMR must prefer 3 over 2 (7·90 − 3·95 = 345 < 7·80 − 3·10 = 530),
+    // while plain relevance order would keep 2 second.
+    val rels = Seq(1L -> 100L, 2L -> 90L, 3L -> 80L, 4L -> 10L)
+    def sym(a: Long, b: Long, v: Long) = Seq((a, b) -> v, (b, a) -> v)
+    val sims = (sym(1, 2, 95L) ++ sym(1, 3, 10L) ++ sym(1, 4, 0L) ++
+      sym(2, 3, 10L) ++ sym(2, 4, 0L) ++ sym(3, 4, 0L)).toMap
+    val picked = MmrRerank.selectMmr(rels, sims, k = 3)
+    assert(picked.map(_._1) == Seq(1L, 3L, 2L), s"got $picked")
+    // scores: s1 = 7·100; s2 = 7·80 − 3·10; s3 = 7·90 − 3·95
+    assert(picked.map(_._3) == Seq(700L, 530L, 345L))
+    // tie-break: equal scores resolve to the lower doc id
+    val tied = MmrRerank.selectMmr(Seq(7L -> 50L, 5L -> 50L),
+      Map.empty, k = 1)
+    assert(tied.head._1 == 5L)
+
+    // distributed shape: 5 per query, rank 1 = the relevance top-1,
+    // scores non-increasing in rank (the MMR objective is a max over
+    // a shrinking set with a growing penalty)
+    val out = MmrRerank.n11MmrRerank(spark, sfSmoke).cache()
+    try {
+      val perQ = out.groupBy("q_id").count().collect()
+      assert(perQ.nonEmpty && perQ.forall(_.getLong(1) == 5))
+      val byRank = out.collect()
+        .groupBy(_.getLong(0))
+        .view.mapValues(_.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq)
+      byRank.foreach { case (q, scores) =>
+        // monotone from rank 2 on (theorem: per-candidate penalties
+        // only grow as the selected set grows, and the argmax runs
+        // over a shrinking set); rank 1→2 is exempt — a NEGATIVE
+        // pairwise cosine is a bonus relative to rank 1's zero
+        // penalty baseline
+        val tail = scores.drop(1)
+        assert(tail.zip(tail.tail).forall { case (a, b) => a >= b },
+          s"q$q scores not non-increasing after rank 2: $scores")
+      }
+    } finally out.unpersist()
+  }
 }
