@@ -31,8 +31,9 @@ import graft.ops.Det
   * (cell-bucketed candidates instead of the full scan) — the
   * exact/ANN twin discipline of n1 vs n6.
   *
-  * K1 gate: every 100th customer's acctbal is DECLARED missing and
-  * re-imputed from the (order-count, spend) feature space. All
+  * K1 gate: every [[plantModulus]]-th customer's acctbal is DECLARED
+  * missing (a FIXED ~150-row probe budget at every scale — see the
+  * dial) and re-imputed from the (order-count, spend) feature space. All
   * inputs are exact decimals (counts, cents), the σ's and distances
   * are the same IEEE expression tree in both engines, and the
   * neighbor mean is an exact decimal sum ÷ count — so the full
@@ -41,6 +42,29 @@ import graft.ops.Det
 object KnnImpute {
 
   private val K = 5
+
+  /** Corpus-size-aware plant modulus (the n2AutoDial pattern): the
+    * gate declares ~150 customers missing at EVERY scale — a fixed
+    * probe budget — instead of a fixed 1% fraction, whose
+    * |missing| × |complete| candidate join would grow quadratically
+    * with the corpus (measured 13× at 10× data). With the budget
+    * fixed the join is linear in the corpus; a production impute
+    * with percent-level missingness composes the same mean-of-
+    * neighbors over the n3/n6 ANN kernels instead of the exact scan
+    * (see object doc). Integer thresholds so the DuckDB oracle
+    * restates the identical CASE ladder from count(*); both gated
+    * SFs (1.5k and 15k customers) sit on the 100 floor. */
+  private[ml] def plantModulus(n: Long): Long =
+    if (n <= 20000L) 100L
+    else if (n <= 200000L) 1000L
+    else if (n <= 2000000L) 10000L
+    else 100000L
+
+  private val plantModulusSql =
+    """(CASE WHEN n_cust <= 20000 THEN 100
+             WHEN n_cust <= 200000 THEN 1000
+             WHEN n_cust <= 2000000 THEN 10000
+             ELSE 100000 END)"""
 
   /** Generic kernel: impute `target` (NULL = missing) as the mean of
     * the k nearest complete rows in standardized `features` space.
@@ -88,13 +112,15 @@ object KnnImpute {
         sum(Det.d2(col("o_totalprice"))).cast(
           org.apache.spark.sql.types.DecimalType(14, 2))
           .cast("double").as("f_spend"))
+    // fixed probe budget at every scale (see plantModulus)
+    val mod = plantModulus(perCust.count())
     val base = Tables.customer(s, dir)
       .select(col("c_custkey").as("custkey"),
         Det.d2(col("c_acctbal")).as("bal"))
       .join(perCust, Seq("custkey"), "inner")
-      // plant the missingness: every 100th customer forgets acctbal
+      // plant the missingness: every mod-th customer forgets acctbal
       .select(col("custkey"), col("f_orders"), col("f_spend"),
-        when(col("custkey") % 100 === 0, lit(null))
+        when(col("custkey") % mod === 0, lit(null))
           .otherwise(col("bal")).as("bal"))
     imputeOf(base, "custkey", Seq("f_orders", "f_spend"), "bal", K)
       .select(col("q_key").as("custkey"),
@@ -117,9 +143,12 @@ object KnnImpute {
              cast(cast(sum(cast(o_totalprice AS decimal(12,2)))
                AS decimal(14,2)) AS double) AS f_spend
            FROM orders GROUP BY 1),
+         dial AS (
+           SELECT $plantModulusSql AS md
+           FROM (SELECT count(*) AS n_cust FROM percust)),
          base AS (
            SELECT c_custkey AS custkey, f_orders, f_spend,
-             CASE WHEN c_custkey % 100 = 0 THEN NULL
+             CASE WHEN c_custkey % (SELECT md FROM dial) = 0 THEN NULL
                   ELSE cast(c_acctbal AS decimal(12,2)) END AS bal
            FROM customer JOIN percust ON c_custkey = custkey),
          complete AS (SELECT * FROM base WHERE bal IS NOT NULL),
