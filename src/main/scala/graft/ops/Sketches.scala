@@ -63,6 +63,41 @@ object Sketches {
       .unionByName(global)
   }
 
+  /** X18B — the HLL EXACTNESS ORACLE GATE (completing the sketch-
+    * gate trio with x19b/x27b): the IDENTICAL x18 rollup — per-shard
+    * `hll_sketch_agg`, `hll_union_agg` merge, estimate read-out —
+    * over a domain bounded far under the sketch's sparse-mode
+    * capacity (token length capped at 30 → ≤31 distinct keys per
+    * scope vs lgConfigK=12's hundreds-of-coupons promotion
+    * threshold). DataSketches HLL below promotion is a COUPON LIST:
+    * it stores the distinct hash set outright and its estimate is
+    * the exact count — no register approximation ever engages — so
+    * every per-shard and merged estimate equals count(DISTINCT) and
+    * the oracle is plain SQL. This value-gates the build, the
+    * cross-shard union, and the read-out; the open-domain x18 keeps
+    * its envelope + merge-equality contract in SketchesSpec. Shard
+    * routing uses the o3 Knuth key-mix (xxhash64 is Spark-only; the
+    * per-shard rows must replay in SQL). */
+  def x18bHllExactGate(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir)
+      .select((shiftright(col("doc_id") * 2654435761L, 16) % Shards)
+        .cast("int").as("shard"),
+        explode(split(col("text"), " ")).as("token"))
+      .select(col("shard"),
+        least(length(col("token")), lit(30)).cast("string").as("k"))
+    val shards = keyed.groupBy("shard")
+      .agg(hll_sketch_agg(col("k")).as("sk"),
+        count(lit(1)).as("n_rows"))
+    val global = shards.agg(
+      sum("n_rows").as("n_rows"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("distinct_est"))
+      .select(lit(-1).cast("int").as("shard"), col("n_rows"),
+        col("distinct_est"))
+    shards.select(col("shard"), col("n_rows"),
+        hll_sketch_estimate(col("sk")).as("distinct_est"))
+      .unionByName(global)
+  }
+
   /** Exploded whitespace tokens with their shard — the same token
     * stream x7/x9 count, so the sketch estimates are comparable to
     * exact counts. */
@@ -261,6 +296,7 @@ object Sketches {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x18_sketch_rollup" -> x18SketchRollup,
+    "x18b_hll_exact_gate" -> x18bHllExactGate,
     "x19_cms_rollup" -> x19CmsRollup,
     "x19b_cms_gate" -> x19bCmsGate,
     "x27_kll_rollup" -> x27KllRollup,
@@ -269,6 +305,26 @@ object Sketches {
   /** Open-domain estimates are engine-specific — rows-only by
     * contract; the bounded gates have closed forms. */
   val oracle: Map[String, String] = Map(
+    // sparse-mode HLL = an exact coupon list; every estimate equals
+    // the plain COUNT(DISTINCT) over the ≤31-key bounded domain
+    "x18b_hll_exact_gate" ->
+      s"""WITH keyed AS (
+           SELECT cast(((doc_id * 2654435761) >> 16) % $Shards AS int)
+               AS shard,
+             cast(least(length(token), 30) AS varchar) AS k
+           FROM (SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS token
+                 FROM documents)),
+         shards AS (
+           SELECT shard, cast(count(*) AS bigint) AS n_rows,
+             cast(count(DISTINCT k) AS bigint) AS distinct_est
+           FROM keyed GROUP BY 1)
+         SELECT shard, n_rows, distinct_est FROM shards
+         UNION ALL
+         SELECT cast(-1 AS int),
+           cast(sum(n_rows) AS bigint),
+           (SELECT cast(count(DISTINCT k) AS bigint) FROM keyed)
+         FROM shards""",
     // below-capacity KLL = exact order statistics; quantile(p) is
     // the value at inclusive-rank position ceil(p·n) per scope
     "x27b_kll_exact_gate" -> {
