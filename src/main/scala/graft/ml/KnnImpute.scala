@@ -106,12 +106,19 @@ object KnnImpute {
 
   /** K1 — the oracle-gated impute on testdata (see object doc). */
   def k1KnnImpute(s: SparkSession, dir: String): DataFrame = {
+    // eager localCheckpoint: the dial's count() is an action and
+    // imputeOf's three branches (broadcast build, σ stats, scored
+    // join) each re-evaluate their input — without the cut the
+    // corpus-scale orders aggregation would run 4× per query
+    // (review finding r9). Single-query checkpoint: the bench scrub
+    // reclaims it, the dial count doubles as the materializing job.
     val perCust = Tables.orders(s, dir)
       .groupBy(col("o_custkey").as("custkey"))
       .agg(count(lit(1)).cast("double").as("f_orders"),
         sum(Det.d2(col("o_totalprice"))).cast(
           org.apache.spark.sql.types.DecimalType(14, 2))
           .cast("double").as("f_spend"))
+      .localCheckpoint(true)
     // fixed probe budget at every scale (see plantModulus)
     val mod = plantModulus(perCust.count())
     val base = Tables.customer(s, dir)

@@ -38,6 +38,14 @@ object Rounds {
     * RELIABLY into this directory instead of localCheckpoint. */
   val CheckpointDirKey = "spark.graft.checkpoint.dir"
 
+  /** One setCheckpointDir per (context, requested dir): Spark stores
+    * a scheme-qualified path with a per-call random subdirectory, so
+    * `getCheckpointDir.contains(dir)` can never serve as the
+    * idempotence check — every call would re-set and scatter round
+    * files across fresh UUID dirs (review finding r9). */
+  private val checkpointDirSet =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, String)]()
+
   /** Materialize one round's state eagerly and truncate lineage —
     * local or reliable per the session conf (see object doc). */
   def materialize(df: DataFrame): DataFrame = {
@@ -45,17 +53,31 @@ object Rounds {
     s.conf.getOption(CheckpointDirKey) match {
       case Some(dir) if dir.nonEmpty =>
         val sc = s.sparkContext
-        // setCheckpointDir is idempotent for the same path; guard so
-        // concurrent queries in one session don't churn the setting
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        if (checkpointDirSet.add((sc.applicationId, dir)))
+          sc.setCheckpointDir(dir)
         df.checkpoint(eager = true)
       case _ => df.localCheckpoint(eager = true)
     }
   }
 
-  /** Drop a superseded round's blocks (no-op for plans that hold
-    * none). Call only after the NEXT round's materialize returned —
-    * a localCheckpoint's blocks are unrecoverable once dropped. */
+  /** Drop a superseded round's materialized blocks. Call only after
+    * the NEXT round's materialize returned — a localCheckpoint's
+    * blocks are unrecoverable once dropped.
+    *
+    * This must reach the RDD, not the Dataset: `Dataset.unpersist`
+    * only uncaches CacheManager-tracked InMemoryRelations, and a
+    * checkpointed Dataset's blocks are persisted at the RDD layer
+    * under a LogicalRDD plan — `ds.unpersist` on one is a silent
+    * no-op (review finding r9, verified against Spark 4.1.2:
+    * getPersistentRDDs kept the entry after ds.unpersist). So
+    * release pattern-matches the materialized plan's LogicalRDD and
+    * unpersists its RDD directly; RoundsSpec pins that the
+    * persistent-RDD entry is actually gone. For a RELIABLE
+    * checkpoint the RDD holds no blocks and this is harmless. */
   def release(df: DataFrame): Unit =
-    df.unpersist(blocking = false)
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -137,14 +137,34 @@ object SnapshotStore {
   private def floorMarkerPath(root: String, id: Long) =
     new Path(root, f"$FloorPrefix$id%012d")
 
+  /** The pre-marker single-file floor — still READ (max'd into the
+    * marker set) so a store vacuumed by the earlier code keeps its
+    * recorded floor across the upgrade; silently dropping it would
+    * re-open the exact commit-fork window the floor closes (review
+    * finding r9). Never written or deleted by the new code: a stale
+    * legacy value can only RAISE the observed floor, which at worst
+    * costs a listing. */
+  private def legacyFloorPath(root: String) = new Path(root, "vacuum.floor")
+
+  private def readLegacyFloor(f: FileSystem, root: String): Long =
+    try {
+      val in = f.open(legacyFloorPath(root))
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      txt.toLong
+    } catch { case _: Exception => -1L }
+
   private def readFloor(f: FileSystem, root: String): Long =
     try {
+      // \d{12,}: %012d PADS to 12 digits but renders ids ≥ 10^12 in
+      // full — an exact {12} would stop parsing (and thus silently
+      // disable vacuum's write-ahead guard) at that point
       f.listStatus(new Path(root)).iterator
         .map(_.getPath.getName)
-        .filter(_.matches(s"$FloorPrefix\\d{12}"))
+        .filter(_.matches(s"$FloorPrefix\\d{12,}"))
         .map(_.stripPrefix(FloorPrefix).toLong)
-        .foldLeft(-1L)(math.max)
-    } catch { case _: Exception => -1L }
+        .foldLeft(readLegacyFloor(f, root))(math.max)
+    } catch { case _: Exception => readLegacyFloor(f, root) }
 
   /** Durable monotonic floor update. Returns whether the recorded
     * floor is now ≥ `id` — verified by READ-BACK, not by trusting
@@ -167,7 +187,7 @@ object SnapshotStore {
         // deleted, so the observed floor cannot dip
         try f.listStatus(new Path(root)).iterator
           .map(_.getPath.getName)
-          .filter(_.matches(s"$FloorPrefix\\d{12}"))
+          .filter(_.matches(s"$FloorPrefix\\d{12,}"))
           .filter(_.stripPrefix(FloorPrefix).toLong < id)
           .foreach(n => f.delete(new Path(root, n), false))
         catch { case _: Exception => () }

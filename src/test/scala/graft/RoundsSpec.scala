@@ -43,6 +43,21 @@ class RoundsSpec extends SparkTestBase {
     }
   }
 
+  test("release drops a materialized round's RDD blocks (Dataset." +
+      "unpersist would be a silent no-op on a checkpointed plan)") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val ck = ops.Rounds.materialize(
+      Seq(1L, 2L, 3L).toDF("v").filter($"v" > 1))
+    val created = sc.getPersistentRDDs.keySet -- before
+    assert(created.nonEmpty, "materialize persisted no RDD blocks")
+    ops.Rounds.release(ck)
+    val after = sc.getPersistentRDDs.keySet
+    assert(created.forall(id => !after.contains(id)),
+      s"release left blocks resident: ${created.intersect(after)}")
+  }
+
   test("d6 star contraction: reliable checkpointing is value-identical") {
     val local = rows(dedup.Dedup.d6ClustersOf(spark, sfSmoke,
       dedup.Dedup.d2bDedupNgramCapped))
