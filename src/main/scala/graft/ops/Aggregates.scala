@@ -198,6 +198,48 @@ object Aggregates {
       .select("var_a", "var_b", "pearson_r", "t_stat", "p_value")
   }
 
+  /** G10c — the cor.test P-VALUE ORACLE GATE (closing g10b's
+    * rows-only gap the m2b way): at df = 2 the Student-t CDF is
+    * ALGEBRAIC — t²/(t²+2) = r² under t = r·√(df/(1−r²)), so the
+    * two-sided p = 1 − |t|/√(t²+2) needs only sqrt/abs/division,
+    * all IEEE-identical across engines. A planted 4-row design
+    * (region keys 0–3, y = key² mod 5 — exact integers, constant at
+    * every SF) gives df = 2 exactly; the Spark side computes p
+    * through the REAL `t_test_p` kernel (graft.ml.Stats' incomplete
+    * beta — the same expression g10b ships) applied to the
+    * 1e−6-rounded t, and the oracle restates the algebraic identity
+    * FROM THAT SAME ROUNDED t — so the kernel's value is hash-gated
+    * against a closed-form truth, positive and negative tails both
+    * (the 'neg' fixture flips y's sign). g10b's 28-pair surface
+    * stays rows-only; this value-gates its p plumbing. */
+  def g10cCorrTestGate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val b = Tables.region(s, dir)
+      .filter(col("r_regionkey") < 4)
+      .select(col("r_regionkey").cast("double").as("x"),
+        ((col("r_regionkey") * col("r_regionkey")) % 5)
+          .cast("double").as("y"))
+    val m = b.agg(count(lit(1)).cast("double").as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val n = col("n")
+    val r = (n * col("sxy") - col("sx") * col("sy")) /
+      sqrt((n * col("sxx") - col("sx") * col("sx")) *
+        (n * col("syy") - col("sy") * col("sy")))
+    val t = r * sqrt((n - lit(2.0)) / (lit(1.0) - r * r))
+    def row(tag: String, sign: Double) =
+      struct(lit(tag).as("fixture"), n.cast("bigint").as("n_pair"),
+        Det.r6(r * sign).as("pearson_r"),
+        Det.r6(t * sign).as("t_stat"))
+    m.select(explode(array(row("pos", 1.0), row("neg", -1.0))).as("k"))
+      .select(col("k.fixture").as("fixture"), col("k.n_pair").as("n_pair"),
+        col("k.pearson_r").as("pearson_r"), col("k.t_stat").as("t_stat"))
+      .withColumn("p_value", Det.r6(
+        expr("t_test_p(t_stat, cast(n_pair AS double) - 2.0)")))
+  }
+
   /** M9 — variance inflation factors (R:527–531 `vif(model)`,
     * R:613–614): VIF_j = 1/(1−R²_j) of the auxiliary regression of
     * feature j on the remaining features. For the 3-feature surface
@@ -772,6 +814,7 @@ object Aggregates {
     "g9_weighted_mean" -> g9WeightedMean,
     "g10_corr" -> g10Corr,
     "g10b_corr_test" -> g10bCorrTest,
+    "g10c_corr_test_gate" -> g10cCorrTestGate,
     "g11_median" -> g11Median,
     "g17_grouped_quantiles" -> g17GroupedQuantiles)
 
@@ -940,6 +983,34 @@ object Aggregates {
                         AS double)""", 2)} AS weighted_price,
            count(*) AS n_lines
          FROM x GROUP BY 1""",
+    // df = 2 ⇒ |t|/√(t²+2) = |r| ⇒ two-sided p = 1 − |t_r|/√(t_r²+2),
+    // restated from the SAME 1e−6-rounded t the kernel consumes
+    "g10c_corr_test_gate" -> {
+      val r = """((n * sxy - sx * sy) /
+        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))"""
+      val t = s"($r * sqrt((n - 2.0) / (1.0 - $r * $r)))"
+      def side(tag: String, sign: String) = {
+        val tr = Det.sql(s"$sign$t", 6)
+        s"""SELECT '$tag' AS fixture, cast(n AS bigint) AS n_pair,
+             ${Det.sql(s"$sign$r", 6)} AS pearson_r,
+             $tr AS t_stat,
+             ${Det.sql(s"1.0 - abs($tr) / sqrt(($tr) * ($tr) + 2.0)", 6)}
+               AS p_value
+           FROM m"""
+      }
+      s"""WITH b AS (
+           SELECT cast(r_regionkey AS double) AS x,
+             cast((r_regionkey * r_regionkey) % 5 AS double) AS y
+           FROM region WHERE r_regionkey < 4),
+         m AS (
+           SELECT cast(count(*) AS double) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+             sum(y * y) AS syy, sum(x * y) AS sxy
+           FROM b)
+         ${side("pos", "")}
+         UNION ALL
+         ${side("neg", "-")}"""
+    },
     "g10_corr" -> {
       // Mirror of the single-pass shape: ONE aggregate CTE computes
       // every pair's corr + complete-obs count, 28 projections read it.
