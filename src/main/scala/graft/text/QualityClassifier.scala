@@ -74,8 +74,34 @@ object QualityClassifier {
   def x32QualityClassifier(s: SparkSession, dir: String): DataFrame =
     scoreAll(Tables.documents(s, dir))
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x32_quality_classifier" -> x32QualityClassifier)
+  /** X32B — the learned-classifier ORACLE GATE (the planted-recovery
+    * closed form, extending the d7/n7 pattern to a TRAINED model):
+    * the top-k documents by trained quality score, k = the planted
+    * curated-slice size, must be EXACTLY the planted set — the
+    * marker tokens are a perfect signal, so any fit that deserves
+    * the name ranks every curated doc above every raw doc
+    * (QualityClassifierSpec pins this separation on the held-out
+    * half; the fit is seeded LBFGS over deterministic features, so
+    * the ranking is reproducible). Set membership — not the
+    * probability values, which stay rows-only in x32 — is what the
+    * DuckDB oracle can state: SELECT the planted ids. This
+    * value-gates the whole learned tier end to end: whitespace
+    * tokenize → stateless HashingTF → LR fit on the key-derived
+    * train half → broadcast scoring — a wrong hash bucket, a
+    * mis-joined label, or a diverged fit all break set equality. */
+  def x32bClassifierGate(s: SparkSession, dir: String): DataFrame = {
+    val scored = scoreAll(Tables.documents(s, dir))
+    val k = scored.filter(col("label") === 1.0).count()
+    scored.orderBy(col("p_quality").desc, col("doc_id"))
+      .limit(k.toInt)
+      .select(col("doc_id"))
+  }
 
-  val oracle: Map[String, String] = Map.empty
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x32_quality_classifier" -> x32QualityClassifier,
+    "x32b_classifier_gate" -> x32bClassifierGate)
+
+  val oracle: Map[String, String] = Map(
+    "x32b_classifier_gate" ->
+      "SELECT doc_id FROM documents WHERE doc_id % 5 = 0")
 }
