@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
-import graft.ml.{KnnImpute, Models}
+import graft.ml.{KnnImpute, MiceImpute, Models}
 import graft.multimodal.Multimodal
 import graft.ops.{Aggregates, BloomJoin, Expectations, Joins, Ordering,
   PageRank, Relational, Reshape, SkewJoin, Sketches, SqlSurface,
@@ -44,7 +44,8 @@ object SparkEntry {
       BpeMerges.queries ++ BloomSkip.queries ++
       QualityClassifier.queries ++ PageRank.queries ++
       CurationPipeline.queries ++ Chunking.queries ++
-      HybridRetrieval.queries ++ KnnImpute.queries ++ MmrRerank.queries
+      HybridRetrieval.queries ++ KnnImpute.queries ++ MmrRerank.queries ++
+      MiceImpute.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -61,5 +62,6 @@ object SparkEntry {
       BpeMerges.oracle ++ BloomSkip.oracle ++
       QualityClassifier.oracle ++ PageRank.oracle ++
       CurationPipeline.oracle ++ Chunking.oracle ++
-      HybridRetrieval.oracle ++ KnnImpute.oracle ++ MmrRerank.oracle
+      HybridRetrieval.oracle ++ KnnImpute.oracle ++ MmrRerank.oracle ++
+      MiceImpute.oracle
 }

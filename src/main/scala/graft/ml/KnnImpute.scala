@@ -60,11 +60,12 @@ object KnnImpute {
     else if (n <= 2000000L) 10000L
     else 100000L
 
-  private val plantModulusSql =
+  private[graft] val plantModulusSqlText =
     """(CASE WHEN n_cust <= 20000 THEN 100
              WHEN n_cust <= 200000 THEN 1000
              WHEN n_cust <= 2000000 THEN 10000
              ELSE 100000 END)"""
+  private def plantModulusSql = plantModulusSqlText
 
   /** Generic kernel: impute `target` (NULL = missing) as the mean of
     * the k nearest complete rows in standardized `features` space.
@@ -104,8 +105,12 @@ object KnnImpute {
         .as("imputed"))
   }
 
-  /** K1 — the oracle-gated impute on testdata (see object doc). */
-  def k1KnnImpute(s: SparkSession, dir: String): DataFrame = {
+  /** The shared planted-missingness fixture behind both imputation
+    * gates (k1 mean-of-neighbors, k2 MICE regression): per-customer
+    * (f_orders, f_spend) features with every [[plantModulus]]-th
+    * customer's acctbal nulled. bal stays DECIMAL so k1's neighbor
+    * mean is an exact decimal sum ÷ count. */
+  private[graft] def k1Base(s: SparkSession, dir: String): DataFrame = {
     // eager localCheckpoint: the dial's count() is an action and
     // imputeOf's three branches (broadcast build, σ stats, scored
     // join) each re-evaluate their input — without the cut the
@@ -121,7 +126,7 @@ object KnnImpute {
       .localCheckpoint(true)
     // fixed probe budget at every scale (see plantModulus)
     val mod = plantModulus(perCust.count())
-    val base = Tables.customer(s, dir)
+    Tables.customer(s, dir)
       .select(col("c_custkey").as("custkey"),
         Det.d2(col("c_acctbal")).as("bal"))
       .join(perCust, Seq("custkey"), "inner")
@@ -129,6 +134,11 @@ object KnnImpute {
       .select(col("custkey"), col("f_orders"), col("f_spend"),
         when(col("custkey") % mod === 0, lit(null))
           .otherwise(col("bal")).as("bal"))
+  }
+
+  /** K1 — the oracle-gated impute on testdata (see object doc). */
+  def k1KnnImpute(s: SparkSession, dir: String): DataFrame = {
+    val base = k1Base(s, dir)
     imputeOf(base, "custkey", Seq("f_orders", "f_spend"), "bal", K)
       .select(col("q_key").as("custkey"),
         Det.r6(col("imputed")).as("imputed_acctbal"))

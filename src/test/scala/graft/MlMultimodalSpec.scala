@@ -204,6 +204,21 @@ class MlMultimodalSpec extends SparkTestBase {
     assert(relClose(i2, path("intercept_at_2x_max"), 1.0))
   }
 
+  test("k2 MICE single-target: idempotent across sweeps (each refit " +
+      "sees only the originally-observed rows)") {
+    val base = ml.KnnImpute.k1Base(spark, sfSmoke)
+      .withColumn("bal", col("bal").cast("double"))
+    def run(sw: Int): Map[Long, Double] =
+      ml.MiceImpute.miceOf(base, Seq("bal"),
+        Seq("f_orders", "f_spend"), sweeps = sw, exact = true)
+        .filter(col("miss_bal")).select("custkey", "bal")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val once = run(1)
+    assert(once.nonEmpty && once.values.forall(v => !v.isNaN))
+    assert(run(3) == once,
+      "single-target MICE must be a fixpoint after one sweep")
+  }
+
   test("m5b tree gate: predictions equal per-bucket label means " +
       "exactly") {
     val gate = Models.m5bTreeExactGate(spark, sfSmoke)

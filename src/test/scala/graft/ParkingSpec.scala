@@ -161,6 +161,38 @@ class ParkingSpec extends SparkTestBase {
     got.values.foreach(v => assert(v >= lo && v <= hi))
   }
 
+  test("mice impute (the other commented reference path): chained " +
+      "2-column rent imputation converges, deltas shrink per sweep") {
+    val cleaned = clean(loadTrain(spark, trainCsv))
+    val base = perComplex(cleaned)
+      .join(broadcast(totalArea(cleaned)), Seq("단지코드"))
+      .join(broadcast(weightedRentRaw(cleaned)), Seq("단지코드"))
+      .select(col("단지코드"), col("총세대수").cast("double").as("총세대수"),
+        col("총면적"), col("임대보증금"), col("임대료"))
+    def imputed(sw: Int): Map[String, (Double, Double)] =
+      graft.ml.MiceImpute.miceOf(base, Seq("임대보증금", "임대료"),
+        Seq("총세대수", "총면적"), sweeps = sw)
+        .filter(col("miss_임대보증금") || col("miss_임대료"))
+        .select("단지코드", "임대보증금", "임대료")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+        .toMap
+    val (i1, i2, i3) = (imputed(1), imputed(2), imputed(3))
+    assert(i1.nonEmpty && i1.keySet == i2.keySet && i2.keySet == i3.keySet)
+    i3.values.foreach { case (a, b) =>
+      assert(!a.isNaN && !a.isInfinite && !b.isNaN && !b.isInfinite)
+    }
+    // the chained fixpoint iteration contracts: sweep-over-sweep
+    // movement of the imputed cells shrinks
+    def delta(a: Map[String, (Double, Double)],
+        b: Map[String, (Double, Double)]): Double =
+      a.keys.map { k =>
+        math.max(math.abs(a(k)._1 - b(k)._1), math.abs(a(k)._2 - b(k)._2))
+      }.max
+    val (d12, d23) = (delta(i1, i2), delta(i2, i3))
+    assert(d23 <= d12 + 1e-9, s"deltas grew: $d12 -> $d23")
+  }
+
   test("demographic join: 16-region broadcast adds shares, keeps grain") {
     val feats = featureTable(spark, trainCsv)
     val ag = loadAgeGender(spark, "/root/reference/age_gender_info.csv")
