@@ -87,6 +87,20 @@ object KnnImpute {
     def sd(f: String): Column =
       sqrt((col(s"ss_$f") - col(s"s_$f") * col(s"s_$f") / col("n"))
         / col("n"))
+    // Zero-variance guard (ADVICE r9): a feature that is CONSTANT
+    // over the complete rows has sd = 0 and would turn every dist2
+    // into NaN/Inf, silently degenerating neighbor selection. Such a
+    // feature carries no distance information, so its term is
+    // dropped (contributes 0) rather than poisoning the sum. The
+    // oracle fixture plants non-degenerate features, so the gated
+    // values are unchanged; the guard protects the generic kernel's
+    // other callers (the parking wrapper) where variance is not
+    // oracle-controlled.
+    def term(f: String): Column = {
+      val z = ((col(s"q_$f") - col(f)) / sd(f)) *
+        ((col(s"q_$f") - col(f)) / sd(f))
+      when(sd(f) > 0.0, z).otherwise(lit(0.0))
+    }
     val q = incomplete.select(col(key).as("q_key") +:
       features.map(f => col(f).as(s"q_$f")): _*)
     val scored = complete
@@ -94,10 +108,7 @@ object KnnImpute {
       .crossJoin(broadcast(stats))
       .select(col("q_key"), col(key).as("n_key"),
         col(target).as("n_target"),
-        features.map(f =>
-          ((col(s"q_$f") - col(f)) / sd(f)) *
-            ((col(s"q_$f") - col(f)) / sd(f)))
-          .reduce(_ + _).as("dist2"))
+        features.map(term).reduce(_ + _).as("dist2"))
     val nn = graft.plans.TopK.topKPerKey(scored, Seq(col("q_key")),
       Seq(col("dist2").asc, col("n_key").asc), k)
     nn.groupBy("q_key")

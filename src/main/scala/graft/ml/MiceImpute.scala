@@ -82,12 +82,28 @@ object MiceImpute {
       mom1(col(target)).as("sy"),
       mom(col(p1), col(target)).as("sx1y"),
       mom(col(p2), col(target)).as("sx2y")).head()
-    val (s1, sx1, sx2) = (m.getDouble(0), m.getDouble(1), m.getDouble(2))
+    // Degenerate-fit guards (ADVICE r9): an EMPTY observed set makes
+    // every moment aggregate NULL (getDouble on them would NPE) and a
+    // COLLINEAR predictor pair makes det = 0, so the Cramer solve
+    // would silently write NaN/Inf into the imputed cells of the
+    // tolerance-gated chained path. Both are caller errors with no
+    // sound closed-form fallback the oracle could replay — fail
+    // loudly instead of imputing garbage. s1 is count(*): never null,
+    // safe to read before the check.
+    val s1 = m.getDouble(0)
+    require(s1 > 0.0,
+      s"MICE: no observed rows for target '$target' — every value is " +
+        "missing, nothing to regress on")
+    val (sx1, sx2) = (m.getDouble(1), m.getDouble(2))
     val (sx11, sx12, sx22) = (m.getDouble(3), m.getDouble(4), m.getDouble(5))
     val (sy, sx1y, sx2y) = (m.getDouble(6), m.getDouble(7), m.getDouble(8))
     val det = s1 * (sx11 * sx22 - sx12 * sx12) -
       sx1 * (sx1 * sx22 - sx12 * sx2) +
       sx2 * (sx1 * sx12 - sx11 * sx2)
+    require(java.lang.Double.isFinite(det) && math.abs(det) > 0.0,
+      s"MICE: singular normal equations for target '$target' " +
+        s"(det = $det) — predictors ${preds.mkString(", ")} are " +
+        "collinear or constant over the observed rows")
     val b0 = (sy * (sx11 * sx22 - sx12 * sx12) -
       sx1 * (sx1y * sx22 - sx12 * sx2y) +
       sx2 * (sx1y * sx12 - sx11 * sx2y)) / det

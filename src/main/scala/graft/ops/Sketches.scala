@@ -79,8 +79,11 @@ object Sketches {
     * routing uses the o3 Knuth key-mix (xxhash64 is Spark-only; the
     * per-shard rows must replay in SQL). */
   def x18bHllExactGate(s: SparkSession, dir: String): DataFrame = {
+    // doc_id masked into [0, 2³¹) before the Knuth multiply — same
+    // Int64-overflow guard as the x27b slice key (ADVICE r9)
     val keyed = Tables.documents(s, dir)
-      .select((shiftright(col("doc_id") * 2654435761L, 16) % Shards)
+      .select((shiftright(pmod(col("doc_id"), lit(2147483648L))
+          * 2654435761L, 16) % Shards)
         .cast("int").as("shard"),
         explode(split(col("text"), " ")).as("token"))
       .select(col("shard"),
@@ -241,14 +244,21 @@ object Sketches {
     * the oracle is a plain window-rank SQL over the same slice.
     * Slice selection uses the o3 Knuth multiplicative key-mix (the
     * repo's SQL-replayable hash; xxhash64 is Spark-only), over the
-    * unique (l_orderkey, l_linenumber) row key. This value-gates the
+    * unique (l_orderkey, l_linenumber) row key — MASKED into [0, 2³¹)
+    * before the multiply, because the raw key × 2654435761 would
+    * overflow Int64 once l_orderkey passes ~4.3·10⁸ (SF ≈ 70), where
+    * Spark wraps silently but DuckDB bigint arithmetic raises, so the
+    * gate's any-SF oracle contract would break exactly where it
+    * matters (ADVICE r9). The mask keeps the product ≤ 2³¹·2654435761
+    * < 2⁶³ on both engines at every SF. This value-gates the
     * whole x27 path (per-task build, blob serialization round-trip,
     * shard merge, driver rollup, the quantile read-out); the
     * full-corpus x27 keeps its honest rank-error envelope contract
     * in SketchesSpec. */
   def x27bKllExactGate(s: SparkSession, dir: String): DataFrame = {
     val mix = shiftright(
-      (col("l_orderkey") * 8 + col("l_linenumber")) * 2654435761L, 16)
+      pmod(col("l_orderkey") * 8 + col("l_linenumber"),
+        lit(2147483648L)) * 2654435761L, 16)
     val slice = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_extendedprice").cast("double").as("v"), mix.as("h"))
@@ -309,8 +319,8 @@ object Sketches {
     // the plain COUNT(DISTINCT) over the ≤31-key bounded domain
     "x18b_hll_exact_gate" ->
       s"""WITH keyed AS (
-           SELECT cast(((doc_id * 2654435761) >> 16) % $Shards AS int)
-               AS shard,
+           SELECT cast((((doc_id % 2147483648) * 2654435761) >> 16)
+               % $Shards AS int) AS shard,
              cast(least(length(token), 30) AS varchar) AS k
            FROM (SELECT doc_id,
                    unnest(string_split(text, ' ')) AS token
@@ -332,8 +342,8 @@ object Sketches {
         s"max(CASE WHEN rn = ceiling($p * n) THEN v END) AS "
       s"""WITH slice AS (
            SELECT h, v FROM (
-             SELECT ((l_orderkey * 8 + l_linenumber) * 2654435761)
-                 >> 16 AS h,
+             SELECT (((l_orderkey * 8 + l_linenumber) % 2147483648)
+                 * 2654435761) >> 16 AS h,
                cast(l_extendedprice AS double) AS v,
                l_orderkey, l_linenumber
              FROM lineitem)

@@ -146,25 +146,39 @@ object SnapshotStore {
     * costs a listing. */
   private def legacyFloorPath(root: String) = new Path(root, "vacuum.floor")
 
-  private def readLegacyFloor(f: FileSystem, root: String): Long =
+  /** None = the legacy file EXISTS but could not be read (transient
+    * FS error or torn content) — the floor is UNKNOWN, not absent.
+    * A plain missing file is the normal no-legacy-store case (-1). */
+  private def readLegacyFloor(f: FileSystem, root: String): Option[Long] =
     try {
       val in = f.open(legacyFloorPath(root))
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
         .mkString.trim finally in.close()
-      txt.toLong
-    } catch { case _: Exception => -1L }
+      Some(txt.toLong)
+    } catch {
+      case _: java.io.FileNotFoundException => Some(-1L)
+      case _: Exception => None
+    }
 
-  private def readFloor(f: FileSystem, root: String): Long =
+  /** The observed vacuum floor, or None when it could not be
+    * determined (marker listing or legacy read failed). FAIL CLOSED
+    * on None (ADVICE r9): the floor exists precisely to stop readers
+    * from trusting a gap-stopped hint probe over a vacuumed range —
+    * a transient listing error that silently read as "-1 / no floor"
+    * would re-open that exact fork window. Readers with an unknown
+    * floor must take the full-listing path; vacuum with an unknown
+    * floor must abort (its write-ahead verification fails). */
+  private def readFloorOpt(f: FileSystem, root: String): Option[Long] =
     try {
       // \d{12,}: %012d PADS to 12 digits but renders ids ≥ 10^12 in
       // full — an exact {12} would stop parsing (and thus silently
       // disable vacuum's write-ahead guard) at that point
-      f.listStatus(new Path(root)).iterator
+      val markers = f.listStatus(new Path(root)).iterator
         .map(_.getPath.getName)
         .filter(_.matches(s"$FloorPrefix\\d{12,}"))
         .map(_.stripPrefix(FloorPrefix).toLong)
-        .foldLeft(readLegacyFloor(f, root))(math.max)
-    } catch { case _: Exception => readLegacyFloor(f, root) }
+      readLegacyFloor(f, root).map(markers.foldLeft(_)(math.max))
+    } catch { case _: Exception => None }
 
   /** Durable monotonic floor update. Returns whether the recorded
     * floor is now ≥ `id` — verified by READ-BACK, not by trusting
@@ -174,13 +188,16 @@ object SnapshotStore {
     * creates its own marker, max() resolves. */
   private def writeFloor(f: FileSystem, root: String, id: Long): Boolean =
     try {
-      if (readFloor(f, root) < id) {
+      // unknown floor → write the marker anyway (monotonic max makes
+      // a redundant marker harmless); the VERIFICATION below is what
+      // must fail closed on unknown
+      if (!readFloorOpt(f, root).exists(_ >= id)) {
         val out = f.create(floorMarkerPath(root, id), true)
         try out.write(s"$id\n".getBytes(
           java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
       }
-      val ok = readFloor(f, root) >= id
+      val ok = readFloorOpt(f, root).exists(_ >= id)
       if (ok) {
         // GC markers strictly below the (now-durable) max; a reader
         // racing this still sees the max marker, which is never
@@ -194,7 +211,8 @@ object SnapshotStore {
       }
       ok
     } catch { case _: Exception =>
-      try readFloor(f, root) >= id catch { case _: Exception => false }
+      try readFloorOpt(f, root).exists(_ >= id)
+      catch { case _: Exception => false }
     }
 
   /** Resolve the LATEST snapshot id in O(hint lag) instead of
@@ -226,7 +244,10 @@ object SnapshotStore {
     if (hinted >= 0 && f.exists(manifestPath(root, hinted))) {
       var k = hinted
       while (f.exists(manifestPath(root, k + 1))) k += 1
-      if (k > readFloor(f, root)) k
+      // fail closed on an UNKNOWN floor (None): only a floor we
+      // actually read proves the probed range was never vacuumed —
+      // otherwise believe the listing (ADVICE r9)
+      if (readFloorOpt(f, root).exists(k > _)) k
       else {
         // probe stopped inside the possibly-gapped region: believe
         // the listing, then re-probe forward past it (a commit can
