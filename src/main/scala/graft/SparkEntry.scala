@@ -9,7 +9,7 @@ import graft.ops.{Aggregates, BloomJoin, Expectations, Joins, Ordering,
   TemporalJoins}
 import graft.plans.TopK
 import graft.sim.{HybridRetrieval, MmrRerank, Similarity}
-import graft.sources.{BloomSkip, Bucketing, MergeInto,
+import graft.sources.{BloomSkip, Bucketing, CsvIO, MergeInto,
   PartitionPruning, SnapshotStore, ZOrder}
 import graft.pipeline.CurationPipeline
 import graft.streaming.EventStreams
@@ -45,7 +45,7 @@ object SparkEntry {
       QualityClassifier.queries ++ PageRank.queries ++
       CurationPipeline.queries ++ Chunking.queries ++
       HybridRetrieval.queries ++ KnnImpute.queries ++ MmrRerank.queries ++
-      MiceImpute.queries
+      MiceImpute.queries ++ CsvIO.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -63,5 +63,5 @@ object SparkEntry {
       QualityClassifier.oracle ++ PageRank.oracle ++
       CurationPipeline.oracle ++ Chunking.oracle ++
       HybridRetrieval.oracle ++ KnnImpute.oracle ++ MmrRerank.oracle ++
-      MiceImpute.oracle
+      MiceImpute.oracle ++ CsvIO.oracle
 }

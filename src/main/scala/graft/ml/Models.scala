@@ -146,6 +146,53 @@ object Models {
     kv(s, coefRows ++ seRows ++ tRows ++ pRows ++ dfRow ++ metricsOf(pred))
   }
 
+  /** M8B — the METRICS ORACLE GATE (VERDICT r9 §4: m2b gates the
+    * OLS coefficients but nothing value-gated the RMSE/MAPE/R²
+    * arithmetic itself — a MAPE sign/abs slip would have passed):
+    * run the IDENTICAL [[metricsOf]] kernel (RegressionEvaluator +
+    * the MAPE aggregate, the exact code path every fit query emits
+    * through) over a PLANTED prediction frame whose label and
+    * prediction are closed-form column arithmetic, so all three
+    * metrics replay as plain SQL:
+    *   rmse = √(Σ(l−p)²/n)   (RegressionMetrics: /n, not /(n−1))
+    *   r²   = 1 − SSerr/SStot, SStot about the label mean
+    *   mape = avg(|l−p| / l)  (MLmetrics::MAPE, R:1291–1315).
+    * The plant keeps labels strictly positive (MAPE-safe) and the
+    * residual driven by o_orderkey % 97 — deterministic, scale-free
+    * of the fit machinery being gated. */
+  def m8bMetricsClosed(s: SparkSession, dir: String): DataFrame = {
+    val pred = Tables.orders(s, dir).select(
+      col("o_totalprice").cast("double").as("label"),
+      (col("o_totalprice") * 0.9 +
+        pmod(col("o_orderkey"), lit(97)).cast("double") * 50.0)
+        .as("prediction"))
+    kv(s, metricsOf(pred))
+  }
+
+  /** M3B — the ONE-HOT LAYOUT ORACLE GATE (VERDICT r9 §4: M3 ran
+    * only inside the m2/m4/m5 pipelines, where a wrong category→slot
+    * mapping would shuffle coefficients m2b can't attribute): run the
+    * IDENTICAL [[encoder]] stage pair (StringIndexer alphabetAsc →
+    * OneHotEncoder dropLast, the model.matrix[,−1] layout,
+    * R:1219–1244) and emit the layout it actually produced — one row
+    * per segment: its index, the encoded width, and the 1-based hot
+    * slot (0 = the dropped last category). The oracle states the
+    * layout contract in SQL: alphabetical dense-rank indices, width =
+    * |categories| − 1, slot = index + 1 except the last. */
+  def m3bOnehotGate(s: SparkSession, dir: String): DataFrame = {
+    val df = featureTable(s, dir)
+    val enc = new Pipeline().setStages(encoder(withSegment = true)).fit(df)
+    enc.transform(df)
+      .select(col("c_mktsegment").as("segment"),
+        col("seg_idx").cast("int").as("seg_idx"),
+        org.apache.spark.ml.functions.vector_to_array(col("seg_oh"))
+          .as("oh"))
+      .select(col("segment"), col("seg_idx"),
+        size(col("oh")).as("oh_size"),
+        expr("array_position(oh, 1.0D)").cast("int").as("active_slot"))
+      .distinct()
+  }
+
   /** M4 — LASSO with cross-validated regularization path
     * (R:1247–1254 `cv.glmnet(alpha=1, nfolds=10)`): elasticNet=1.0,
     * 5-fold CV (the reference's trainControl fold count,
@@ -592,6 +639,8 @@ object Models {
     "m1b_pca_closed" -> m1bPcaClosed,
     "m2_linreg" -> m2Linreg,
     "m2b_linreg_normal" -> m2bLinregNormal,
+    "m3b_onehot_gate" -> m3bOnehotGate,
+    "m8b_metrics_closed" -> m8bMetricsClosed,
     "m4_lasso_cv" -> m4LassoCv,
     "m4b_lasso_path_closed" -> m4bLassoPathClosed,
     "m10_repeated_cv" -> m10RepeatedCv,
@@ -621,6 +670,42 @@ object Models {
     * MlMultimodalSpec bridge (m1↔m1b, m2↔m2b, m4↔m4b, m5↔m5b,
     * m6↔m6b, m10↔m10b). */
   val oracle: Map[String, String] = Map(
+    // the three metric formulas in plain SQL over the same planted
+    // prediction frame (see m8bMetricsClosed scaladoc)
+    "m8b_metrics_closed" -> {
+      val p = """(SELECT cast(o_totalprice AS double) AS l,
+        cast(o_totalprice AS double) * 0.9
+          + (o_orderkey % 97) * 50.0 AS pr
+        FROM orders)"""
+      s"""WITH p AS $p,
+         s AS (SELECT avg(l) AS lbar FROM p),
+         m AS (SELECT
+             sqrt(sum((l - pr) * (l - pr)) / count(*)) AS rmse,
+             1.0 - sum((l - pr) * (l - pr))
+               / sum((l - lbar) * (l - lbar)) AS r2,
+             avg(abs(l - pr) / l) AS mape
+           FROM p, s)
+         SELECT 'rmse' AS metric, ${Det.sql("rmse", 6)} AS value FROM m
+         UNION ALL SELECT 'r2', ${Det.sql("r2", 6)} FROM m
+         UNION ALL SELECT 'mape', ${Det.sql("mape", 6)} FROM m"""
+    },
+    // the drop-last alphabetical layout contract in SQL (see
+    // m3bOnehotGate scaladoc); segments restricted to customers that
+    // HAVE orders — featureTable's inner join
+    "m3b_onehot_gate" ->
+      """WITH seg AS (
+           SELECT DISTINCT c_mktsegment AS segment FROM customer
+           WHERE c_custkey IN (SELECT o_custkey FROM orders)),
+         n AS (SELECT count(*) AS total FROM seg),
+         r AS (SELECT segment,
+             cast(dense_rank() OVER (ORDER BY segment) - 1 AS int)
+               AS seg_idx
+           FROM seg)
+         SELECT segment, seg_idx,
+           cast(total - 1 AS int) AS oh_size,
+           cast(CASE WHEN seg_idx < total - 1 THEN seg_idx + 1
+                ELSE 0 END AS int) AS active_slot
+         FROM r, n""",
     "m2b_linreg_normal" -> {
       val sse = s"(syy - $sqlB0 * sy - $sqlB1 * sx1y - $sqlB2 * sx2y)"
       val sst = "(syy - sy * sy / s1)"

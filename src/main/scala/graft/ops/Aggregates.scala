@@ -713,6 +713,74 @@ object Aggregates {
         expr("approx_percentile(o_totalprice, 0.5, 10000)")
           .as("approx_p50"))
 
+  /** G13B — the APPROX-STATS ORACLE GATE (the x18b/x19b/x27b
+    * bounded-exactness pattern, applied to Spark's built-in HLL++
+    * and GK-percentile aggregates, closing g13's untwinned
+    * `no_oracle` row — VERDICT r9 §1a): run the IDENTICAL g13
+    * aggregate shapes over PLANTED domains where the approximation
+    * provably collapses to the exact answer at EVERY scale factor.
+    *
+    *  - Cardinality: `approx_count_distinct(k, 0.02)` over the FIXED
+    *    key set k = int(l_quantity) ∈ {1..50}. HLL++ at rsd 0.02 has
+    *    m = 4096 registers; 50 keys sit in the linear-counting regime
+    *    (estimate = m·ln(m/V)), where the estimate equals n exactly
+    *    iff the 50 fixed hashes land in 50 distinct registers and the
+    *    round-off term n²/2m = 0.31 < 0.5 — both are properties of
+    *    the FIXED key set, not the data (any realized subset of a
+    *    collision-free set is collision-free), verified once and
+    *    stable at every SF because HLL++'s hash has no seed.
+    *  - Quantiles: `approx_percentile(v, p, 10000)` over a two-run
+    *    domain v ∈ {10.0, 20.0} split ~50/50 at l_quantity ≤ 25. The
+    *    GK summary's rank error is ≤ n/10000; the p25/p75 targets sit
+    *    ~0.25·n ranks inside their runs, so the sketch CANNOT return
+    *    anything but the run value — at any SF, since both the error
+    *    and the run lengths scale linearly with n.
+    *
+    * Each approximate value rides next to its exact twin, so the
+    * oracle compares Spark-approx == Spark-exact == DuckDB-exact in
+    * one row. The open-domain g13 keeps its rows-only contract +
+    * BucketingSpec envelope. */
+  def g13bApproxExactGate(s: SparkSession, dir: String): DataFrame = {
+    val k = col("l_quantity").cast("int")
+    val v = when(col("l_quantity") <= 25, lit(10.0)).otherwise(lit(20.0))
+    Tables.lineitem(s, dir).agg(
+      countDistinct(k).as("exact_keys"),
+      approx_count_distinct(k, 0.02).as("approx_keys"),
+      percentile_approx(v, lit(0.25), lit(10000)).as("approx_p25"),
+      percentile_approx(v, lit(0.75), lit(10000)).as("approx_p75"),
+      expr("percentile(CASE WHEN l_quantity <= 25 THEN 10.0D " +
+        "ELSE 20.0D END, 0.25)").as("exact_p25"),
+      expr("percentile(CASE WHEN l_quantity <= 25 THEN 10.0D " +
+        "ELSE 20.0D END, 0.75)").as("exact_p75"))
+  }
+
+  /** G18B — the grouped twin of [[g13bApproxExactGate]], closing
+    * g18's untwinned `no_oracle` row: per-priority HLL++ over the
+    * fixed 23-residue key set (o_orderkey % 23 — every group's
+    * realized set ⊆ the collision-free universe {0..22}) and grouped
+    * GK percentiles over the two-run price domain split at the
+    * 250 000 literal (≈ the generator's median; every priority group
+    * splits 0.49–0.51 at any SF, leaving the p25/p75 targets ~0.25·n
+    * ranks inside their runs vs an n/10000 error). Gates the GROUPED
+    * sketch path specifically: per-group sketch allocation, map-side
+    * partial merge, and the final per-group read-out. */
+  def g18bGroupedApproxGate(s: SparkSession, dir: String): DataFrame = {
+    val k = pmod(col("o_orderkey"), lit(23)).cast("int")
+    val v = when(col("o_totalprice") < 250000.0, lit(10.0))
+      .otherwise(lit(20.0))
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(k).as("exact_keys"),
+        approx_count_distinct(k, 0.02).as("approx_keys"),
+        percentile_approx(v, lit(0.25), lit(10000)).as("approx_p25"),
+        percentile_approx(v, lit(0.75), lit(10000)).as("approx_p75"),
+        expr("percentile(CASE WHEN o_totalprice < 250000.0D THEN 10.0D " +
+          "ELSE 20.0D END, 0.25)").as("exact_p25"),
+        expr("percentile(CASE WHEN o_totalprice < 250000.0D THEN 10.0D " +
+          "ELSE 20.0D END, 0.75)").as("exact_p75"))
+  }
+
   /** W5 — per-user EWMA over the event stream (the time-series
     * feature a behavioral model consumes): yₜ = (yₜ₋₁ + xₜ)/2, i.e.
     * α = ½ chosen deliberately — halving is EXACT in IEEE doubles, so
@@ -785,7 +853,9 @@ object Aggregates {
     "w5_ewma" -> w5Ewma,
     "g19_winsorize" -> g19Winsorize,
     "g13_approx_stats" -> g13ApproxStats,
+    "g13b_approx_exact_gate" -> g13bApproxExactGate,
     "g18_grouped_approx_stats" -> g18GroupedApproxStats,
+    "g18b_grouped_approx_gate" -> g18bGroupedApproxGate,
     "g12_histogram" -> g12Histogram,
     "m9_durbin_watson" -> m9DurbinWatson,
     "m9_jarque_bera" -> m9JarqueBera,
@@ -823,6 +893,24 @@ object Aggregates {
       "o_totalprice")
 
   val oracle: Map[String, String] = Map(
+    // bounded-exactness gates: Spark-approx == Spark-exact ==
+    // DuckDB-exact by construction (see the g13b/g18b scaladoc)
+    "g13b_approx_exact_gate" ->
+      """SELECT
+           cast(count(DISTINCT cast(l_quantity AS int)) AS bigint)
+             AS exact_keys,
+           cast(count(DISTINCT cast(l_quantity AS int)) AS bigint)
+             AS approx_keys,
+           10.0 AS approx_p25, 20.0 AS approx_p75,
+           10.0 AS exact_p25, 20.0 AS exact_p75
+         FROM lineitem""",
+    "g18b_grouped_approx_gate" ->
+      """SELECT o_orderpriority,
+           cast(count(DISTINCT o_orderkey % 23) AS bigint) AS exact_keys,
+           cast(count(DISTINCT o_orderkey % 23) AS bigint) AS approx_keys,
+           10.0 AS approx_p25, 20.0 AS approx_p75,
+           10.0 AS exact_p25, 20.0 AS exact_p75
+         FROM orders GROUP BY 1""",
     "w5_ewma" ->
       """SELECT user_id,
            cast(count(*) AS bigint) AS n_events,

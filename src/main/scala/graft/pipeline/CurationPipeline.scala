@@ -211,9 +211,53 @@ object CurationPipeline {
         sum("n_bpe_tokens").cast("bigint").as("sum_bpe_tokens"))
   }
 
+  /** Pinned two-rank merge table for the [[x26bTokenGate]]: (t,h)
+    * then (th,e). Chosen because its token count has a CLOSED FORM
+    * over the raw word — "th" bigrams can never overlap each other
+    * (two starts one apart would need s[i+1] = 't' AND 'h') and
+    * every "th" substring becomes one th-token under greedy
+    * left-to-right merging, so rank 1 fires exactly
+    * occ(w, "th") times; after it, every "the" substring is exactly
+    * one (th,e) adjacency (the e can belong to no other th), so rank
+    * 2 fires occ(w, "the") times, and
+    *   tokens(w) = len(w) − occ(w,"th") − occ(w,"the")
+    * — plain replace()/length arithmetic in SQL. */
+  private val GatePinnedMerges = Seq(("t", "h"), ("th", "e"))
+
+  /** X26B — the TOKENIZER ORACLE GATE for the pipeline's x26 leg
+    * (VERDICT r9 §6: x26 was gated only by consistency with x25, so
+    * a token-count bug shared by both would pass): the IDENTICAL
+    * x26 machinery — keptDocs DAG, word extraction regex, the shared
+    * [[BpeMerges.tokenCounter]] memoized merge-replay kernel, shard
+    * grouping — but with the [[GatePinnedMerges]] table instead of
+    * the learned one, so the expected BPE token mass has the closed
+    * form above and the whole path replays in DuckDB (kept-docs CTEs
+    * + replace/length arithmetic). A counting bug in the kernel, the
+    * word regex, the 64-char word cap, or the shard rollup now fails
+    * HERE even if x25 and x26 share it. */
+  def x26bTokenGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    keptDocs(s, dir)
+      .select(col("doc_id"), col("shard"), col("n_tokens"), expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)").as("words"))
+      .as[(Long, Long, Long, Seq[String])]
+      .mapPartitions { it =>
+        val bpe = BpeMerges.tokenCounter(GatePinnedMerges)
+        it.map { case (id, shard, nTok, words) =>
+          (id, shard, nTok, words.map(bpe).sum)
+        }
+      }
+      .toDF("doc_id", "shard", "n_ws_tokens", "n_bpe_tokens")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_ws_tokens").cast("bigint").as("sum_ws_tokens"),
+        sum("n_bpe_tokens").cast("bigint").as("sum_bpe_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x25_pipeline_e2e" -> x25PipelineE2e,
-    "x26_pipeline_tokens" -> x26PipelineTokens)
+    "x26_pipeline_tokens" -> x26PipelineTokens,
+    "x26b_token_gate" -> x26bTokenGate)
 
   // ---- oracle ----------------------------------------------------
 
@@ -227,11 +271,12 @@ object CurationPipeline {
                || ' ' || $sp[i+3]))) AS gram
         FROM $src"""
 
-  /** Replays the whole DAG in DuckDB: every stage literal-for-literal
-    * with the Spark expressions (Det rounding included), the d2b/d6
-    * keep-list as the capped pair graph + recursive reachability, and
-    * the x8 packing recurrence per shard. */
-  private val x25Oracle: String = {
+  /** The kept-docs DAG as a reusable WITH-clause body (gates → exact
+    * dedup → decontamination → mixture → repetition → near-dup
+    * keep-list), ending in `kept(doc_id, text, n_tokens, shard)` —
+    * shared by the x25 manifest oracle and the x26b tokenizer-gate
+    * oracle so the two replays cannot drift. */
+  private val keptCtes: String = {
     val n = s"cast(len($sp) AS double)"
     val stopRatio = s"(cast(len(list_filter($sp, " +
       s"t -> t IN $stopEnList)) AS double) / $n)"
@@ -306,9 +351,17 @@ object CurationPipeline {
        keeplist AS (
          SELECT a AS doc_id FROM reach GROUP BY 1 HAVING a = min(b)),
        kept AS (
-         SELECT s.doc_id, s.n_tokens,
+         SELECT s.doc_id, s.text, s.n_tokens,
            ((s.doc_id * 2654435761) >> 16) % $ShardCount AS shard
-         FROM survived s JOIN keeplist USING (doc_id)),
+         FROM survived s JOIN keeplist USING (doc_id))"""
+  }
+
+  /** Replays the whole DAG in DuckDB: every stage literal-for-literal
+    * with the Spark expressions (Det rounding included), the d2b/d6
+    * keep-list as the capped pair graph + recursive reachability, and
+    * the x8 packing recurrence per shard. */
+  private val x25Oracle: String =
+    s"""$keptCtes,
        base AS (
          SELECT shard AS grp, doc_id, n_tokens AS t,
            row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
@@ -342,8 +395,28 @@ object CurationPipeline {
          md5(array_to_string(list_transform(list_sort(list(doc_id)),
            x -> cast(x AS varchar)), ' ')) AS docs_hash
        FROM pack GROUP BY 1"""
+
+  /** The closed-form token arithmetic of [[GatePinnedMerges]] over
+    * the same kept-docs CTEs (64-char word cap mirrored via left();
+    * "th"/"the" occurrences counted by replace()-shrinkage — both
+    * are non-overlapping by construction, see the merge-table
+    * scaladoc). */
+  private val x26bOracle: String = {
+    val w = "left(w, 64)"
+    val tok = s"length($w) - " +
+      s"(length($w) - length(replace($w, 'th', ''))) // 2 - " +
+      s"(length($w) - length(replace($w, 'the', ''))) // 3"
+    s"""$keptCtes
+       SELECT shard,
+         cast(count(*) AS bigint) AS n_docs,
+         cast(sum(n_tokens) AS bigint) AS sum_ws_tokens,
+         cast(sum(coalesce(list_sum(list_transform(
+           regexp_extract_all(lower(text), '[a-z]+'),
+           w -> $tok)), 0)) AS bigint) AS sum_bpe_tokens
+       FROM kept GROUP BY 1"""
   }
 
   val oracle: Map[String, String] = Map(
-    "x25_pipeline_e2e" -> x25Oracle)
+    "x25_pipeline_e2e" -> x25Oracle,
+    "x26b_token_gate" -> x26bOracle)
 }

@@ -461,10 +461,42 @@ object Similarity {
     * PQ error only costs recall inside the candidate set, never a
     * wrong final cosine. Rows-only + recall gate in ScalaTest (the
     * codebook is not SQL-expressible). */
-  def n4SimPqTopk(s: SparkSession, dir: String): DataFrame = {
+  def n4SimPqTopk(s: SparkSession, dir: String): DataFrame =
+    pqTopkOf(s, Tables.embeddings(s, dir),
+      col("vec_id") % 50 === 0, k = 5)
+
+  /** N4B — the planted closed-form ORACLE GATE for the flat-PQ path
+    * (the n3b/n7 pattern, for the codebook leg that had only a
+    * recall spec — VERDICT r9 §2b): exact copies of every
+    * [[graft.dedup.Dedup.D7PlantStride]]-th vector query the full n4
+    * machinery — codebook fit, corpus encode, ADC scan, exact
+    * re-rank. A copy encodes to the IDENTICAL code and norm as its
+    * source (the codebook assignment is a pure function of the
+    * vector), so the source's ADC score equals the copy's own
+    * self-score — the maximum the quantized space can produce for
+    * that query — which puts the source inside any re-rank depth ≥ 1,
+    * and the exact re-rank then scores it cosine 1.0: top-1 is
+    * closed-form `(src + offset, src, 1, 1.0)`. This value-gates the
+    * fit/encode/LUT/ADC arithmetic itself, which n4's rows-only
+    * contract plus the statistical recall spec could not. */
+  def n4bPqPlantedGate(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val planted = base
+      .filter(col("vec_id") % graft.dedup.Dedup.D7PlantStride === 0)
+      .select((col("vec_id") + graft.dedup.Dedup.D7PlantOffset)
+        .as("vec_id"), col("embedding"))
+    pqTopkOf(s, base.union(planted),
+      col("vec_id") >= graft.dedup.Dedup.D7PlantOffset, k = 1)
+  }
+
+  /** The n4 body over an arbitrary (vec_id, embedding) corpus and
+    * query predicate — shared by the gated n4 query and the n4b
+    * planted gate (the ivfTopkOf factoring, one tier down). */
+  private def pqTopkOf(s: SparkSession, embIn: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
     GraftFunctions.register(s)
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
+    val emb = embIn.select("vec_id", "embedding")
     val total = emb.count()
     val sampleCap = 16384L
     val mod = math.max(1L, total / sampleCap)
@@ -511,7 +543,7 @@ object Similarity {
         }
       }.toDF("vec_id", "code", "norm")
     val queryLuts: Array[(Long, Array[Double], Double)] = emb
-      .filter(col("vec_id") % 50 === 0)
+      .filter(queryPred)
       .select("vec_id", "embedding").as[(Long, Array[Float])]
       .collect().sortBy(_._1)
       .map { case (id, q) =>
@@ -557,7 +589,7 @@ object Similarity {
       .select(col("q_id"), col("neighbor_id"),
         GraftFunctions.floatCosine("q_embedding", "v_embedding")
           .as("cosine"))
-    topKRanked(scored, 5)
+    topKRanked(scored, k)
   }
 
   /** N0 — embedding QA: per-vector dimensionality and L2 norm, the
@@ -1210,6 +1242,7 @@ object Similarity {
     "n3_sim_ivf_topk" -> n3SimIvfTopk,
     "n3b_ivf_planted_gate" -> n3bIvfPlantedGate,
     "n4_sim_pq_topk" -> n4SimPqTopk,
+    "n4b_pq_planted_gate" -> n4bPqPlantedGate,
     "n6_sim_ivfpq_topk" -> n6SimIvfPqTopk,
     "n10_filtered_topk" -> n10FilteredTopk)
 
@@ -1235,6 +1268,16 @@ object Similarity {
     // arithmetic routes the copy to its source's cell, exact cosine
     // finishes the argument (see n3bIvfPlantedGate scaladoc)
     "n3b_ivf_planted_gate" ->
+      s"""SELECT vec_id + ${graft.dedup.Dedup.D7PlantOffset} AS q_id,
+           vec_id AS neighbor_id, cast(1 AS int) AS rank,
+           1.0 AS cosine
+         FROM embeddings
+         WHERE vec_id % ${graft.dedup.Dedup.D7PlantStride} = 0""",
+    // the same closed form through the FLAT-PQ path: identical
+    // encode arithmetic gives the source the copy's own (maximal)
+    // ADC self-score, exact re-rank finishes the argument (see
+    // n4bPqPlantedGate scaladoc)
+    "n4b_pq_planted_gate" ->
       s"""SELECT vec_id + ${graft.dedup.Dedup.D7PlantOffset} AS q_id,
            vec_id AS neighbor_id, cast(1 AS int) AS rank,
            1.0 AS cosine

@@ -1,7 +1,10 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.apache.spark.sql.types.StructType
+import graft.Tables
+import graft.ops.Det
 
 /** S3/S4 — file sources and sinks (SURVEY §2.1).
   *
@@ -161,4 +164,65 @@ object CsvIO {
     sorted.write.mode("overwrite")
       .partitionBy(partCols: _*).parquet(path)
   }
+
+  // ---- sink oracle gates -------------------------------------------
+
+  /** The round-trip payload: the g1-shaped flagship aggregate —
+    * group strings, exact-decimal money sums emitted as double, and
+    * a bigint count — covering every scalar class the sinks carry
+    * (string, double, long). Tiny by construction (grouped to a
+    * handful of rows), so the gate measures FORMAT fidelity, not
+    * write throughput. */
+  private def sinkAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(Det.dsum2(col("l_quantity")).as("sum_qty"),
+        Det.dsum2(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_rows"))
+
+  private def scratch(s: SparkSession, tag: String): String =
+    Scratch.fresh(s, new org.apache.hadoop.fs.Path(
+      sys.props("java.io.tmpdir"),
+      s"graft_sink_$tag/${s.sparkContext.applicationId}"))
+
+  /** S3 sink ORACLE GATE (VERDICT r9 §5: the CSV sink was
+    * ScalaTest-only — the last §2 I/O edge without a DuckDB-compared
+    * row): write [[sinkAgg]] through [[writeCsv]], read it back
+    * through [[readCsv]] with the DECLARED schema, and return the
+    * re-read frame; the oracle computes the same aggregate straight
+    * from the parquet, so any value the header'd-UTF-8 round trip
+    * bends (double shortest-repr print/parse, quoting, header order)
+    * hash-mismatches. Doubles survive exactly because Spark prints
+    * the shortest repr that parses back to the identical bits. */
+  def s3CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val agg = sinkAgg(s, dir)
+    val path = scratch(s, "csv")
+    writeCsv(agg, path)
+    readCsv(s, path, agg.schema)
+  }
+
+  /** S4 sink ORACLE GATE — the parquet twin of [[s3CsvRoundtrip]]:
+    * binary columnar round trip of the same payload (saveRDS/readRDS,
+    * R:1018–1027). Parquet carries the schema, so the read declares
+    * nothing — type fidelity is part of what's gated. */
+  def s4ParquetRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch(s, "parquet")
+    writeParquet(sinkAgg(s, dir), path)
+    readParquet(s, path)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s3_csv_roundtrip" -> s3CsvRoundtrip,
+    "s4_parquet_roundtrip" -> s4ParquetRoundtrip)
+
+  private val sinkAggSql =
+    s"""SELECT l_returnflag, l_linestatus,
+         ${Det.sqlDsum2("l_quantity")} AS sum_qty,
+         ${Det.sqlDsum2("l_extendedprice")} AS sum_price,
+         cast(count(*) AS bigint) AS n_rows
+       FROM lineitem GROUP BY 1, 2"""
+
+  val oracle: Map[String, String] = Map(
+    "s3_csv_roundtrip" -> sinkAggSql,
+    "s4_parquet_roundtrip" -> sinkAggSql)
 }

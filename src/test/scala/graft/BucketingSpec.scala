@@ -138,6 +138,25 @@ class BucketingSpec extends SparkTestBase {
     assert(builtIn.count() == custom.count())
   }
 
+  test("g13b/g18b bounded-domain gates: approx == exact in every cell") {
+    val g = ops.Aggregates.g13bApproxExactGate(spark, sfTest).head()
+    assert(g.getLong(0) == g.getLong(1),
+      s"HLL++ not exact on the 50-key domain: ${g.getLong(1)}")
+    assert(g.getDouble(2) == g.getDouble(4) &&
+      g.getDouble(3) == g.getDouble(5),
+      "GK percentile left its planted run")
+    val rows = ops.Aggregates.g18bGroupedApproxGate(spark, sfTest)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"${r.getString(0)}: grouped " +
+        s"HLL++ not exact on the 23-key domain")
+      assert(r.getDouble(3) == r.getDouble(5) &&
+        r.getDouble(4) == r.getDouble(6),
+        s"${r.getString(0)}: grouped GK percentile left its run")
+    }
+  }
+
   test("approx aggregates stay inside their error envelope") {
     val r = ops.Aggregates.g13ApproxStats(spark, sfTest).head()
     val (exactN, approxN) = (r.getLong(0), r.getLong(1))

@@ -488,6 +488,17 @@ class DedupSimSpec extends SparkTestBase {
     assert(byQ.filter(col("n") =!= 5 || col("maxr") =!= 5).count() == 0)
   }
 
+  test("n4b flat-PQ planted gate: every copy's top-1 is its source " +
+    "at cosine 1.0") {
+    val out = Similarity.n4bPqPlantedGate(spark, sfSmoke).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) - dedup.Dedup.D7PlantOffset == r.getLong(1),
+        s"planted ${r.getLong(0)} resolved to ${r.getLong(1)}")
+      assert(r.getInt(2) == 1 && r.getDouble(3) == 1.0)
+    }
+  }
+
   test("n9 delta-append equals a full re-encode under the frozen model") {
     import org.apache.spark.sql.functions.col
     val base = Tables.embeddings(spark, sfSmoke)

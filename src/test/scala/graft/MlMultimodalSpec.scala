@@ -9,6 +9,41 @@ import graft.ops.Aggregates
   * non-SQL-expressible queries the DuckDB oracle can't gate. */
 class MlMultimodalSpec extends SparkTestBase {
 
+  test("m8b metrics gate: evaluator equals hand-computed rmse/r2/mape") {
+    val got = Models.m8bMetricsClosed(spark, sfSmoke).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val p = Tables.orders(spark, sfSmoke).select(
+        col("o_totalprice").cast("double"),
+        col("o_totalprice") * 0.9 +
+          pmod(col("o_orderkey"), lit(97)).cast("double") * 50.0)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val n = p.length.toDouble
+    val sse = p.map { case (l, pr) => (l - pr) * (l - pr) }.sum
+    val lbar = p.map(_._1).sum / n
+    val sst = p.map { case (l, _) => (l - lbar) * (l - lbar) }.sum
+    val mape = p.map { case (l, pr) => math.abs(l - pr) / l }.sum / n
+    // the query emits Det.r6-rounded values: allow the rounding step
+    def close(a: Double, b: Double) =
+      math.abs(a - b) <= 5.5e-7 + 1e-6 * math.abs(b)
+    assert(close(got("rmse"), math.sqrt(sse / n)), s"rmse ${got("rmse")}")
+    assert(close(got("r2"), 1.0 - sse / sst), s"r2 ${got("r2")}")
+    assert(close(got("mape"), mape), s"mape ${got("mape")}")
+  }
+
+  test("m3b one-hot layout gate: alphabetical indices, drop-last width " +
+    "and slot") {
+    val rows = Models.m3bOnehotGate(spark, sfSmoke).collect()
+    val segs = rows.map(_.getString(0)).sorted
+    assert(segs.length >= 3, "fixture needs several segments")
+    rows.foreach { r =>
+      val idx = segs.indexOf(r.getString(0))
+      assert(r.getInt(1) == idx, s"${r.getString(0)}: index ${r.getInt(1)}")
+      assert(r.getInt(2) == segs.length - 1, "encoded width")
+      assert(r.getInt(3) ==
+        (if (idx < segs.length - 1) idx + 1 else 0), "hot slot")
+    }
+  }
+
   test("m2 linear regression fits and reports finite metrics") {
     val out = Models.m2Linreg(spark, sfSmoke)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap

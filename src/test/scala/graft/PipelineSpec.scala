@@ -65,6 +65,31 @@ class PipelineSpec extends SparkTestBase {
       "pipeline plan must not contain a cartesian product")
   }
 
+  test("x26b pinned-merge kernel: closed form len − occ(th) − occ(the) " +
+    "holds; gate totals match the x25 manifest") {
+    // the merge-replay kernel on hand-computed fixtures of the
+    // pinned (t,h),(th,e) table
+    val bpe = text.BpeMerges.tokenCounter(Seq(("t", "h"), ("th", "e")))
+    assert(bpe("the") == 1)    // t,h,e → th,e → the
+    assert(bpe("thethe") == 2)
+    assert(bpe("tth") == 2)    // t + th
+    assert(bpe("thth") == 2)
+    assert(bpe("hat") == 3)    // neither merge fires
+    assert(bpe("t") == 1 && bpe("") == 0)
+    // per-shard doc counts and whitespace mass must equal the x25
+    // manifest's (same keptDocs DAG underneath)
+    val m25 = CurationPipeline.x25PipelineE2e(spark, sfSmoke)
+      .select("shard", "n_docs", "sum_tokens").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val gate = CurationPipeline.x26bTokenGate(spark, sfSmoke).collect()
+    assert(gate.map(_.getLong(0)).toSet == m25.keySet)
+    gate.foreach { r =>
+      val (nDocs, wsTok) = m25(r.getLong(0))
+      assert(r.getLong(1) == nDocs && r.getLong(2) == wsTok)
+      assert(r.getLong(3) > 0, "pinned-merge token mass must be positive")
+    }
+  }
+
   test("x26 tokenization agrees with the x25 manifest per shard") {
     val m25 = CurationPipeline.x25PipelineE2e(spark, sfSmoke)
       .select("shard", "n_docs", "sum_tokens").collect()

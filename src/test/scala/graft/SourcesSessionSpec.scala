@@ -29,6 +29,25 @@ class SourcesSessionSpec extends SparkTestBase {
     assert(src.exceptAll(back).count() == 0)
   }
 
+  test("s3/s4 sink gates: round-tripped aggregate equals the in-memory " +
+    "frame value-for-value") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+        .sorted.toSeq
+    // the same payload the gates write, re-derived here
+    val expected = canon(Tables.lineitem(spark, sfSmoke)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(graft.ops.Det.dsum2(col("l_quantity")).as("sum_qty"),
+        graft.ops.Det.dsum2(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n_rows")))
+    assert(expected.nonEmpty)
+    val csv = CsvIO.s3CsvRoundtrip(spark, sfSmoke)
+    val pq = CsvIO.s4ParquetRoundtrip(spark, sfSmoke)
+    assert(canon(csv) == expected, "CSV round trip bent a value")
+    assert(canon(pq) == expected, "parquet round trip bent a value")
+    assert(csv.schema == pq.schema, "declared vs carried schema drift")
+  }
+
   test("s7: partitioned write prunes partitions on read") {
     val src = Tables.orders(spark, sfSmoke)
     val dir = Files.createTempDirectory("graft_part").toString
