@@ -442,18 +442,19 @@ object Similarity {
     * PQ codes + asymmetric distance). The missing compression leg of
     * the ANN family: n2/n3 cut which vectors a query TOUCHES; PQ cuts
     * what each touched vector COSTS. Each 64-dim float vector (256 B)
-    * becomes 8 one-byte subspace codes plus its true norm (12 B —
-    * ~20× smaller): the compressed-domain scan reads codes only, and
-    * one approximate dot product is 8 table lookups instead of 64
-    * multiplies. At 100 TB that is the difference between an index
+    * becomes [[PqM]] = 16 subspace codes plus its true norm (~16×
+    * smaller; 16×4 geometry since the round-8 recall campaign — see
+    * the dials comment): the compressed-domain scan reads codes only,
+    * and one approximate dot product is 16 table lookups instead of
+    * 64 multiplies. At 100 TB that is the difference between an index
     * that fits in cluster memory and one that doesn't.
     *
     * Shape: (a) codebooks train driver-locally on the same capped
-    * key-hash sample n3 uses — the model is 8×32×8 doubles, the
+    * key-hash sample n3 uses — the model is 16×32×4 doubles, the
     * sample bound pays for training; (b) encoding is a zero-shuffle
     * broadcast kernel; (c) the scan streams codes once per partition
     * against the broadcast query LUTs (each query precomputes
-    * dot(q_sub, centroid) for all 8×32 centroids — 2 KB/query; the
+    * dot(q_sub, centroid) for all 16×32 centroids — 4 KB/query; the
     * query set is the WORKLOAD, bounded by definition, not the
     * corpus); (d) approximate cosine = ADC dot / (‖q‖·true ‖v‖);
     * (e) the TopKPerKey heaps reduce the stream map-side to 25
