@@ -193,6 +193,38 @@ object Models {
       .distinct()
   }
 
+  /** M7B — the TRANSFORM ORACLE GATE (completing the M3/M7/M8
+    * standalone-gate trio with [[m3bOnehotGate]]/[[m8bMetricsClosed]]):
+    * fit the assembler+OLS pipeline on a label that is EXACTLY linear
+    * in the feature (y = 2.5·x + 1000, zero residual), then score a
+    * deterministic order subset with `model.transform` — the same
+    * Pipeline/PipelineModel scoring path every fit query uses (M7,
+    * R:589/R:638/R:1272–1280 `predict`). With an exact-fit design the
+    * normal-equation solver recovers the plant to machine precision,
+    * so each prediction equals the closed form within ~1e-8 and the
+    * cents-rounded emission replays as literal SQL arithmetic. The
+    * intercept's trailing .001 keeps every planted value 0.1 cents
+    * AWAY from a rounding boundary: 2.5 × a 2-decimal price lands
+    * exactly ON half-cent boundaries, where the fit's ~1e-8 noise
+    * would flip floor(v·100+0.5) differently per engine (observed on
+    * 3/76 rows before the shift). Gates the transform leg itself:
+    * feature assembly order, coefficient application, the fit→score
+    * round trip. */
+  def m7bTransformClosed(s: SparkSession, dir: String): DataFrame = {
+    val df = Tables.orders(s, dir).select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("double").as("x"),
+      (col("o_totalprice") * 2.5 + 1000.001).as("label"))
+    val lr = new LinearRegression().setLabelCol("label")
+      .setFeaturesCol("features").setSolver("normal")
+    val model = new Pipeline().setStages(Array[org.apache.spark.ml.PipelineStage](
+      new VectorAssembler().setInputCols(Array("x"))
+        .setOutputCol("features")) :+ lr).fit(df)
+    model.transform(df.filter(col("o_orderkey") % 199 === 0))
+      .select(col("o_orderkey"),
+        Det.r2(col("prediction")).as("prediction"))
+  }
+
   /** M4 — LASSO with cross-validated regularization path
     * (R:1247–1254 `cv.glmnet(alpha=1, nfolds=10)`): elasticNet=1.0,
     * 5-fold CV (the reference's trainControl fold count,
@@ -640,6 +672,7 @@ object Models {
     "m2_linreg" -> m2Linreg,
     "m2b_linreg_normal" -> m2bLinregNormal,
     "m3b_onehot_gate" -> m3bOnehotGate,
+    "m7b_transform_closed" -> m7bTransformClosed,
     "m8b_metrics_closed" -> m8bMetricsClosed,
     "m4_lasso_cv" -> m4LassoCv,
     "m4b_lasso_path_closed" -> m4bLassoPathClosed,
@@ -689,6 +722,13 @@ object Models {
          UNION ALL SELECT 'r2', ${Det.sql("r2", 6)} FROM m
          UNION ALL SELECT 'mape', ${Det.sql("mape", 6)} FROM m"""
     },
+    // the planted exact-fit line, scored by model.transform and
+    // replayed as literal arithmetic (see m7bTransformClosed scaladoc)
+    "m7b_transform_closed" ->
+      s"""SELECT o_orderkey,
+           ${Det.sql("cast(o_totalprice AS double) * 2.5 + 1000.001", 2)}
+             AS prediction
+         FROM orders WHERE o_orderkey % 199 = 0""",
     // the drop-last alphabetical layout contract in SQL (see
     // m3bOnehotGate scaladoc); segments restricted to customers that
     // HAVE orders — featureTable's inner join

@@ -30,6 +30,20 @@ class MlMultimodalSpec extends SparkTestBase {
     assert(close(got("mape"), mape), s"mape ${got("mape")}")
   }
 
+  test("m7b transform gate: exact-fit predictions equal the planted line") {
+    val rows = Models.m7bTransformClosed(spark, sfSmoke).collect()
+    assert(rows.nonEmpty)
+    val prices = Tables.orders(spark, sfSmoke)
+      .filter(col("o_orderkey") % 199 === 0)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      val want = prices(r.getLong(0)) * 2.5 + 1000.001
+      assert(math.abs(r.getDouble(1) - want) <= 0.006,
+        s"order ${r.getLong(0)}: ${r.getDouble(1)} vs $want")
+    }
+  }
+
   test("m3b one-hot layout gate: alphabetical indices, drop-last width " +
     "and slot") {
     val rows = Models.m3bOnehotGate(spark, sfSmoke).collect()
