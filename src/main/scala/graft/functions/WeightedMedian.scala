@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions.udaf
   * associatively, so Spark plans the normal partial/final aggregate:
   * the shuffle carries one compacted map per partition × group. For
   * unbounded-cardinality doubles at 100 TB the approximate path
-  * (g13's t-digest) is the right tool; this is the exact twin.
+  * (g13's GK approx_percentile) is the right tool; this is the exact twin.
   */
 object WeightedMedian {
 

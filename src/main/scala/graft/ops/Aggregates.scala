@@ -682,12 +682,17 @@ object Aggregates {
         Det.r2(element_at(col("qs"), 2)).as("p50"),
         Det.r2(element_at(col("qs"), 3)).as("p75"))
 
-  /** G13 — the 100 TB approximate path, surfaced explicitly: HLL
-    * distinct counts and t-digest quantiles next to their exact
-    * counterparts. Exact variants answer the oracle; THESE are what a
+  /** G13 — the 100 TB approximate path, surfaced explicitly: HLL++
+    * distinct counts and GK-summary quantiles (Spark's
+    * approx_percentile is Greenwald–Khanna, not t-digest) next to
+    * their exact counterparts. Exact variants answer the oracle;
+    * THESE are what a
     * cluster would run (constant memory, one pass, mergeable
     * sketches). Rows-only — approximation is engine-specific by
-    * nature; the spec asserts the error envelope against exact. */
+    * nature; the spec asserts the error envelope against exact, and
+    * [[g13bApproxExactGate]] value-gates the identical aggregate
+    * machinery on planted bounded domains where it is provably
+    * exact. */
   def g13ApproxStats(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir).agg(
       countDistinct("l_orderkey").as("exact_orders"),
@@ -696,13 +701,15 @@ object Aggregates {
       expr("approx_percentile(l_extendedprice, 0.5, 10000)")
         .as("approx_p50"))
 
-  /** G18 — the grouped 100 TB twin of G17/G4: HLL distinct counts and
-    * t-digest quantiles PER GROUP. Exact grouped percentile buffers
-    * every group's values; these sketches are constant-memory and
-    * mergeable, so the shuffle carries one small sketch per
+  /** G18 — the grouped 100 TB twin of G17/G4: HLL++ distinct counts
+    * and GK-summary quantiles PER GROUP. Exact grouped percentile
+    * buffers every group's values; these sketches are constant-memory
+    * and mergeable, so the shuffle carries one small sketch per
     * partition × group no matter how large the groups get. Rows-only
     * (sketch results are engine-specific); the error envelope vs the
-    * exact twins is asserted in BucketingSpec. */
+    * exact twins is asserted in BucketingSpec, and
+    * [[g18bGroupedApproxGate]] value-gates the grouped sketch
+    * machinery on planted bounded domains. */
   def g18GroupedApproxStats(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy("o_orderpriority")

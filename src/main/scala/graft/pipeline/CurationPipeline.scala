@@ -189,7 +189,9 @@ object CurationPipeline {
     * CACHE (the tokenizer is trained once on the full corpus and
     * shared — see BpeMerges.learnedMerges). Rows-only gate (the
     * learned table is data-derived); PipelineSpec pins agreement
-    * with the x25 manifest and the char-vs-BPE compression bound. */
+    * with the x25 manifest and the char-vs-BPE compression bound,
+    * and [[x26bTokenGate]] value-gates the identical counting
+    * machinery under a pinned merge table with a closed form. */
   def x26PipelineTokens(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val merges = BpeMerges.learnedMerges(s, dir)

@@ -675,13 +675,14 @@ object Similarity {
     * n3/n4; cells whose sample slice is thinner than 2·K fall back to
     * a GLOBAL residual codebook so no book trains on fewer points
     * than centroids); (b) encoding is a zero-shuffle broadcast
-    * kernel emitting (cell, 8-byte code, true norm) — the same ~20×
-    * compression as n4; (c) the scan reads codes once per partition;
+    * kernel emitting (cell, 16-byte code, true norm) — the same ~16×
+    * compression as n4 (16×4 geometry since the r8 recall campaign);
+    * (c) the scan reads codes once per partition;
     * each TASK lazily builds, per query, the nprobe cell list and the
     * per-(query, cell) ADC lookup tables from the broadcast query
     * vectors + model (probes×M×K dot products per query — workload-
     * bounded, and rebuilding per task beats broadcasting
-    * queries×probes×2 KB of LUTs); (d) approximate cosine =
+    * queries×probes×4 KB of LUTs); (d) approximate cosine =
     * (dot(q, centroid) + Σ_m lut[code_m]) / (‖q‖·‖v‖) — the ADC
     * estimate of dot(q, v) through the residual decomposition;
     * (e) TopKPerKey heap-reduces to the size-aware re-rank depth,
