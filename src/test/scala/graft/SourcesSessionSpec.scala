@@ -48,6 +48,34 @@ class SourcesSessionSpec extends SparkTestBase {
     assert(csv.schema == pq.schema, "declared vs carried schema drift")
   }
 
+  test("s5 plot sink: PNGs decode back to the exact bar/box geometry") {
+    import graft.sources.PlotSink
+    // histogram leg: every measured bar equals the scaling arithmetic
+    val out = PlotSink.s5PlotSink(spark, sfSmoke).collect()
+    assert(out.nonEmpty)
+    val maxN = out.map(_.getLong(1)).max
+    out.foreach { r =>
+      assert(r.getInt(2) == PlotSink.barPx(r.getLong(1), maxN),
+        s"bucket ${r.getLong(0)}: ${r.getInt(2)} px") }
+    // boxplot leg: decoded feature columns land at the scaled x's
+    val dir = Files.createTempDirectory("graft-plot").toString
+    val paths = PlotSink.plotColumns(spark, Tables.orders(spark, sfSmoke),
+      Seq("o_totalprice"), dir)
+    assert(paths.forall(p => new java.io.File(p).length > 0))
+    val st = Tables.orders(spark, sfSmoke).agg(
+      min(col("o_totalprice")).cast("double"),
+      expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))"),
+      max(col("o_totalprice")).cast("double")).head()
+    val (mn, mx) = (st.getDouble(0), st.getDouble(2))
+    val qs = st.getSeq[Double](1)
+    def px(v: Double): Int = PlotSink.Margin +
+      math.floor((v - mn) / (mx - mn) * (PlotSink.TrackW - 1) + 0.5).toInt
+    val (boxCols, med) = PlotSink.measureBox(s"$dir/o_totalprice_box.png")
+    assert(med == px(qs(1)), s"median tick at $med, expected ${px(qs(1))}")
+    assert(boxCols.contains(px(qs(0))) && boxCols.contains(px(qs(2))),
+      s"box verticals $boxCols miss q1/q3 at ${px(qs(0))}/${px(qs(2))}")
+  }
+
   test("s7: partitioned write prunes partitions on read") {
     val src = Tables.orders(spark, sfSmoke)
     val dir = Files.createTempDirectory("graft_part").toString
