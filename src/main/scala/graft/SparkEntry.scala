@@ -9,8 +9,8 @@ import graft.ops.{Aggregates, BloomJoin, Expectations, Joins, Ordering,
   TemporalJoins}
 import graft.plans.TopK
 import graft.sim.{HybridRetrieval, MmrRerank, Similarity}
-import graft.sources.{BloomSkip, Bucketing, CsvIO, MergeInto,
-  PartitionPruning, PlotSink, SnapshotStore, ZOrder}
+import graft.sources.{BloomSkip, Bucketing, CsvIO, EncodingSniff,
+  MergeInto, PartitionPruning, PlotSink, SnapshotStore, ZOrder}
 import graft.pipeline.CurationPipeline
 import graft.streaming.EventStreams
 import graft.text.{BpeMerges, Chunking, QualityClassifier,
@@ -45,7 +45,8 @@ object SparkEntry {
       QualityClassifier.queries ++ PageRank.queries ++
       CurationPipeline.queries ++ Chunking.queries ++
       HybridRetrieval.queries ++ KnnImpute.queries ++ MmrRerank.queries ++
-      MiceImpute.queries ++ CsvIO.queries ++ PlotSink.queries
+      MiceImpute.queries ++ CsvIO.queries ++ PlotSink.queries ++
+      EncodingSniff.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -63,5 +64,6 @@ object SparkEntry {
       QualityClassifier.oracle ++ PageRank.oracle ++
       CurationPipeline.oracle ++ Chunking.oracle ++
       HybridRetrieval.oracle ++ KnnImpute.oracle ++ MmrRerank.oracle ++
-      MiceImpute.oracle ++ CsvIO.oracle ++ PlotSink.oracle
+      MiceImpute.oracle ++ CsvIO.oracle ++ PlotSink.oracle ++
+      EncodingSniff.oracle
 }

@@ -13,6 +13,25 @@ class ParkingSpec extends SparkTestBase {
 
   private lazy val train = clean(loadTrain(spark, trainCsv)).cache()
 
+  test("s2 encoding sniff: the reference CSVs sniff as UTF-8 with " +
+    "multibyte evidence; planted encodings resolve correctly") {
+    import graft.sources.EncodingSniff
+    // the real files the reference guess_encoding's (R:69)
+    Seq(trainCsv, testCsv).foreach { p =>
+      val ranked = EncodingSniff.sniff(spark, p)
+      assert(ranked.head == ("UTF-8" -> 1.0),
+        s"$p sniffed as ${ranked.head}")
+    }
+    // planted fixtures, incl. the ASCII ambiguity contract
+    val ascii = "plain,ascii\n1,2\n".getBytes("US-ASCII")
+    val ranked = EncodingSniff.sniffBytes(ascii)
+    assert(ranked.head == ("UTF-8" -> 0.8),
+      "ASCII must call UTF-8 first at reduced confidence")
+    assert(ranked.map(_._1).take(2) == Seq("UTF-8", "EUC-KR"))
+    val euckr = "주차 데이터".getBytes("EUC-KR")
+    assert(EncodingSniff.sniffBytes(euckr).head._1 == "EUC-KR")
+  }
+
   test("golden: train is 2952 rows × 15 cols, 423 complexes; test 1022/150") {
     assert(train.count() == 2952)
     assert(train.columns.length == 15)
