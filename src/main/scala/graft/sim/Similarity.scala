@@ -57,6 +57,50 @@ object Similarity {
     topKRanked(scored, 5)
   }
 
+  /** X49 — SEMANTIC benchmark decontamination: the embedding-level
+    * member of the decontamination family (x13 flags shared n-grams,
+    * x45 fuzzy n-gram containment; THIS flags corpus docs whose
+    * embedding sits at near-duplicate cosine of an eval-suite
+    * embedding — the leak paraphrase/reformat n-grams can miss).
+    *
+    * Scale shape — deliberately NOT an ANN problem: the benchmark
+    * suite is TINY BY DEFINITION (x13's broadcast argument), so the
+    * right plan is broadcast-the-benchmark + one exact codegen'd
+    * FloatCosine scan of the corpus — linear in corpus size, zero
+    * shuffle on the corpus side, no index to build or trust, and
+    * EXACT at the threshold (an LSH/IVF route would trade recall
+    * exactly where a decontamination gate must not miss). The
+    * crossJoin is `crossJoin(broadcast(benchmark))` — a
+    * BroadcastNestedLoopJoin whose build side is workload-bounded,
+    * the same discipline as the repo's stats broadcasts.
+    *
+    * Gate (the d7/n7 plant): leaked copies of every benchmark vector
+    * enter the corpus under offset ids; organic corpus–benchmark
+    * cosine tops out at 0.49 on this corpus family (measured at
+    * sf0.01 AND sf0.1), so at the 0.9 threshold the flagged set is
+    * closed-form — exactly the planted leaks at cosine 1.0. */
+  def x49SemanticDecontamination(s: SparkSession, dir: String)
+      : DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val bench = emb.filter(col("vec_id") % 50 === 0)
+    val leaked = bench.select(
+      (col("vec_id") + graft.dedup.Dedup.D7PlantOffset).as("vec_id"),
+      col("embedding"))
+    val corpus = emb.filter(col("vec_id") % 50 =!= 0).union(leaked)
+    corpus.select(col("vec_id").as("corpus_id"),
+        col("embedding").as("c_embedding"))
+      .crossJoin(broadcast(bench.select(
+        col("vec_id").as("benchmark_id"),
+        col("embedding").as("b_embedding"))))
+      .select(col("corpus_id"), col("benchmark_id"),
+        GraftFunctions.floatCosine("c_embedding", "b_embedding")
+          .as("cosine"))
+      .filter(col("cosine") >= 0.9)
+      .select(col("corpus_id"), col("benchmark_id"),
+        Det.r6(col("cosine")).as("cosine"))
+  }
+
   /** N10 — FILTERED vector search: top-k under a metadata predicate
     * (here: same `label` as the query) — the constrained-search
     * pattern every vector-serving system needs (a RAG query
@@ -1246,9 +1290,20 @@ object Similarity {
     "n4_sim_pq_topk" -> n4SimPqTopk,
     "n4b_pq_planted_gate" -> n4bPqPlantedGate,
     "n6_sim_ivfpq_topk" -> n6SimIvfPqTopk,
-    "n10_filtered_topk" -> n10FilteredTopk)
+    "n10_filtered_topk" -> n10FilteredTopk,
+    "x49_semantic_decontamination" -> x49SemanticDecontamination)
 
   val oracle: Map[String, String] = Map(
+    // the planted-leak closed form: organic corpus–benchmark cosine
+    // tops out at 0.49 on this corpus family, so the 0.9-threshold
+    // flag set is exactly the planted copies at cosine 1.0 (see
+    // x49SemanticDecontamination scaladoc)
+    "x49_semantic_decontamination" ->
+      s"""SELECT vec_id + ${graft.dedup.Dedup.D7PlantOffset}
+             AS corpus_id,
+           vec_id AS benchmark_id, 1.0 AS cosine
+         FROM embeddings
+         WHERE vec_id % 50 = 0""",
     // n8 serves the SAME planted queries from the persisted index —
     // deterministic fit + exact round-trip ⇒ n7's closed form applies
     "n8_index_serve" ->

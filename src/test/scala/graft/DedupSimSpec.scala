@@ -488,6 +488,21 @@ class DedupSimSpec extends SparkTestBase {
     assert(byQ.filter(col("n") =!= 5 || col("maxr") =!= 5).count() == 0)
   }
 
+  test("x49 semantic decontamination: flags exactly the planted leaks, " +
+    "organic corpus stays clean") {
+    val out = Similarity.x49SemanticDecontamination(spark, sfSmoke)
+      .collect()
+    val nBench = Tables.embeddings(spark, sfSmoke)
+      .filter(col("vec_id") % 50 === 0).count()
+    assert(out.length == nBench,
+      s"${out.length} flags for $nBench planted leaks")
+    out.foreach { r =>
+      assert(r.getLong(0) - dedup.Dedup.D7PlantOffset == r.getLong(1),
+        s"flag ${r.getLong(0)} paired with ${r.getLong(1)}")
+      assert(r.getDouble(2) == 1.0)
+    }
+  }
+
   test("n4b flat-PQ planted gate: every copy's top-1 is its source " +
     "at cosine 1.0") {
     val out = Similarity.n4bPqPlantedGate(spark, sfSmoke).collect()
