@@ -66,6 +66,47 @@ object NearDupStream {
     newDocs.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
+  /** Semantic (embedding) ingest gate — the x49 decontamination scan
+    * as a streaming filter: arriving (vec_id, embedding) rows are
+    * DROPPED when their EXACT cosine against any benchmark embedding
+    * reaches `threshold`. Same static-reference stance as the LSH
+    * gate above, and the same plan argument as batch x49: the
+    * benchmark suite is tiny by definition, so each micro-batch pays
+    * one broadcast nested-loop FloatCosine scan — linear in the
+    * batch, zero batch-side shuffle, and exact at the threshold (an
+    * ANN route would trade recall exactly where a leak gate must not
+    * miss). */
+  def semanticGate(newRows: DataFrame, benchmark: DataFrame,
+      threshold: Double = 0.9): DataFrame = {
+    graft.functions.GraftFunctions.register(newRows.sparkSession)
+    val leaked = newRows
+      .select(col("vec_id"), col("embedding").as("c_embedding"))
+      .crossJoin(broadcast(
+        benchmark.select(col("embedding").as("b_embedding"))))
+      .filter(graft.functions.GraftFunctions
+        .floatCosine("c_embedding", "b_embedding") >= threshold)
+      .select("vec_id").distinct()
+    newRows.join(leaked, Seq("vec_id"), "left_anti")
+  }
+
+  /** Stream `streamPath`'s arriving parquet embeddings through
+    * [[semanticGate]] against the benchmark at `benchmarkPath`;
+    * accepted rows land exactly-once via [[IdempotentSink]]. */
+  def startSemantic(s: SparkSession, benchmarkPath: String,
+      streamPath: String, outDir: String, checkpointDir: String,
+      threshold: Double = 0.9): StreamingQuery = {
+    val bench = s.read.parquet(benchmarkPath)
+      .select("vec_id", "embedding").persist()
+    val stream = s.readStream.schema(bench.schema).parquet(streamPath)
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        IdempotentSink.writeBatch(
+          semanticGate(batch, bench, threshold), id, outDir)
+      }
+      .start()
+  }
+
   /** Gate `streamPath`'s arriving parquet documents against the
     * corpus at `corpusPath`; accepted docs land exactly-once via
     * [[IdempotentSink]]. */

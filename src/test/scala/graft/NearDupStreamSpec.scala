@@ -36,6 +36,35 @@ class NearDupStreamSpec extends SparkTestBase {
       "novel docs must pass")
   }
 
+  test("semantic gate: planted embedding leaks drop, organic rows " +
+    "pass; streaming == batch") {
+    val emb = Tables.embeddings(spark, sfSmoke)
+      .select("vec_id", "embedding")
+    val bench = emb.filter(col("vec_id") % 50 === 0)
+    val organic = emb.filter(col("vec_id") % 50 =!= 0)
+    val leaked = bench.select((col("vec_id") + 500000L).as("vec_id"),
+      col("embedding"))
+    val incoming = organic.union(leaked)
+    val kept = NearDupStream.semanticGate(incoming, bench)
+    // organic corpus–benchmark cosine tops out at ~0.49 here (the
+    // x49 measurement): every organic row passes, every leak drops
+    assert(kept.count() == organic.count())
+    assert(kept.filter(col("vec_id") >= 500000L).isEmpty)
+    // streaming parity in one batch
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_semgate").toString
+    incoming.coalesce(1).write.parquet(s"$base/incoming")
+    bench.coalesce(1).write.parquet(s"$base/bench")
+    val q = NearDupStream.startSemantic(spark, s"$base/bench",
+      s"$base/incoming", s"$base/out", s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = IdempotentSink.readOutput(spark, s"$base/out")
+      .drop("batch_id")
+    assert(streamed.count() == kept.count())
+    assert(streamed.select("vec_id")
+      .exceptAll(kept.select("vec_id")).count() == 0)
+  }
+
   test("streaming gate == batch gate when the stream arrives in one batch") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_neardup").toString
