@@ -551,8 +551,18 @@ object Dedup {
   def d5DedupEmbedding(s: SparkSession, dir: String): DataFrame =
     d5Tiled(s, dir, blockSize = 100000)
 
+  /** Corpus ceiling for the deliberately-quadratic d5 baseline
+    * (VERDICT r9's operational caveat, made an enforced contract):
+    * d5 exists to ORACLE-GATE the sub-quadratic paths, and its total
+    * flops are O(n²) however the tiles are cut — at 5M vectors
+    * that is already ~10¹³ dot-product flops plus 50 sequential
+    * block passes. Far above every gate SF, far below any real
+    * corpus: pointing d5 at production data now fails loudly with
+    * directions instead of silently burning a cluster. */
+  private[graft] val D5MaxRows = 5000000L
+
   private[graft] def d5Tiled(s: SparkSession, dir: String,
-      blockSize: Int): DataFrame = {
+      blockSize: Int, maxRows: Long = D5MaxRows): DataFrame = {
     import s.implicits._
     val vecs = Tables.embeddings(s, dir)
       .select("vec_id", "embedding").as[(Long, Array[Float])]
@@ -565,6 +575,11 @@ object Dedup {
         (id, d, math.sqrt(acc))
       }
     val n = vecs.count()
+    require(n <= maxRows,
+      s"d5 brute-force cosine scan is the O(n²) ORACLE BASELINE: " +
+        s"$n vectors exceeds its $maxRows-row ceiling — use the " +
+        "sub-quadratic production paths it gates (d7PairsOf SRP-LSH " +
+        "banding, d9 SemDeDup) for a corpus of this size")
     val numBlocks = math.max(1, ((n + blockSize - 1) / blockSize).toInt)
     val tiles = (0 until numBlocks).map { b =>
       val block = vecs

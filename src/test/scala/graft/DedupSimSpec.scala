@@ -384,6 +384,11 @@ class DedupSimSpec extends SparkTestBase {
     assert(tiled.count() > 0)
     assert(tiled.exceptAll(single).count() == 0)
     assert(single.exceptAll(tiled).count() == 0)
+    // the O(n²) baseline refuses corpora above its ceiling, loudly
+    val e = intercept[IllegalArgumentException] {
+      Dedup.d5Tiled(spark, sfTest, blockSize = 64, maxRows = 10)
+    }
+    assert(e.getMessage.contains("ORACLE BASELINE"))
   }
 
   test("d2b stop-shingle cap bounds pair expansion on a planted hot shingle") {
