@@ -14,7 +14,7 @@ import graft.sources.{BloomSkip, Bucketing, CsvIO, EncodingSniff,
 import graft.pipeline.CurationPipeline
 import graft.streaming.EventStreams
 import graft.text.{BpeMerges, Chunking, QualityClassifier,
-  SequencePacking, TextAnalysis}
+  SequencePacking, TextAnalysis, UnigramTokenizer}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -46,7 +46,7 @@ object SparkEntry {
       CurationPipeline.queries ++ Chunking.queries ++
       HybridRetrieval.queries ++ KnnImpute.queries ++ MmrRerank.queries ++
       MiceImpute.queries ++ CsvIO.queries ++ PlotSink.queries ++
-      EncodingSniff.queries
+      EncodingSniff.queries ++ UnigramTokenizer.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -65,5 +65,5 @@ object SparkEntry {
       CurationPipeline.oracle ++ Chunking.oracle ++
       HybridRetrieval.oracle ++ KnnImpute.oracle ++ MmrRerank.oracle ++
       MiceImpute.oracle ++ CsvIO.oracle ++ PlotSink.oracle ++
-      EncodingSniff.oracle
+      EncodingSniff.oracle ++ UnigramTokenizer.oracle
 }

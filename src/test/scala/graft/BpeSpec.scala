@@ -7,6 +7,31 @@ import graft.text.BpeMerges
   * and the gated query's shape. */
 class BpeSpec extends SparkTestBase {
 
+  test("unigram Viterbi: true DP (beats greedy), ties resolve, cap " +
+    "holds, closed form matches, uncoverable fails loudly") {
+    import graft.text.UnigramTokenizer.segment
+    val singles = ('a' to 'z').map(c => c.toString -> -3.0).toMap
+    // greedy longest-match would take ab+c (−7); the DP finds a+bc
+    val dp = singles ++ Map("ab" -> -4.0, "bc" -> -3.5)
+    assert(segment("abc", dp) == Seq("a", "bc"))
+    // equal score (aa = −6 either way) → fewer tokens wins
+    assert(segment("aa", singles ++ Map("aa" -> -6.0)) == Seq("aa"))
+    // the pinned gate vocab's closed form on hand fixtures
+    val gv = graft.text.UnigramTokenizer.GateVocab
+    assert(segment("the", gv) == Seq("the"))
+    assert(segment("thethe", gv) == Seq("the", "the"))
+    assert(segment("tth", gv) == Seq("t", "th"))
+    assert(segment("hat", gv).length == 3)
+    assert(segment("thet", gv) == Seq("the", "t"))
+    // 64-char word cap (mirrored by left(w, 64) in the oracle)
+    assert(segment("z" * 100, gv).length == 64)
+    // a character outside the vocab is a loud error, not a skip
+    val e = intercept[IllegalArgumentException] {
+      segment("ab1", singles)
+    }
+    assert(e.getMessage.contains("vocabulary"))
+  }
+
   test("mergePair consumes greedily left-to-right") {
     assert(BpeMerges.mergePair(Seq("a", "a", "a"), "a", "a") ==
       Seq("aa", "a"))
