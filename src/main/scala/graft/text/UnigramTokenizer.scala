@@ -90,7 +90,7 @@ object UnigramTokenizer {
 
   /** Per-partition memoized word→token-count — the same memo policy
     * as [[BpeMerges.tokenCounter]] so the two families cannot drift. */
-  private[text] def tokenCounter(
+  private[graft] def tokenCounter(
       vocab: Map[String, Double]): String => Long = {
     val MemoCap = 1 << 20
     val memo = mutable.HashMap.empty[String, Long]
@@ -101,6 +101,113 @@ object UnigramTokenizer {
   }
 
   private val ShardCount = 8
+
+  /** Seed-piece dials for [[learn]]: substrings up to [[SeedMaxLen]]
+    * chars whose corpus frequency reaches [[SeedMinFreq]] enter the
+    * seed vocabulary (plus every character, the un-prunable base —
+    * SentencePiece's char fallback). */
+  private val SeedMaxLen = 4
+  private val SeedMinFreq = 5L
+
+  /** X51 — unigram vocabulary FIT (Kudo 2018 §3.2, the Viterbi-EM
+    * variant): the trainer completing the family the way x22's BPE
+    * learner pairs with x23's tokenizer.
+    *
+    *  - Seed: every ≤[[SeedMaxLen]]-char substring with corpus
+    *    frequency ≥ [[SeedMinFreq]], plus all characters; uniform
+    *    initial log-probs.
+    *  - E-step: segment every vocabulary word with the SHARED
+    *    [[segment]] Viterbi kernel under current probs; accumulate
+    *    per-piece uses weighted by word frequency.
+    *  - M-step: logp(piece) = ln(uses / total); unused multi-char
+    *    pieces prune immediately, then the lowest-use `pruneFrac` of
+    *    multi-char pieces prune per round (count asc, piece asc —
+    *    deterministic) until at most `targetSize` pieces remain.
+    *
+    * Scale shape = the x22 trainer's argument verbatim: ONE
+    * corpus-scale shuffle builds the bounded (word, freq) vocabulary;
+    * every EM round is driver-local arithmetic over it — no
+    * per-iteration Spark jobs. Rows-only gate (learned probs are
+    * data-derived); BpeSpec pins determinism, planted-piece recovery,
+    * junk pruning, and the compression bound vs chars. */
+  def learn(words: Seq[(String, Long)], targetSize: Int = 2000,
+      rounds: Int = 3, pruneFrac: Double = 0.2)
+      : Seq[(String, Double)] = {
+    val capped = words.map { case (w, f) => (w.take(WordLimit), f) }
+    val chars: Set[String] =
+      capped.iterator.flatMap(_._1.map(_.toString)).toSet
+    val subCounts = mutable.HashMap.empty[String, Long]
+    capped.foreach { case (w, f) =>
+      var i = 0
+      while (i < w.length) {
+        var l = 2
+        while (l <= SeedMaxLen && i + l <= w.length) {
+          val p = w.substring(i, i + l)
+          subCounts.update(p, subCounts.getOrElse(p, 0L) + f)
+          l += 1
+        }
+        i += 1
+      }
+    }
+    var vocab: Map[String, Double] = {
+      val seed = chars ++ subCounts.iterator
+        .filter(_._2 >= SeedMinFreq).map(_._1)
+      val u = math.log(1.0 / seed.size)
+      seed.iterator.map(_ -> u).toMap
+    }
+    var round = 0
+    while (round < rounds) {
+      val uses = mutable.HashMap.empty[String, Long]
+      capped.foreach { case (w, f) =>
+        segment(w, vocab).foreach { p =>
+          uses.update(p, uses.getOrElse(p, 0L) + f)
+        }
+      }
+      val total = math.max(1L, uses.valuesIterator.sum).toDouble
+      // chars never prune (coverage guarantee): unused ones keep a
+      // floor mass so segment() always has a path
+      val kept = vocab.keysIterator.filter { p =>
+        p.length == 1 || uses.getOrElse(p, 0L) > 0L
+      }.toSeq
+      val (cs, multi) = kept.partition(_.length == 1)
+      val pruned =
+        if (round == rounds - 1 || multi.size <= targetSize) multi
+        else {
+          val keepN = math.max(targetSize,
+            multi.size - math.max(1, (multi.size * pruneFrac).toInt))
+          multi.sortBy(p => (-uses(p), p)).take(keepN)
+        }
+      vocab = (cs ++ pruned).iterator.map { p =>
+        p -> math.log(math.max(0.5, uses.getOrElse(p, 0L).toDouble)
+          / total)
+      }.toMap
+      round += 1
+    }
+    vocab.toSeq.sortBy { case (p, lp) => (-lp, p) }
+  }
+
+  /** The corpus (word, freq) vocabulary — x22's build, shared shape:
+    * one shuffle, bounded output. */
+  private def corpusVocab(s: SparkSession, dir: String)
+      : Seq[(String, Long)] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(expr(
+        "regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .as[(String, Long)].collect().sortBy(_._1)
+  }
+
+  /** X51 as a query: the fitted vocabulary, largest-mass first.
+    * Rows-only (data-derived probs); the inference half (x50) is the
+    * oracle-gated leg. */
+  def x51UnigramFit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    learn(corpusVocab(s, dir))
+      .map { case (p, lp) =>
+        (p, math.floor(lp * 1e6 + 0.5) / 1e6, p.length) }
+      .toDF("piece", "logp", "n_chars")
+  }
 
   /** X50 — per-shard unigram token mass over the documents corpus
     * under the pinned gate vocabulary; shard key = the repo's
@@ -129,7 +236,8 @@ object UnigramTokenizer {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x50_unigram_tokens" -> x50UnigramTokens)
+    "x50_unigram_tokens" -> x50UnigramTokens,
+    "x51_unigram_fit" -> x51UnigramFit)
 
   val oracle: Map[String, String] = {
     val w = "left(w, 64)"

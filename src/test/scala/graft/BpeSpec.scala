@@ -32,6 +32,36 @@ class BpeSpec extends SparkTestBase {
     assert(e.getMessage.contains("vocabulary"))
   }
 
+  test("unigram fit: deterministic, recovers planted pieces, prunes " +
+    "junk, compresses vs chars") {
+    import graft.text.UnigramTokenizer
+    // planted corpus: 'the'/'ing' dominate; 'zq' appears once
+    val corpus = Seq(("the", 500L), ("thing", 300L), ("sing", 200L),
+      ("theme", 150L), ("cat", 100L), ("zq", 1L))
+    val fit1 = UnigramTokenizer.learn(corpus, targetSize = 20)
+    val fit2 = UnigramTokenizer.learn(corpus, targetSize = 20)
+    assert(fit1 == fit2, "fit must be deterministic")
+    val vocab = fit1.toMap
+    // 'the' must survive outright; the '-ing' mass must be covered by
+    // SOME surviving multi-char piece (EM may legitimately pick
+    // 'hing'/'sing' over bare 'ing' — 4-char pieces score higher)
+    assert(vocab.contains("the"),
+      s"dominant piece must survive: ${fit1.map(_._1)}")
+    assert(vocab.keys.exists(p => p.length > 1 && p.contains("ing")),
+      s"the -ing mass must keep a multi-char piece: ${fit1.map(_._1)}")
+    assert(!vocab.contains("zq"), "sub-floor junk must never seed")
+    // tokenizing the corpus with the fit beats char tokenization
+    val tok = UnigramTokenizer.tokenCounter(vocab)
+    val (nTok, nChar) = corpus.map { case (w, f) =>
+      (tok(w) * f, w.length.toLong * f)
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(nTok < nChar, s"fit must compress: $nTok vs $nChar")
+    // chars never prune: every corpus char is still coverable
+    corpus.foreach { case (w, _) =>
+      assert(UnigramTokenizer.segment(w, vocab).nonEmpty)
+    }
+  }
+
   test("mergePair consumes greedily left-to-right") {
     assert(BpeMerges.mergePair(Seq("a", "a", "a"), "a", "a") ==
       Seq("aa", "a"))
