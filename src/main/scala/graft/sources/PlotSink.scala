@@ -131,7 +131,11 @@ object PlotSink {
 
   /** Locate the boxplot features in a decoded PNG: the median tick
     * (its color is unique) and the box verticals (full-height box
-    * color columns). */
+    * color columns). Degenerate summaries collapse features onto one
+    * pixel column: the median tick draws LAST, so a q1/q3 vertical at
+    * the same x reads back as the median — callers measuring a
+    * near-constant column should expect `boxCols` to omit such
+    * overdrawn verticals rather than report them twice. */
   def measureBox(path: String): (Seq[Int], Int) = {
     val img = ImageIO.read(new File(path))
     require(img != null, s"plot sink: unreadable PNG at $path")
