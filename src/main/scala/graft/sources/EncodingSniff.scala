@@ -31,9 +31,13 @@ import graft.ops.Det
   *  - EUC-KR: 0.9 with high-byte evidence, 0.6 ASCII-only;
   *  - UTF-16LE/BE: 0.95 with the matching BOM; 0.1 otherwise (any
   *    even-length byte string decodes as SOME UTF-16, so a BOM-less
-  *    "valid" decode is near-zero evidence), and a decoded text with
-  *    > 1 % control characters (outside \t\r\n) is noise → ×0.1;
-  *  - ISO-8859-1: flat 0.5 — it decodes anything, the last resort.
+  *    "valid" decode is near-zero evidence);
+  *  - ISO-8859-1: flat 0.5 — it decodes anything, the last resort;
+  *  - noise penalty, applied to EVERY candidate's decoded text: > 1 %
+  *    control characters (outside \t\r\n) → score ×0.1. This is how
+  *    a wrong-charset decode that happens to be byte-valid (the
+  *    classic UTF-16-of-ASCII case, but equally a control-riddled
+  *    "UTF-8" or Latin-1 decode) gets demoted below honest readings.
   * Ties break by candidate order (stricter first). */
 object EncodingSniff {
 

@@ -198,15 +198,23 @@ object PlotSink {
   def plotColumns(s: SparkSession, df: DataFrame, cols: Seq[String],
       outDir: String): Seq[String] = {
     cols.flatMap { c =>
-      val stats = df.agg(
+      // NULLs are dropped BEFORE any aggregate (the reference's
+      // hist() NA semantics). Without this, Spark's null-skipping
+      // least(null, 11) = 11 would silently route every null row
+      // into the TOP bucket, inflating the last bar (ADVICE r10).
+      val obs = df.filter(col(c).isNotNull)
+      val stats = obs.agg(
         min(col(c)).cast("double").as("mn"),
         expr(s"percentile($c, array(0.25, 0.5, 0.75))").as("qs"),
         max(col(c)).cast("double").as("mx")).head()
+      require(!stats.isNullAt(0),
+        s"plotColumns: column '$c' has no non-null values — nothing " +
+          "to plot (the reference's hist() errors on this too)")
       val (mn, mx) = (stats.getDouble(0), stats.getDouble(2))
       val qs = stats.getSeq[Double](1)
       val nBuckets = 12
       val span = if (mx > mn) mx - mn else 1.0
-      val histDf = df.groupBy(
+      val histDf = obs.groupBy(
           least(floor((col(c) - mn) / span * nBuckets),
             lit(nBuckets - 1)).cast("int").as("bucket"))
         .agg(count(lit(1)).as("n"))

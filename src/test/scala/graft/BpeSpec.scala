@@ -60,6 +60,15 @@ class BpeSpec extends SparkTestBase {
     corpus.foreach { case (w, _) =>
       assert(UnigramTokenizer.segment(w, vocab).nonEmpty)
     }
+    // the targetSize contract is a HARD cap on multi-char pieces
+    // (final-round prune, ADVICE r10) — even a cap far below the
+    // candidate count is honored, and chars still never prune
+    val tight = UnigramTokenizer.learn(corpus, targetSize = 2)
+    assert(tight.count(_._1.length > 1) <= 2,
+      s"targetSize=2 exceeded: ${tight.map(_._1)}")
+    corpus.foreach { case (w, _) =>
+      assert(UnigramTokenizer.segment(w, tight.toMap).nonEmpty)
+    }
   }
 
   test("mergePair consumes greedily left-to-right") {

@@ -508,6 +508,30 @@ class DedupSimSpec extends SparkTestBase {
     }
   }
 
+  test("x49 organic-ceiling premise holds at this SF: max organic " +
+    "corpus-benchmark cosine stays well under the 0.9 threshold") {
+    // Re-establishes the SF-BOUNDED premise the x49 closed-form
+    // oracle rests on (ADVICE r10): without the plant, no organic
+    // corpus-benchmark pair approaches the flag threshold. If the
+    // corpus family or SF ever pushes an organic pair past ~0.49,
+    // this fails BEFORE the oracle silently would.
+    import graft.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sfSmoke)
+      .select("vec_id", "embedding")
+    val bench = emb.filter(col("vec_id") % 50 === 0)
+    val organicMax = emb.filter(col("vec_id") % 50 =!= 0)
+      .select(col("embedding").as("c_embedding"))
+      .crossJoin(broadcast(bench.select(
+        col("embedding").as("b_embedding"))))
+      .agg(max(GraftFunctions
+        .floatCosine("c_embedding", "b_embedding")).as("mx"))
+      .head().getDouble(0)
+    assert(organicMax < 0.6,
+      f"organic ceiling drifted to $organicMax%.4f — the x49 " +
+        "closed-form premise no longer holds at this SF")
+  }
+
   test("n4b flat-PQ planted gate: every copy's top-1 is its source " +
     "at cosine 1.0") {
     val out = Similarity.n4bPqPlantedGate(spark, sfSmoke).collect()
