@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The container has no LANG, so a forked JVM's sun.jnu.encoding
+// defaults to ANSI_X3.4-1968 and every non-ASCII FILE PATH (the
+// reference's Korean artifact names) becomes unrepresentable —
+// File.listFiles returns null, writes mangle. -Dsun.jnu.encoding is
+// ignored on JDK 17 (the native layer reads the env), so set the
+// locale for the fork. C.UTF-8 keeps collation byte-ordered (POSIX
+// semantics) while making paths UTF-8-capable.
+Test / envVars += ("LANG" -> "C.UTF-8")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -203,9 +203,11 @@ object PlotSink {
       // least(null, 11) = 11 would silently route every null row
       // into the TOP bucket, inflating the last bar (ADVICE r10).
       val obs = df.filter(col(c).isNotNull)
+      // back-quoted: the per-complex frame's column names are Korean
+      // (e.g. 총세대수), invalid as unquoted SQL identifiers
       val stats = obs.agg(
         min(col(c)).cast("double").as("mn"),
-        expr(s"percentile($c, array(0.25, 0.5, 0.75))").as("qs"),
+        expr(s"percentile(`$c`, array(0.25, 0.5, 0.75))").as("qs"),
         max(col(c)).cast("double").as("mx")).head()
       require(!stats.isNullAt(0),
         s"plotColumns: column '$c' has no non-null values — nothing " +

@@ -241,6 +241,78 @@ class ParkingSpec extends SparkTestBase {
     assert(back.count() == 150)
   }
 
+  test("s5 sweep on the real per-complex frame: the reference's 15-PNG " +
+    "변수별_분포그림 artifact set, 090-band absence included") {
+    import graft.sources.PlotSink
+    // tr_uniq_df at the plotting point (R:363 follows the R:272 area
+    // join and the R:315 band join; rents join later) = perComplex +
+    // totalArea + areaBandPivot, transit NAs still in place — hist()
+    // drops NAs, which plotColumns now mirrors (ADVICE r10)
+    val uniq = perComplex(train)
+      .join(totalArea(train), Seq("단지코드"))
+      .join(areaBandPivot(train), Seq("단지코드"))
+      .cache()
+    // cols_num (R:328–334): numeric columns minus the label
+    // 등록차량수; the reference's DATA-DRIVEN pivot has no 090 column
+    // at all, so its artifact dir holds exactly these 15 PNGs
+    val refCols = Seq("총세대수", "공가수", "지하철역수", "버스정류장수",
+      "단지내주차면수") ++
+      Seq(10, 20, 30, 40, 50, 60, 70, 80, 100)
+        .map(b => f"전용면적_$b%03d") ++ Seq("총면적")
+    assert(refCols.size == 15)
+    val refPngs = new java.io.File("/root/reference/변수별_분포그림")
+      .listFiles().map(_.getName).toSet
+    assert(refPngs == refCols.map(c => s"training_$c.png").toSet,
+      s"reference artifact set drifted: $refPngs")
+    assert(!refPngs.contains("training_전용면적_090.png"))
+    // the sweep: one histogram + one boxplot PNG per reference column
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_parking_plots").toString
+    val paths = PlotSink.plotColumns(spark, uniq, refCols, dir)
+    assert(paths.size == 30)
+    assert(paths.forall(p => new java.io.File(p).length > 0))
+    // decode-back geometry on one column (the SourcesSessionSpec
+    // gate, here on the real frame): 총세대수 boxplot feature x's
+    val st = uniq.agg(
+      min(col("총세대수")).cast("double"),
+      expr("percentile(`총세대수`, array(0.25, 0.5, 0.75))"),
+      max(col("총세대수")).cast("double")).head()
+    val (mn, mx) = (st.getDouble(0), st.getDouble(2))
+    val qs = st.getSeq[Double](1)
+    def px(v: Double): Int = PlotSink.Margin +
+      math.floor((v - mn) / (mx - mn) * (PlotSink.TrackW - 1) + 0.5).toInt
+    val (boxCols, med) = PlotSink.measureBox(s"$dir/총세대수_box.png")
+    assert(med == px(qs(1)), s"median tick at $med, expected ${px(qs(1))}")
+    assert(boxCols.contains(px(qs(0))) && boxCols.contains(px(qs(2))))
+    // transit NAs really were dropped, not bucketed: the subway
+    // histogram's bars sum to the 423 − 211 observed complexes
+    val subwayNulls = uniq.filter(col("지하철역수").isNull).count()
+    assert(subwayNulls > 0, "fixture drift: expected transit NAs")
+    val subwayBars = PlotSink.measureBars(s"$dir/지하철역수_hist.png", 12)
+    val sObs = uniq.filter(col("지하철역수").isNotNull)
+    val sSt = sObs.agg(min(col("지하철역수")).cast("double"),
+      max(col("지하철역수")).cast("double")).head()
+    val (smn, smx) = (sSt.getDouble(0), sSt.getDouble(1))
+    val sspan = if (smx > smn) smx - smn else 1.0
+    val expBars = sObs.groupBy(
+        least(floor((col("지하철역수") - smn) / sspan * 12), lit(11))
+          .cast("int").as("b"))
+      .count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sMaxN = expBars.values.max
+    assert(subwayBars ==
+      expBars.map { case (b, n) => b -> PlotSink.barPx(n, sMaxN) },
+      "decoded subway bars must equal the null-dropped histogram")
+    // our PINNED schema keeps 090 as an all-zero column — the same
+    // absence the reference renders by having no PNG: all mass in
+    // bucket 0, one full-height bar, every other slot empty
+    val p090 = PlotSink.plotColumns(spark, uniq, Seq("전용면적_090"), dir)
+    assert(p090.size == 2)
+    val bars090 = PlotSink.measureBars(s"$dir/전용면적_090_hist.png", 12)
+    assert(bars090 == Map(0 -> PlotSink.BarH),
+      s"090 band must render as the degenerate all-zero bar: $bars090")
+    uniq.unpersist()
+  }
+
   test("stratified split is key-derived ~80/20, disjoint, no sort") {
     val feats = featureTable(spark, trainCsv)
     val (tr, te) = stratifiedSplit(feats)
