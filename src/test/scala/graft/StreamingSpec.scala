@@ -357,6 +357,134 @@ class StreamingSpec extends SparkTestBase {
     val total = sessions.agg(sum("n_events")).head().getLong(0)
     assert(total == Tables.events(spark, sfSmoke).count())
   }
+  // ——— crash injection (VERDICT r10 §6): a REAL StreamingQuery dies
+  // between the sink write and the checkpoint commit, then restarts
+  // from the checkpoint. This is the hard case the direct-replay
+  // tests above can't reach: the torn first attempt is VISIBLE in
+  // the store when the replay arrives.
+
+  test("crash injection, IdempotentSink: a torn partial write is " +
+      "overwritten by the checkpoint replay") {
+    import org.apache.spark.sql.{Dataset, Row}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_crash_sink").toString
+    val (outDir, ckpt) = (s"$base/out", s"$base/ckpt")
+    val src = Tables.eventsStream(spark, sfSmoke)
+      .select("event_id", "user_id", "event_type")
+    val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // first attempt: HALF the batch lands, then the job dies before
+    // foreachBatch returns — so the checkpoint never commits batch 0
+    val q1 = src.writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        if (injected.compareAndSet(false, true)) {
+          IdempotentSink.writeBatch(b.limit(10), id, outDir)
+          throw new RuntimeException("injected crash after partial write")
+        }
+        IdempotentSink.writeBatch(b, id, outDir)
+      }.start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    // the torn attempt is really on disk — the failure mode is live
+    assert(IdempotentSink.readOutput(spark, outDir).count() == 10,
+      "fixture: the partial write must be visible before restart")
+    // restart from the same checkpoint: batch 0 replays (same id,
+    // same data) and its id-keyed overwrite absorbs the torn attempt
+    val q2 = src.writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        IdempotentSink.writeBatch(b, id, outDir)
+      }.start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = IdempotentSink.readOutput(spark, outDir)
+    val expected = Tables.events(spark, sfSmoke).count()
+    assert(out.count() == expected)
+    assert(out.select(countDistinct("event_id")).head().getLong(0)
+      == expected)
+  }
+
+  test("crash injection, MvStream: state committed but checkpoint " +
+      "lost — the replayed batch must not double-fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.{Dataset, Row}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_crash_mv").toString
+    val (root, ckpt, feedDir) =
+      (s"$base/state", s"$base/ckpt", s"$base/feed")
+    val v0 = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("id", "seg", "bal")
+    val cdf = SnapshotStore.cdfChanges(v0.filter(lit(false)), v0, "id")
+    cdf.write.parquet(feedDir)
+    val feed = spark.readStream.schema(cdf.schema).parquet(feedDir)
+    // crash AFTER the real fold committed the state table — the
+    // OTHER side of the IdempotentSink window: state is durable,
+    // the checkpoint offset commit is not
+    val q1 = feed.writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        MvStream.foldBatch(b, id, root, "seg", "bal")
+        throw new RuntimeException("injected crash after state commit")
+      }.start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    assert(MvStream.appliedBatch(spark, root) == 0L,
+      "fixture: the fold must have committed before the crash")
+    val commitsBefore = SnapshotStore.snapshots(spark, root).size
+    // restart: batch 0 replays into the production start() wiring;
+    // the applied_batch guard must skip it WITHOUT a new state commit
+    val q2 = MvStream.start(feed, root, ckpt, "seg", "bal")
+    try q2.processAllAvailable() finally q2.stop()
+    val view = MvStream.readView(spark, root).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(view == Set(("a", 2L, 30.0), ("b", 1L, 30.0)),
+      s"replay double-folded: $view")
+    assert(SnapshotStore.snapshots(spark, root).size == commitsBefore,
+      "replay must be metadata-only — no new state commit")
+  }
+
+  test("crash injection, JoinMvStream: view committed but checkpoint " +
+      "lost — replay skips without re-folding or re-patching the dim") {
+    import org.apache.spark.sql.{Dataset, Row}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_crash_jmv").toString
+    val (viewRoot, dimRoot, ckpt, feedDir) =
+      (s"$base/view", s"$base/dim", s"$base/ckpt", s"$base/feed")
+    val sf = "/root/testdata/sf0.001"
+    val a0 = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val b0 = Tables.customer(spark, sf)
+      .select("c_custkey", "c_mktsegment")
+    val load = JoinMvStream.tagDim(
+        SnapshotStore.keyedChanges(b0.filter(lit(false)), b0, "c_custkey"))
+      .unionByName(JoinMvStream.tagFact(
+        SnapshotStore.keyedChanges(a0.filter(lit(false)), a0,
+          "o_orderkey")))
+    load.write.parquet(feedDir)
+    val feed = spark.readStream.schema(load.schema).parquet(feedDir)
+    val q1 = feed.writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        JoinMvStream.foldBatch(b, id, viewRoot, dimRoot)
+        throw new RuntimeException("injected crash after view commit")
+      }.start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    assert(JoinMvStream.appliedBatch(spark, viewRoot) == 0L)
+    val viewCommits = SnapshotStore.snapshots(spark, viewRoot).size
+    val dimCommits = SnapshotStore.snapshots(spark, dimRoot).size
+    val q2 = JoinMvStream.start(feed, viewRoot, dimRoot, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    // the view equals the cold-start join, exactly once
+    val expect = a0.join(b0,
+      a0("o_custkey") === b0("c_custkey")).count()
+    assert(JoinMvStream.readView(spark, viewRoot).count() == expect)
+    assert(SnapshotStore.snapshots(spark, viewRoot).size == viewCommits
+      && SnapshotStore.snapshots(spark, dimRoot).size == dimCommits,
+      "replay must be metadata-only on both the view and the mirror")
+  }
+
   test("streaming drift monitor: one-batch PSI verdict == batch x28") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_drift").toString
