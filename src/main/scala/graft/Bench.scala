@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
   * the given scale factor and emit one JSON line of per-query wall
   * times plus the total.
   *
-  * A 190-query one-JVM bench is NOT the production shape (one
+  * A 200+-query one-JVM bench is NOT the production shape (one
   * pipeline per job is) — so between queries the harness actively
   * scrubs cross-query session state that a long session otherwise
   * accumulates: catalog-cached relations, forgotten RDD persists,

@@ -13,9 +13,10 @@ import graft.Tables
   * possible segmentation against per-piece log-probabilities and
   * keeps the best — a Viterbi dynamic program per word (Kudo 2018,
   * §3; SentencePiece's inference path). This ships the INFERENCE
-  * kernel — the part a 100 TB pipeline runs on every document; a
-  * vocabulary fit (EM over the same DP) is driver-local over the
-  * bounded vocab like the BPE trainer and out of scope here.
+  * kernel (x50) — the part a 100 TB pipeline runs on every document —
+  * AND the vocabulary fit (x51, [[learn]]): Viterbi-EM driver-local
+  * over the bounded corpus vocab like the BPE trainer, value-gated by
+  * the planted [[x51bUnigramFitGate]].
   *
   * Scale shape — identical to x23: one embarrassingly-parallel
   * mapPartitions over documents, zero shuffle before the per-shard
