@@ -508,28 +508,31 @@ class DedupSimSpec extends SparkTestBase {
     }
   }
 
-  test("x49 organic-ceiling premise holds at this SF: max organic " +
-    "corpus-benchmark cosine stays well under the 0.9 threshold") {
+  test("x49 organic-ceiling premise holds at the GATED SFs: max " +
+    "organic corpus-benchmark cosine stays well under the threshold") {
     // Re-establishes the SF-BOUNDED premise the x49 closed-form
     // oracle rests on (ADVICE r10): without the plant, no organic
-    // corpus-benchmark pair approaches the flag threshold. If the
-    // corpus family or SF ever pushes an organic pair past ~0.49,
-    // this fails BEFORE the oracle silently would.
+    // corpus-benchmark pair approaches the flag threshold. Measured
+    // at BOTH scale factors the driver gates (sf0.01 and sf0.1 —
+    // where the oracle actually runs), so premise drift fails here
+    // before the oracle silently would.
     import graft.functions.GraftFunctions
     GraftFunctions.register(spark)
-    val emb = Tables.embeddings(spark, sfSmoke)
-      .select("vec_id", "embedding")
-    val bench = emb.filter(col("vec_id") % 50 === 0)
-    val organicMax = emb.filter(col("vec_id") % 50 =!= 0)
-      .select(col("embedding").as("c_embedding"))
-      .crossJoin(broadcast(bench.select(
-        col("embedding").as("b_embedding"))))
-      .agg(max(GraftFunctions
-        .floatCosine("c_embedding", "b_embedding")).as("mx"))
-      .head().getDouble(0)
-    assert(organicMax < 0.6,
-      f"organic ceiling drifted to $organicMax%.4f — the x49 " +
-        "closed-form premise no longer holds at this SF")
+    Seq(sfTest, "/root/testdata/sf0.1").foreach { dir =>
+      val emb = Tables.embeddings(spark, dir)
+        .select("vec_id", "embedding")
+      val bench = emb.filter(col("vec_id") % 50 === 0)
+      val organicMax = emb.filter(col("vec_id") % 50 =!= 0)
+        .select(col("embedding").as("c_embedding"))
+        .crossJoin(broadcast(bench.select(
+          col("embedding").as("b_embedding"))))
+        .agg(max(GraftFunctions
+          .floatCosine("c_embedding", "b_embedding")).as("mx"))
+        .head().getDouble(0)
+      assert(organicMax < 0.6,
+        f"organic ceiling drifted to $organicMax%.4f at $dir — the " +
+          "x49 closed-form premise no longer holds there")
+    }
   }
 
   test("n4b flat-PQ planted gate: every copy's top-1 is its source " +

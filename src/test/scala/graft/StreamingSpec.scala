@@ -485,6 +485,42 @@ class StreamingSpec extends SparkTestBase {
       "replay must be metadata-only on both the view and the mirror")
   }
 
+  test("crash injection, HeavyHitterStream: MG state committed but " +
+      "checkpoint lost — the replayed fold must no-op") {
+    import org.apache.spark.sql.{Dataset, Row}
+    import graft.streaming.HeavyHitterStream
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_crash_hh").toString
+    val (root, ckpt) = (s"$base/state", s"$base/ckpt")
+    val src = Tables.documentsStream(spark, sfSmoke)
+    val q1 = src.writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        HeavyHitterStream.applyBatch(spark, b.toDF(), id, root, 64)
+        throw new RuntimeException("injected crash after state commit")
+      }.start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    val committed = SnapshotStore.read(spark, root)
+      .select("token", "count_lb").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(committed.nonEmpty,
+      "fixture: the fold must have committed before the crash")
+    val commitsBefore = SnapshotStore.snapshots(spark, root).size
+    // restart on the production wiring: batch 0 replays, the
+    // applied_batch watermark must make the NON-idempotent MG fold
+    // (prior + batch would double every count) a metadata-only skip
+    val q2 = HeavyHitterStream.start(spark, sfSmoke, root, ckpt, 64)
+    try q2.processAllAvailable() finally q2.stop()
+    val after = SnapshotStore.read(spark, root)
+      .select("token", "count_lb").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after == committed, "replay double-folded the MG summary")
+    assert(SnapshotStore.snapshots(spark, root).size == commitsBefore,
+      "replay must be metadata-only — no new state commit")
+  }
+
   test("streaming drift monitor: one-batch PSI verdict == batch x28") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_drift").toString
