@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.dedup.Dedup
 import graft.ml.{KnnImpute, MiceImpute, Models}
 import graft.multimodal.Multimodal
-import graft.ops.{Aggregates, BloomJoin, Expectations, Joins, Ordering,
-  PageRank, Relational, Reshape, SkewJoin, Sketches, SqlSurface,
-  TemporalJoins}
+import graft.ops.{Aggregates, BloomJoin, Expectations, Joins,
+  KmvSketch, Ordering, PageRank, Relational, Reshape, SkewJoin,
+  Sketches, SqlSurface, TemporalJoins}
 import graft.plans.TopK
 import graft.sim.{HybridRetrieval, MmrRerank, Similarity}
 import graft.sources.{BloomSkip, Bucketing, CsvIO, EncodingSniff,
@@ -46,7 +46,8 @@ object SparkEntry {
       CurationPipeline.queries ++ Chunking.queries ++
       HybridRetrieval.queries ++ KnnImpute.queries ++ MmrRerank.queries ++
       MiceImpute.queries ++ CsvIO.queries ++ PlotSink.queries ++
-      EncodingSniff.queries ++ UnigramTokenizer.queries
+      EncodingSniff.queries ++ UnigramTokenizer.queries ++
+      KmvSketch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -65,5 +66,6 @@ object SparkEntry {
       CurationPipeline.oracle ++ Chunking.oracle ++
       HybridRetrieval.oracle ++ KnnImpute.oracle ++ MmrRerank.oracle ++
       MiceImpute.oracle ++ CsvIO.oracle ++ PlotSink.oracle ++
-      EncodingSniff.oracle ++ UnigramTokenizer.oracle
+      EncodingSniff.oracle ++ UnigramTokenizer.oracle ++
+      KmvSketch.oracle
 }

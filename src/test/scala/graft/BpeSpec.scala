@@ -60,6 +60,26 @@ class BpeSpec extends SparkTestBase {
     corpus.foreach { case (w, _) =>
       assert(UnigramTokenizer.segment(w, vocab).nonEmpty)
     }
+    // the x51b closed form, pinned at the UNIT level (the oracle
+    // gates engine parity; this pins the DERIVATION): a corpus of
+    // distinct 4-char words at seed frequency — including a shared
+    // 3-char substring ('the' in them/then, which seeds and must
+    // prune unused — the adversarial case) — fixes at logp(word) =
+    // ln(f/F) with every char at the unused ln(0.5/F) floor
+    val planted = Seq(("them", 50L), ("then", 30L), ("wing", 20L))
+    val fitP = UnigramTokenizer.learn(planted).toMap
+    val fTot = 100.0
+    planted.foreach { case (w, f) =>
+      assert(math.abs(fitP(w) - math.log(f / fTot)) < 1e-12,
+        s"$w: ${fitP(w)} vs ${math.log(f / fTot)}")
+    }
+    val plantedChars = planted.flatMap(_._1.toSeq).map(_.toString).distinct
+    plantedChars.foreach { c =>
+      assert(math.abs(fitP(c) - math.log(0.5 / fTot)) < 1e-12, c)
+    }
+    assert(fitP.size == planted.size + plantedChars.size,
+      s"unexpected survivors: ${fitP.keys.toSeq.sorted}")
+
     // the targetSize contract is a HARD cap on multi-char pieces
     // (final-round prune, ADVICE r10) — even a cap far below the
     // candidate count is honored, and chars still never prune

@@ -105,6 +105,63 @@ class SketchesSpec extends SparkTestBase {
       g.getDouble(6) <= g.getDouble(7))
   }
 
+  test("x52: KMV overlap estimates inside the 1/sqrt(k) envelope of " +
+    "exact, in the TRUE sketch regime, deterministically") {
+    import graft.ops.KmvSketch
+    // sf0.1: 1500 distinct users >> k=256 — every sketch is full, so
+    // this exercises the ESTIMATOR, not the under-full exact path
+    val dir = "/root/testdata/sf0.1"
+    val out = KmvSketch.x52AudienceOverlap(spark, dir).collect()
+    assert(out.length == 10, "5 event types -> 10 unordered pairs")
+    // exact truths per pair via plain distinct SQL
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select("event_type", "user_id").distinct().cache()
+    def exact(t: String): Set[Long] = ev
+      .filter(col("event_type") === t)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    val sets = out.flatMap(r => Seq(r.getString(0), r.getString(1)))
+      .distinct.map(t => t -> exact(t)).toMap
+    // 1/sqrt(k-2) ~ 6.3%; allow 4 sigma on cardinalities, and a
+    // looser bound on the intersection (two estimation stages)
+    val tol = 4.0 / math.sqrt(KmvSketch.K - 2.0)
+    out.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val (a, b) = (sets(ta), sets(tb))
+      def rel(est: Double, t: Long): Double =
+        math.abs(est - t) / math.max(t, 1L)
+      assert(rel(r.getDouble(2), a.size) < tol, s"$ta d_a ${r.getDouble(2)} vs ${a.size}")
+      assert(rel(r.getDouble(3), b.size) < tol, s"$tb d_b ${r.getDouble(3)} vs ${b.size}")
+      assert(rel(r.getDouble(4), (a ++ b).size) < tol,
+        s"$ta|$tb union ${r.getDouble(4)} vs ${(a ++ b).size}")
+      assert(rel(r.getDouble(5), (a & b).size) < 2 * tol,
+        s"$ta&$tb intersect ${r.getDouble(5)} vs ${(a & b).size}")
+    }
+    ev.unpersist()
+    // deterministic: bit-identical on re-evaluation
+    val again = KmvSketch.x52AudienceOverlap(spark, dir).collect()
+    assert(out.map(_.toString).sorted.sameElements(
+      again.map(_.toString).sorted))
+  }
+
+  test("x52 kmv aggregator: trim soundness — bottom-k survives any " +
+    "insertion order and partition split") {
+    import graft.ops.KmvSketch
+    val k = 8
+    val agg = KmvSketch.kmvAgg(k)
+    val vals = (1L to 100L).map(v => v * 7919L % 1000L).distinct
+    val expect = vals.sorted.take(k)
+    // one pass, adversarial descending order (max trims churn)
+    val b1 = vals.sortBy(-_).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(b1) == expect)
+    // split across "partitions" and merge in the other order
+    val (l, r) = vals.splitAt(vals.size / 3)
+    val m = agg.merge(
+      r.foldLeft(agg.zero)(agg.reduce),
+      l.foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(m) == expect)
+  }
+
   test("x18: shard doc counts partition the corpus; shape is stable") {
     val dir = sfTest
     val rows = Sketches.x18SketchRollup(spark, dir)
