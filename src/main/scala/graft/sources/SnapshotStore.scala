@@ -1568,6 +1568,124 @@ object SnapshotStore {
         sum(col("o_orderkey")).cast("bigint").as("sum_keys"))
   }
 
+  /** NDV-bearing manifest commit: the s28 5-field stats line plus a
+    * 6th field carrying the file's bottom-k distinct-hash sketch of
+    * `statsCol` (the x52 KMV, comma-joined — ~2 KiB per file at
+    * k=256), the Iceberg-puffin/theta pattern. What row counts can't
+    * answer and NDV can: JOIN OUTPUT cardinality — the CBO uniform
+    * rule |A⋈B| ≈ nA·nB / max(ndv_A, ndv_B) needs per-column
+    * distinct counts, and at 100 TB the only affordable way to have
+    * them at plan time is mergeable per-file sketches persisted at
+    * WRITE time (bottom-k-of-union over manifest lines — no data
+    * file ever reopened; exact-count ANALYZE is another full scan).
+    * The hash is the x52 AVALANCHE hash (xxhash64 — the estimator
+    * needs uniformity on the full domain; the Knuth mix maps
+    * small/sequential key sets into a prefix and overestimates, the
+    * x52 lesson). Under-full sketches retain every distinct hash, so
+    * their size is the exact distinct count modulo hash collisions —
+    * and on the FIXED 199-cohort gate domain collision-freeness is a
+    * deterministic, SF-independent fact the s34 oracle's hash match
+    * verifies once and forever (a collision would read 198 vs the
+    * oracle's COUNT(DISTINCT) 199 at every run). */
+  def commitWithNdv(df: DataFrame, root: String, statsCol: String,
+      maxRetries: Int = 10): Long = {
+    val (s, files) = writeSnapshotData(df, root)
+    commitManifest(s, root, ndvLinesFor(s, files, statsCol),
+      maxRetries)
+  }
+
+  private def ndvLinesFor(s: SparkSession, files: Seq[String],
+      statsCol: String): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    import graft.ops.KmvSketch
+    val byFile = s.read.parquet(files: _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(statsCol)).cast("string").as("mn"),
+        max(col(statsCol)).cast("string").as("mx"),
+        count(lit(1)).as("cnt"),
+        KmvSketch.kmv(KmvSketch.K)(
+          KmvSketch.avalancheExpr(col(statsCol))).as("sk"))
+      .collect()
+      .map(r => (new Path(r.getString(0)).toUri.getPath,
+        (Option(r.getString(1)).getOrElse(""),
+          Option(r.getString(2)).getOrElse(""), r.getLong(3),
+          r.getSeq[Long](4).mkString(","))))
+      .toMap
+    files.map { p =>
+      val (mn, mx, cnt, sk) = byFile
+        .getOrElse(new Path(p).toUri.getPath, ("", "", 0L, ""))
+      s"$p\t$statsCol\t$mn\t$mx\t$cnt\t$sk"
+    }
+  }
+
+  /** (row count, NDV estimate) for `statsCol` from the MANIFEST
+    * alone — per-file sketches merged by bottom-k-of-union, zero
+    * data files opened (NdvStatsSpec pins that by answering after
+    * the data files are deleted). Under-full merged sketch ⇒ the
+    * estimate is the exact distinct count. */
+  def ndvQuery(s: SparkSession, root: String, statsCol: String,
+      id: Option[Long] = None): (Long, Double) = {
+    import graft.ops.KmvSketch
+    val parsed = manifestLines(s, root, id)
+      .map(_.split("\t", -1)).filter(a => !MetaMarkers(a.head))
+    val perFile = parsed.map {
+      case a if a.length >= 6 && a(1) == statsCol =>
+        (a(4).toLong,
+          if (a(5).isEmpty) Seq.empty[Long]
+          else a(5).split(',').map(_.toLong).toSeq)
+      case a => throw new IllegalStateException(
+        s"ndvQuery needs a commitWithNdv($statsCol) manifest; " +
+          s"file ${a(0)} lacks a sketch field")
+    }
+    val merged = perFile.map(_._2)
+      .foldLeft(Seq.empty[Long])(KmvSketch.unionSketch(_, _, KmvSketch.K))
+    (perFile.map(_._1).sum, KmvSketch.distinctEst(merged, KmvSketch.K))
+  }
+
+  /** S34 — NDV-STATS JOIN CARDINALITY estimation: the planning
+    * decision s31's row counts cannot make. Both join sides commit
+    * through [[commitWithNdv]] on a 199-cohort join key (bounded
+    * under the sketch's k ⇒ every NDV is exact — the x52b
+    * discipline); the CBO uniform-key estimate nA·nB/max(dA,dB)
+    * computes from MANIFEST METADATA ONLY, and the row carries the
+    * true join cardinality beside it (computed as
+    * aggregate-then-multiply — Σ_key nA(key)·nB(key) — never
+    * materializing the joined rows). At 100 TB the estimate is what
+    * an engine consults to refuse/replan an exploding join BEFORE
+    * shuffling a fact table; the truth column is this gate's
+    * verification, not part of the production read. */
+  def s34NdvJoinEstimate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val base = new Path(
+      sys.props("java.io.tmpdir"),
+      s"graft_s34${tag}_${s.sparkContext.applicationId}").toString
+    Scratch.fresh(s, new Path(base))
+    val custRoot = s"$base/customer"
+    val ordRoot = s"$base/orders"
+    commitWithNdv(graft.Tables.customer(s, dir)
+      .select(pmod(col("c_custkey"), lit(NdvGateCohorts)).as("key")),
+      custRoot, "key")
+    commitWithNdv(graft.Tables.orders(s, dir)
+      .select(pmod(col("o_custkey"), lit(NdvGateCohorts)).as("key")),
+      ordRoot, "key")
+    val (nA, dA) = ndvQuery(s, custRoot, "key")
+    val (nB, dB) = ndvQuery(s, ordRoot, "key")
+    val est = nA.toDouble * nB / math.max(dA, dB)
+    val trueRows = read(s, custRoot).groupBy("key")
+      .agg(count(lit(1)).as("na"))
+      .join(read(s, ordRoot).groupBy("key")
+        .agg(count(lit(1)).as("nb")), "key")
+      .agg(sum(col("na") * col("nb"))).head().getLong(0)
+    Seq((nA, nB, dA.toLong, dB.toLong,
+      math.floor(est * 1e4 + 0.5) / 1e4, trueRows))
+      .toDF("n_a", "n_b", "ndv_a", "ndv_b",
+        "est_join_rows", "true_join_rows")
+  }
+
+  private[sources] val NdvGateCohorts = 199L
+
   /** S29 — WRITE-AUDIT-PUBLISH end-to-end: the composition the s26
     * branches + s16 expectations surfaces exist FOR (the Iceberg WAP
     * idiom). Each ingest cycle stages its batch on a fork of `main`,
@@ -1831,7 +1949,8 @@ object SnapshotStore {
     "s29_wap" -> s29Wap,
     "s31_stats_join" -> s31StatsJoin,
     "s32_optimize_zorder" -> s32OptimizeZorder,
-    "s33_shallow_clone" -> s33ShallowClone)
+    "s33_shallow_clone" -> s33ShallowClone,
+    "s34_ndv_join_estimate" -> s34NdvJoinEstimate)
 
   val oracle: Map[String, String] = Map(
     // src must be byte-unchanged by the clone's append; the clone =
@@ -1864,6 +1983,31 @@ object SnapshotStore {
            cast(sum(o_orderkey) AS bigint) AS sum_keys
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
+    // the s34 closed form: bounded cohort domain (199 < k) with an
+    // injective hash makes every sketch NDV the exact distinct
+    // count; the estimate replays the CBO uniform rule in the same
+    // IEEE ops, the truth column the aggregate-then-multiply sum
+    "s34_ndv_join_estimate" ->
+      s"""WITH a AS (SELECT c_custkey % $NdvGateCohorts AS key
+             FROM customer),
+           b AS (SELECT o_custkey % $NdvGateCohorts AS key
+             FROM orders),
+           sa AS (SELECT cast(count(*) AS bigint) AS n,
+             cast(count(DISTINCT key) AS bigint) AS d FROM a),
+           sb AS (SELECT cast(count(*) AS bigint) AS n,
+             cast(count(DISTINCT key) AS bigint) AS d FROM b),
+           tj AS (SELECT cast(sum(ca.n * cb.n) AS bigint) AS t FROM
+             (SELECT key, cast(count(*) AS bigint) AS n FROM a
+              GROUP BY 1) ca
+             JOIN
+             (SELECT key, cast(count(*) AS bigint) AS n FROM b
+              GROUP BY 1) cb USING (key))
+         SELECT sa.n AS n_a, sb.n AS n_b, sa.d AS ndv_a,
+           sb.d AS ndv_b,
+           floor(cast(sa.n AS double) * sb.n / greatest(sa.d, sb.d)
+             * 10000.0 + 0.5) / 10000.0 AS est_join_rows,
+           tj.t AS true_join_rows
+         FROM sa, sb, tj""",
     // main after both WAP cycles = base + the clean batch only: the
     // dirty batch (negated quantities) failed its audit and was never
     // published (quantities are integral-valued, so the bigint cast

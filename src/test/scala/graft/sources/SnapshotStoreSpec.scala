@@ -599,6 +599,43 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(answer()._2 == 1L && answer()._3 == 1000L)
   }
 
+  test("ndvQuery answers from metadata alone; exact under-full, " +
+    "enveloped in the sketch regime; plain manifests refused") {
+    import graft.ops.KmvSketch
+    // bounded domain (100 < k): NDV is exact, and survives deleting
+    // every data file — the statsQuery metadata-only proof
+    val root = freshRoot()
+    SnapshotStore.commitWithNdv(
+      spark.range(1, 1001L).select((col("id") % 100).as("key"))
+        .repartitionByRange(4, col("key")), root, "key")
+    def answer() = SnapshotStore.ndvQuery(spark, root, "key")
+    assert(answer() == ((1000L, 100.0)))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    SnapshotStore.manifestFiles(spark, root).foreach { p =>
+      assert(fs.delete(new org.apache.hadoop.fs.Path(p), false))
+    }
+    assert(answer() == ((1000L, 100.0)),
+      "NDV must come from the manifest, not a data scan")
+    // sketch regime (20k distinct >> k=256): estimate inside the
+    // 4-sigma 1/sqrt(k-2) envelope of the true distinct count
+    val big = freshRoot()
+    SnapshotStore.commitWithNdv(
+      spark.range(0, 20000L).select(col("id").as("key"))
+        .repartition(4), big, "key")
+    val (n, d) = SnapshotStore.ndvQuery(spark, big, "key")
+    assert(n == 20000L)
+    val tol = 4.0 / math.sqrt(KmvSketch.K - 2.0)
+    assert(math.abs(d - 20000.0) / 20000.0 < tol,
+      s"NDV estimate $d for 20000 distinct")
+    // a plain commit has no sketch field: loud, not silent
+    val plain = freshRoot()
+    SnapshotStore.commit(spark.range(0, 10L).select(col("id")), plain)
+    intercept[IllegalStateException] {
+      SnapshotStore.ndvQuery(spark, plain, "id")
+    }
+  }
+
   test("statsQuery refuses DV snapshots and plain manifests") {
     val root = freshRoot()
     SnapshotStore.commitWithStats(
