@@ -216,7 +216,44 @@ object EventStreams {
         col("e_user").as("user_id"))
   }
 
+  /** E6 — TIME-DECAYED trending counts (exponential decay, half-life
+    * = one day): the recency-weighted twin of a plain count, the
+    * primitive behind every "trending now" surface — yesterday's
+    * burst fades by ×½ per day instead of dominating forever.
+    * decayed(type) = Σ_days n(type, day) · 2^(day − max_day).
+    *
+    * Scale shape: ONE hash aggregate to (type, day) — bounded at
+    * |types| × |days| — then the decay fold over that tiny frame;
+    * the max-day scalar attaches via the repo's standard
+    * crossJoin(broadcast(agg)) pattern. The raw stream is touched
+    * once, like e1.
+    *
+    * Determinism across engines: the decay factor is λ = ½, so every
+    * weight is an EXACT power of two built by integer shift + exact
+    * IEEE division (never libm pow, whose last-ulp behavior is
+    * engine-specific), terms are count/2^e with a ≤ 45-bit joint
+    * span over the 30-day window — the double sum is exact in any
+    * order, so the oracle replays it verbatim. [[DecayedTrendStream]]
+    * is the incremental twin: state ← state·λ + batch, which unrolls
+    * to the identical sum with day = batch index. */
+  def e6DecayedTrend(s: SparkSession, dir: String): DataFrame = {
+    val perDay = Tables.events(s, dir)
+      .select(col("event_type"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"))
+    val mx = perDay.agg(max("day").as("max_day"))
+    perDay.crossJoin(broadcast(mx))
+      .select(col("event_type"), col("n"),
+        (col("n") /
+          expr("shiftleft(1L, cast(max_day - day AS int))")).as("w"))
+      .groupBy("event_type")
+      .agg(sum("n").cast("bigint").as("n_total"),
+        Det.r6(sum("w")).as("decayed_count"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e6_decayed_trend" -> e6DecayedTrend,
     "e1_stream_tumbling" -> e1StreamTumbling,
     "e2_stream_sliding" -> e2StreamSliding,
     "e3_stream_session" -> e3StreamSession,
@@ -225,6 +262,21 @@ object EventStreams {
     "e5_funnel" -> e5Funnel)
 
   val oracle: Map[String, String] = Map(
+    // exact power-of-two weights (integer shift + float division —
+    // both engines' `/` on that pair is IEEE division), exact sum
+    "e6_decayed_trend" ->
+      s"""WITH d AS (
+           SELECT event_type,
+             cast(floor(epoch_us(ts) / 86400000000) AS bigint) AS day,
+             cast(count(*) AS bigint) AS n
+           FROM events GROUP BY 1, 2),
+         m AS (SELECT max(day) AS max_day FROM d)
+         SELECT event_type,
+           cast(sum(n) AS bigint) AS n_total,
+           ${Det.sql(
+            "sum(n / (cast(1 AS bigint) << cast(max_day - day AS int)))",
+            6)} AS decayed_count
+         FROM d, m GROUP BY event_type""",
     "e1_stream_tumbling" ->
       s"""SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts))
            AS window_start_us,

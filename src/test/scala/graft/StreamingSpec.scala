@@ -521,6 +521,62 @@ class StreamingSpec extends SparkTestBase {
       "replay must be metadata-only — no new state commit")
   }
 
+  test("e6 decayed trend: stream fold == closed form bit-equal; " +
+      "replay skips; real query runs off a checkpoint") {
+    import spark.implicits._
+    import graft.streaming.DecayedTrendStream
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_trend").toString
+    val root = s"$base/state"
+    // planted 3-batch token stream, domain far under k -> EXACT fold
+    def tokens(ts: (String, Int)*) =
+      ts.flatMap { case (t, n) => Seq.fill(n)(t) }.toDF("token")
+    DecayedTrendStream.foldBatch(spark,
+      tokens("a" -> 4, "b" -> 2), 0L, root, 64)
+    DecayedTrendStream.foldBatch(spark,
+      tokens("a" -> 1, "c" -> 3), 1L, root, 64)
+    DecayedTrendStream.foldBatch(spark,
+      tokens("b" -> 2), 2L, root, 64)
+    def state(): Map[String, Double] = SnapshotStore.read(spark, root)
+      .select("token", "decayed").as[(String, Double)].collect().toMap
+    // closed form sum c_b * 0.5^(2-b): a = 4*.25 + 1*.5 = 1.5,
+    // b = 2*.25 + 2 = 2.5, c = 3*.5 = 1.5 — exact dyadic arithmetic,
+    // so equality is ==, not a tolerance
+    assert(state() == Map("a" -> 1.5, "b" -> 2.5, "c" -> 1.5))
+    // replay of an applied batch: metadata-only skip (a re-fold
+    // would BOTH decay and re-add — doubly non-idempotent)
+    val commits = SnapshotStore.snapshots(spark, root).size
+    DecayedTrendStream.foldBatch(spark,
+      tokens("a" -> 1, "c" -> 3), 1L, root, 64)
+    assert(state() == Map("a" -> 1.5, "b" -> 2.5, "c" -> 1.5))
+    assert(SnapshotStore.snapshots(spark, root).size == commits)
+    // the k-cap is decay-aware and deterministic: k=2 keeps the top
+    // two by weight (b 2.5, then a/c tie at 1.5 -> token asc)
+    def state2(r: String): Map[String, Double] =
+      SnapshotStore.read(spark, r)
+        .select("token", "decayed").as[(String, Double)].collect().toMap
+    val root2 = s"$base/state2"
+    DecayedTrendStream.foldBatch(spark,
+      tokens("a" -> 4, "b" -> 2), 0L, root2, 64)
+    DecayedTrendStream.foldBatch(spark,
+      tokens("a" -> 1, "c" -> 3), 1L, root2, 64)
+    DecayedTrendStream.foldBatch(spark,
+      tokens("b" -> 2), 2L, root2, 2)
+    assert(state2(root2) == Map("b" -> 2.5, "a" -> 1.5))
+    // a REAL streaming query drives the same fold off a checkpoint
+    val feedDir = s"$base/feed"
+    tokens("x" -> 3, "y" -> 1).write.parquet(feedDir)
+    val feed = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(feedDir)
+    val root3 = s"$base/state3"
+    val q = DecayedTrendStream.start(feed, root3, s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    assert(state2(root3) == Map("x" -> 3.0, "y" -> 1.0))
+  }
+
   test("streaming drift monitor: one-batch PSI verdict == batch x28") {
     val base = java.nio.file.Files
       .createTempDirectory("graft_drift").toString
