@@ -1686,6 +1686,128 @@ object SnapshotStore {
 
   private[sources] val NdvGateCohorts = 199L
 
+  // ——— table-level CHECK constraints (Delta `ALTER TABLE ADD
+  // CONSTRAINT` semantics) — the ALWAYS-ON write-boundary invariant,
+  // distinct from s16 Expectations (a dataset-level audit that
+  // quarantines) and s29 WAP (a per-batch branch audit): once
+  // declared, EVERY checked commit validates its incoming data and a
+  // violating batch is REJECTED WHOLE, the table untouched. SQL CHECK
+  // semantics: a row violates only when the predicate is FALSE —
+  // NULL passes (that is what NOT NULL is for). Constraints live as
+  // write-once marker files under `constraints/` (the branch-ref
+  // pattern: tmp + rename-if-absent, crash-safe, name = identity),
+  // so they survive restarts and engines, and reading them is one
+  // tiny listing — O(constraints), never O(data).
+
+  private def constraintDir(root: String) = new Path(root, "constraints")
+
+  /** Declare a named CHECK constraint. Delta semantics: the EXISTING
+    * table is scanned first and the declaration fails if current
+    * data already violates — a constraint must never be born
+    * broken. */
+  def addConstraint(s: SparkSession, root: String, name: String,
+      checkExpr: String): Unit = {
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"constraint name '$name' must be [A-Za-z0-9_]+")
+    if (snapshots(s, root).nonEmpty)
+      requireNoViolations(read(s, root), Map(name -> checkExpr))
+    val f = fs(s, root)
+    f.mkdirs(constraintDir(root))
+    val tmp = new Path(constraintDir(root), s".tmp-${UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(s"$checkExpr\n".getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (!renameIfAbsent(f, tmp, new Path(constraintDir(root), name))) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(s"constraint $name already exists")
+    }
+  }
+
+  /** The declared constraint set: name → CHECK expression. */
+  def constraintsOf(s: SparkSession, root: String): Map[String, String] = {
+    val f = fs(s, root)
+    if (!f.exists(constraintDir(root))) Map.empty
+    else f.listStatus(constraintDir(root)).iterator
+      .map(_.getPath)
+      .filterNot(_.getName.startsWith("."))
+      .map { p =>
+        val in = f.open(p)
+        try p.getName -> scala.io.Source
+          .fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      }.toMap
+  }
+
+  /** ONE aggregate pass counting violations of every constraint at
+    * once; throws with the full name → count map if any row fails
+    * (SQL CHECK: only FALSE violates, NULL passes). */
+  private def requireNoViolations(df: DataFrame,
+      cs: Map[String, String]): Unit = {
+    import org.apache.spark.sql.functions._
+    if (cs.isEmpty) return
+    val names = cs.keys.toSeq.sorted
+    val row = df.agg(
+      sum(lit(0L)).as("_z"),
+      names.map(n => sum(when(
+        coalesce(expr(cs(n)), lit(true)) === false, 1L)
+        .otherwise(0L)).as(n)): _*).head()
+    val bad = names.zipWithIndex.collect {
+      case (n, i) if !row.isNullAt(i + 1) && row.getLong(i + 1) > 0 =>
+        n -> row.getLong(i + 1)
+    }
+    if (bad.nonEmpty) throw new IllegalStateException(
+      "CHECK constraint violation, commit rejected: " +
+        bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
+  }
+
+  /** Append with the declared constraints enforced on the INCOMING
+    * batch (existing data was validated when each constraint was
+    * declared — the standing invariant makes re-scanning history
+    * unnecessary, which is what keeps the check O(batch) at 100 TB). */
+  def checkedAppend(df: DataFrame, root: String): Long = {
+    requireNoViolations(df, constraintsOf(df.sparkSession, root))
+    appendCommit(df, root)
+  }
+
+  /** S35 — the constraint lifecycle end-to-end (the s29 fixture
+    * shape): base = the clean `%3 = 0` lineitem slice; two
+    * constraints declared (a range CHECK and a domain CHECK); the
+    * clean `%3 = 1` batch passes the write boundary; the dirty
+    * `%3 = 2` batch (every quantity negated) is rejected WHOLE with
+    * the table untouched. The closed-form oracle (count / key-sum /
+    * integral quantity-sum over the `%3 ∈ {0,1}` rows, plus the
+    * constraint count and the rejection fact) breaks if the dirty
+    * batch leaks, the clean one is lost, OR a declaration silently
+    * fails. */
+  def s35CheckConstraints(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    val root = new Path(
+      sys.props("java.io.tmpdir"),
+      s"graft_s35${tag}_${s.sparkContext.applicationId}/t").toString
+    Scratch.fresh(s, new Path(root).getParent)
+    commit(li.filter(col("l_orderkey") % 3 === 0), root)
+    addConstraint(s, root, "qty_positive", "l_quantity > 0")
+    addConstraint(s, root, "flag_known",
+      "l_returnflag IN ('A', 'N', 'R')")
+    checkedAppend(li.filter(col("l_orderkey") % 3 === 1), root)
+    val rejected =
+      try {
+        checkedAppend(li.filter(col("l_orderkey") % 3 === 2)
+          .withColumn("l_quantity", -col("l_quantity")), root)
+        false
+      } catch { case _: IllegalStateException => true }
+    read(s, root).agg(
+      count(lit(1)).cast("bigint").as("n_rows"),
+      sum(col("l_orderkey")).cast("bigint").as("sum_keys"),
+      sum(col("l_quantity").cast("bigint")).cast("bigint").as("sum_qty"),
+      lit(constraintsOf(s, root).size).as("n_constraints"),
+      lit(rejected).as("dirty_rejected"))
+  }
+
   /** S29 — WRITE-AUDIT-PUBLISH end-to-end: the composition the s26
     * branches + s16 expectations surfaces exist FOR (the Iceberg WAP
     * idiom). Each ingest cycle stages its batch on a fork of `main`,
@@ -1950,7 +2072,8 @@ object SnapshotStore {
     "s31_stats_join" -> s31StatsJoin,
     "s32_optimize_zorder" -> s32OptimizeZorder,
     "s33_shallow_clone" -> s33ShallowClone,
-    "s34_ndv_join_estimate" -> s34NdvJoinEstimate)
+    "s34_ndv_join_estimate" -> s34NdvJoinEstimate,
+    "s35_check_constraints" -> s35CheckConstraints)
 
   val oracle: Map[String, String] = Map(
     // src must be byte-unchanged by the clone's append; the clone =
@@ -1983,6 +2106,16 @@ object SnapshotStore {
            cast(sum(o_orderkey) AS bigint) AS sum_keys
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment""",
+    // the s35 closed form: the %3∈{0,1} slices only — the dirty
+    // batch must have been rejected whole and the declarations must
+    // have stuck (quantities integral → exact bigint sum)
+    "s35_check_constraints" ->
+      """SELECT cast(count(*) AS bigint) AS n_rows,
+           cast(sum(l_orderkey) AS bigint) AS sum_keys,
+           cast(sum(cast(l_quantity AS bigint)) AS bigint) AS sum_qty,
+           cast(2 AS int) AS n_constraints,
+           true AS dirty_rejected
+         FROM lineitem WHERE l_orderkey % 3 IN (0, 1)""",
     // the s34 closed form: bounded cohort domain (199 < k) with an
     // injective hash makes every sketch NDV the exact distinct
     // count; the estimate replays the CBO uniform rule in the same

@@ -636,6 +636,40 @@ class SnapshotStoreSpec extends SparkTestBase {
     }
   }
 
+  test("CHECK constraints: born-broken declarations refused, NULL " +
+    "passes, violating batches rejected whole, names survive a scan") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.commit(
+      Seq((1L, 5.0), (2L, 10.0)).toDF("id", "qty"), root)
+    // a declaration the CURRENT data violates must fail (Delta
+    // semantics: a constraint is never born broken)...
+    intercept[IllegalStateException] {
+      SnapshotStore.addConstraint(spark, root, "qty_big", "qty > 7")
+    }
+    assert(SnapshotStore.constraintsOf(spark, root).isEmpty)
+    // ...a satisfiable one sticks, and duplicates are loud
+    SnapshotStore.addConstraint(spark, root, "qty_positive", "qty > 0")
+    intercept[IllegalStateException] {
+      SnapshotStore.addConstraint(spark, root, "qty_positive", "qty > 0")
+    }
+    // SQL CHECK semantics: NULL passes (that is what NOT NULL is for)
+    SnapshotStore.checkedAppend(
+      Seq((3L, Option.empty[Double])).toDF("id", "qty"), root)
+    assert(SnapshotStore.read(spark, root).count() == 3)
+    // a violating batch is rejected WHOLE — including its clean rows
+    val e = intercept[IllegalStateException] {
+      SnapshotStore.checkedAppend(
+        Seq((4L, 2.0), (5L, -1.0)).toDF("id", "qty"), root)
+    }
+    assert(e.getMessage.contains("qty_positive (1 rows)"))
+    assert(SnapshotStore.read(spark, root).count() == 3,
+      "a rejected batch must leave the table untouched")
+    // the declaration is durable store state, not session state
+    assert(SnapshotStore.constraintsOf(spark, root)
+      == Map("qty_positive" -> "qty > 0"))
+  }
+
   test("statsQuery refuses DV snapshots and plain manifests") {
     val root = freshRoot()
     SnapshotStore.commitWithStats(
