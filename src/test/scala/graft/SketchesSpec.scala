@@ -144,6 +144,25 @@ class SketchesSpec extends SparkTestBase {
       again.map(_.toString).sorted))
   }
 
+  test("x52 plan shape: partial sketch aggregation runs map-side, " +
+    "shuffle carries k-entry buffers not raw hashes") {
+    import graft.ops.KmvSketch
+    val df = Tables.events(spark, sfSmoke)
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        pmod(xxhash64(col("user_id")), lit(1L << 31)).as("h"))
+      .groupBy("event_type")
+      .agg(KmvSketch.kmv(KmvSketch.K)(col("h")).as("sk"))
+    val plan = df.queryExecution.executedPlan.toString
+    // typed-Aggregator path: ObjectHashAggregate with a PARTIAL stage
+    // before the exchange — the per-partition bottom-k is what makes
+    // the shuffle O(k per partition per group) instead of O(rows)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregate stages:\n$plan")
+    assert(plan.contains("Exchange"), plan)
+  }
+
   test("x52 kmv aggregator: trim soundness — bottom-k survives any " +
     "insertion order and partition split") {
     import graft.ops.KmvSketch

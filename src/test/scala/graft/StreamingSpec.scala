@@ -521,6 +521,19 @@ class StreamingSpec extends SparkTestBase {
       "replay must be metadata-only — no new state commit")
   }
 
+  test("e6 plan shape: broadcast scalar attach, no cartesian, " +
+      "decay fold over the bounded frame") {
+    val df = EventStreams.e6DecayedTrend(spark, sfSmoke)
+    val plan = df.queryExecution.executedPlan.toString
+    // the max-day scalar attaches as a broadcast nested-loop over a
+    // 1-row side, never a real cartesian of the data
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // both aggregations are hash aggregates with partials
+    assert("HashAggregate".r.findAllIn(plan).size >= 4,
+      s"expected partial+final stages for both aggregates:\n$plan")
+  }
+
   test("e6 decayed trend: stream fold == closed form bit-equal; " +
       "replay skips; real query runs off a checkpoint") {
     import spark.implicits._
