@@ -521,6 +521,44 @@ class StreamingSpec extends SparkTestBase {
       "replay must be metadata-only — no new state commit")
   }
 
+  test("KMV stream: multi-batch fold == one-shot sketch; overlaps " +
+      "serve off state == batch x52; replay is metadata-only") {
+    import graft.streaming.KmvStream
+    import graft.ops.KmvSketch
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_kmvstream").toString
+    val root = s"$base/state"
+    val ev = Tables.events(spark, sfSmoke)
+      .select("event_type", "user_id")
+    // three disjoint batches partition the stream by user residue
+    (0 to 2).foreach { b =>
+      KmvStream.foldBatch(spark,
+        ev.filter(pmod(col("user_id"), lit(3)) === b),
+        b.toLong, root, KmvSketch.K)
+    }
+    // the fold algebra: bottom-k of unioned bottom-k's == bottom-k of
+    // the whole stream, so overlaps off the state must equal the
+    // batch x52 over the same events, bit for bit (after x52's Det
+    // rounding)
+    val streamed = KmvStream
+      .overlaps(spark, root, KmvSketch.K)
+      .select(col("type_a"), col("type_b"),
+        graft.ops.Det.r4(col("d_a")).as("d_a"),
+        graft.ops.Det.r4(col("d_b")).as("d_b"),
+        graft.ops.Det.r4(col("d_union")).as("d_union"),
+        graft.ops.Det.r4(col("d_intersect")).as("d_intersect"))
+    val batch = KmvSketch.x52AudienceOverlap(spark, sfSmoke)
+    assert(asSet(streamed) == asSet(batch),
+      "incremental fold drifted from the one-shot sketch")
+    // replay: metadata-only (the fold is even mathematically
+    // idempotent, but the watermark must skip the rewrite entirely)
+    val commits = SnapshotStore.snapshots(spark, root).size
+    KmvStream.foldBatch(spark,
+      ev.filter(pmod(col("user_id"), lit(3)) === 1), 1L, root,
+      KmvSketch.K)
+    assert(SnapshotStore.snapshots(spark, root).size == commits)
+  }
+
   test("e6 plan shape: broadcast scalar attach, no cartesian, " +
       "decay fold over the bounded frame") {
     val df = EventStreams.e6DecayedTrend(spark, sfSmoke)
