@@ -32,6 +32,27 @@ class ParkingSpec extends SparkTestBase {
     assert(EncodingSniff.sniffBytes(euckr).head._1 == "EUC-KR")
   }
 
+  test("s2 sniff is TOTAL: arbitrary byte soup never throws, every " +
+    "candidate always ranked, scores in [0,1], deterministic") {
+    import graft.sources.EncodingSniff
+    val all = Set("UTF-8", "EUC-KR", "UTF-16LE", "UTF-16BE",
+      "ISO-8859-1")
+    val rnd = new scala.util.Random(42) // fixed seed: reproducible
+    (1 to 200).foreach { i =>
+      val bytes = Array.fill(rnd.nextInt(300))(rnd.nextInt(256).toByte)
+      val r = EncodingSniff.sniffBytes(bytes)
+      assert(r.map(_._1).toSet == all, s"case $i lost a candidate")
+      assert(r.forall { case (_, c) => c >= 0.0 && c <= 1.0 })
+      assert(r.map(-_._2) == r.map(-_._2).sorted,
+        s"case $i ranking not confidence-descending")
+      assert(r == EncodingSniff.sniffBytes(bytes),
+        s"case $i nondeterministic")
+    }
+    // the empty file: a legal (if useless) input, not a crash
+    assert(EncodingSniff.sniffBytes(Array.empty[Byte])
+      .map(_._1).toSet == all)
+  }
+
   test("golden: train is 2952 rows × 15 cols, 423 complexes; test 1022/150") {
     assert(train.count() == 2952)
     assert(train.columns.length == 15)
