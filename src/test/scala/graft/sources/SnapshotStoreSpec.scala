@@ -670,6 +670,30 @@ class SnapshotStoreSpec extends SparkTestBase {
       == Map("qty_positive" -> "qty > 0"))
   }
 
+  test("vacuum never reaps constraint declarations; enforcement " +
+    "survives the reclaim") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.commit(Seq((1L, 5.0)).toDF("id", "qty"), root)
+    SnapshotStore.addConstraint(spark, root, "qty_positive", "qty > 0")
+    SnapshotStore.checkedAppend(Seq((2L, 7.0)).toDF("id", "qty"), root)
+    // a full REPLACEMENT commit makes the earlier snapshots' data
+    // dirs dead, so the vacuum genuinely reclaims (its return counts
+    // dead data dirs — appends alone share theirs forward)
+    SnapshotStore.commit(
+      Seq((1L, 5.0), (2L, 7.0), (3L, 9.0)).toDF("id", "qty"), root)
+    assert(SnapshotStore.vacuum(spark, root, keepLast = 1,
+      minAgeMs = 0L) > 0, "fixture: vacuum must reclaim something")
+    assert(SnapshotStore.constraintsOf(spark, root)
+      == Map("qty_positive" -> "qty > 0"),
+      "vacuum must not touch the constraints dir")
+    intercept[IllegalStateException] {
+      SnapshotStore.checkedAppend(
+        Seq((4L, -1.0)).toDF("id", "qty"), root)
+    }
+    assert(SnapshotStore.read(spark, root).count() == 3)
+  }
+
   test("statsQuery refuses DV snapshots and plain manifests") {
     val root = freshRoot()
     SnapshotStore.commitWithStats(
