@@ -106,6 +106,12 @@ object KmvSketch {
 
       override def reduce(b: mutable.HashSet[Long], h: Long)
           : mutable.HashSet[Long] = {
+        // negative = the null sentinel (both hash exprs land in
+        // [0, 2³¹), so no real hash is ever skipped): callers that
+        // can't pre-filter nulls out of the frame (per-file stats
+        // aggs that also count ALL rows) gate them to -1 and the
+        // sketch ignores them — NDV stays COUNT(DISTINCT)-semantics
+        if (h < 0) return b
         b += h
         if (b.size > 2 * k) trim(b) else b
       }

@@ -305,10 +305,28 @@ object SnapshotStore {
 
   /** Commit `df` as the table's next snapshot; returns its id.
     * Data lands in a fresh immutable directory first; the manifest
-    * rename is the only step that makes it visible. */
+    * rename is the only step that makes it visible. Declared CHECK
+    * constraints are enforced on `df` (Delta semantics: EVERY write
+    * that introduces rows validates — see [[checkedAppend]]). */
   def commit(df: DataFrame, root: String, maxRetries: Int = 10): Long = {
+    enforceConstraints(df, root)
     val (s, files) = writeSnapshotData(df, root)
     commitManifest(s, root, files, maxRetries)
+  }
+
+  /** Gate shared by every verb that introduces NEW rows (commit /
+    * appendCommit / commitWithStats / commitWithNdv /
+    * appendToBranch): one O(batch) aggregate pass when constraints
+    * are declared, free otherwise (a tiny listing). Rewrite verbs
+    * (compaction, z-cluster, DV merges) deliberately skip it — they
+    * only re-arrange rows that passed this gate when written, so
+    * re-validating would add a full pass over rewritten data for
+    * nothing. This is what makes the checkedAppend O(batch)
+    * soundness argument airtight: no unchecked write can interleave,
+    * because there is no unchecked write. */
+  private def enforceConstraints(df: DataFrame, root: String): Unit = {
+    val cs = constraintsOf(df.sparkSession, root)
+    if (cs.nonEmpty) requireNoViolations(df, cs)
   }
 
   /** Phase 1 of a commit: land the data in a fresh immutable
@@ -544,6 +562,7 @@ object SnapshotStore {
     * timestamp columns all round-trip through Spark's cast. */
   def commitWithStats(df: DataFrame, root: String, statsCol: String,
       maxRetries: Int = 10): Long = {
+    enforceConstraints(df, root)
     val (s, files) = writeSnapshotData(df, root)
     commitManifest(s, root, statsLinesFor(s, files, statsCol),
       maxRetries)
@@ -1297,6 +1316,7 @@ object SnapshotStore {
     * appended frame may carry ADDITIONAL columns — see
     * [[readEvolved]] for how mixed-schema snapshots read back. */
   def appendCommit(df: DataFrame, root: String): Long = {
+    enforceConstraints(df, root)
     val (s, files) = writeSnapshotData(df, root)
     // rebase, don't pin: the base lines are resolved INSIDE the
     // commit loop, so an append that loses the id race to another
@@ -1375,6 +1395,7 @@ object SnapshotStore {
     * Iceberg's sequence numbers — but its file list extends the
     * branch lineage, so other branches never see these rows. */
   def appendToBranch(df: DataFrame, root: String, name: String): Long = {
+    enforceConstraints(df, root)
     val s = df.sparkSession
     val head = branchHead(s, root, name).getOrElse(
       throw new IllegalArgumentException(s"no branch $name at $root"))
@@ -1581,7 +1602,11 @@ object SnapshotStore {
     * The hash is the x52 AVALANCHE hash (xxhash64 — the estimator
     * needs uniformity on the full domain; the Knuth mix maps
     * small/sequential key sets into a prefix and overestimates, the
-    * x52 lesson). Under-full sketches retain every distinct hash, so
+    * x52 lesson), computed over NON-NULL rows only (xxhash64 maps
+    * NULL to its seed, which would smuggle one phantom distinct into
+    * the estimate; COUNT(DISTINCT) and Iceberg NDV both exclude
+    * nulls, and the CBO join formula assumes that semantics).
+    * Under-full sketches retain every distinct hash, so
     * their size is the exact distinct count modulo hash collisions —
     * and on the FIXED 199-cohort gate domain collision-freeness is a
     * deterministic, SF-independent fact the s34 oracle's hash match
@@ -1589,6 +1614,7 @@ object SnapshotStore {
     * oracle's COUNT(DISTINCT) 199 at every run). */
   def commitWithNdv(df: DataFrame, root: String, statsCol: String,
       maxRetries: Int = 10): Long = {
+    enforceConstraints(df, root)
     val (s, files) = writeSnapshotData(df, root)
     commitManifest(s, root, ndvLinesFor(s, files, statsCol),
       maxRetries)
@@ -1603,8 +1629,15 @@ object SnapshotStore {
       .agg(min(col(statsCol)).cast("string").as("mn"),
         max(col(statsCol)).cast("string").as("mx"),
         count(lit(1)).as("cnt"),
+        // NULL gate: xxhash64 maps NULL to its seed, which would add
+        // one phantom distinct and break the COUNT(DISTINCT)/Iceberg
+        // NDV semantics the CBO formula assumes; the -1 sentinel is
+        // skipped by the aggregator (the frame can't be pre-filtered
+        // because cnt must count ALL rows)
         KmvSketch.kmv(KmvSketch.K)(
-          KmvSketch.avalancheExpr(col(statsCol))).as("sk"))
+          when(col(statsCol).isNotNull,
+            KmvSketch.avalancheExpr(col(statsCol)))
+            .otherwise(lit(-1L))).as("sk"))
       .collect()
       .map(r => (new Path(r.getString(0)).toUri.getPath,
         (Option(r.getString(1)).getOrElse(""),
@@ -1764,11 +1797,12 @@ object SnapshotStore {
   /** Append with the declared constraints enforced on the INCOMING
     * batch (existing data was validated when each constraint was
     * declared — the standing invariant makes re-scanning history
-    * unnecessary, which is what keeps the check O(batch) at 100 TB). */
-  def checkedAppend(df: DataFrame, root: String): Long = {
-    requireNoViolations(df, constraintsOf(df.sparkSession, root))
+    * unnecessary, which is what keeps the check O(batch) at 100 TB).
+    * Since round 12 this is an alias for [[appendCommit]]: EVERY
+    * new-row write verb validates ([[enforceConstraints]]), so the
+    * invariant can't be voided by an unchecked write interleaving. */
+  def checkedAppend(df: DataFrame, root: String): Long =
     appendCommit(df, root)
-  }
 
   /** S35 — the constraint lifecycle end-to-end (the s29 fixture
     * shape): base = the clean `%3 = 0` lineitem slice; two

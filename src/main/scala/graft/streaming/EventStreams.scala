@@ -233,7 +233,11 @@ object EventStreams {
     * IEEE division (never libm pow, whose last-ulp behavior is
     * engine-specific), terms are count/2^e with a ≤ 45-bit joint
     * span over the 30-day window — the double sum is exact in any
-    * order, so the oracle replays it verbatim. [[DecayedTrendStream]]
+    * order, so the oracle replays it verbatim. Spans ≥ 63 days are
+    * clamped to an exact 0.0 weight in BOTH engines (Spark's
+    * shiftleft wraps mod 64 and DuckDB's << zeroes — the clamp keeps
+    * them agreeing on arbitrarily old data, and 2⁻⁶³ underflows the
+    * count scale anyway). [[DecayedTrendStream]]
     * is the incremental twin: state ← state·λ + batch, which unrolls
     * to the identical sum with day = batch index. */
   def e6DecayedTrend(s: SparkSession, dir: String): DataFrame = {
@@ -245,8 +249,14 @@ object EventStreams {
     val mx = perDay.agg(max("day").as("max_day"))
     perDay.crossJoin(broadcast(mx))
       .select(col("event_type"), col("n"),
-        (col("n") /
-          expr("shiftleft(1L, cast(max_day - day AS int))")).as("w"))
+        // exponent clamp: Spark's shiftleft wraps mod 64 (weight
+        // garbage) and DuckDB's << yields 0 (division by NULL) for
+        // spans ≥ 63, so both engines pin the weight to an exact 0.0
+        // there — sound because 2⁻⁶³ underflows the count scale at
+        // the r6 quantization anyway
+        when(col("max_day") - col("day") >= 63, lit(0.0))
+          .otherwise(col("n") /
+            expr("shiftleft(1L, cast(max_day - day AS int))")).as("w"))
       .groupBy("event_type")
       .agg(sum("n").cast("bigint").as("n_total"),
         Det.r6(sum("w")).as("decayed_count"))
@@ -274,7 +284,9 @@ object EventStreams {
          SELECT event_type,
            cast(sum(n) AS bigint) AS n_total,
            ${Det.sql(
-            "sum(n / (cast(1 AS bigint) << cast(max_day - day AS int)))",
+            "sum(CASE WHEN max_day - day >= 63 THEN 0.0 ELSE " +
+              "n / (cast(1 AS bigint) << cast(max_day - day AS int)) " +
+              "END)",
             6)} AS decayed_count
          FROM d, m GROUP BY event_type""",
     "e1_stream_tumbling" ->

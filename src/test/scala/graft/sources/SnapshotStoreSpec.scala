@@ -694,6 +694,59 @@ class SnapshotStoreSpec extends SparkTestBase {
     assert(SnapshotStore.read(spark, root).count() == 3)
   }
 
+  test("EVERY new-row write verb enforces declared constraints — " +
+    "no unchecked write can void the O(batch) invariant") {
+    import spark.implicits._
+    val root = freshRoot()
+    SnapshotStore.commit(Seq((1L, 5.0)).toDF("id", "qty"), root)
+    SnapshotStore.addConstraint(spark, root, "qty_positive", "qty > 0")
+    // plain appendCommit: validated, rejected whole
+    intercept[IllegalStateException] {
+      SnapshotStore.appendCommit(Seq((2L, -1.0)).toDF("id", "qty"), root)
+    }
+    // full-replacement commit: validated too (Delta semantics)
+    intercept[IllegalStateException] {
+      SnapshotStore.commit(Seq((2L, -1.0)).toDF("id", "qty"), root)
+    }
+    // stats/NDV-bearing commits: same gate
+    intercept[IllegalStateException] {
+      SnapshotStore.commitWithStats(
+        Seq((2L, -1.0)).toDF("id", "qty"), root, "id")
+    }
+    intercept[IllegalStateException] {
+      SnapshotStore.commitWithNdv(
+        Seq((2L, -1.0)).toDF("id", "qty"), root, "id")
+    }
+    // branch appends: branch rows are still table rows
+    SnapshotStore.createBranch(spark, root, "audit",
+      SnapshotStore.latestId(spark, root))
+    intercept[IllegalStateException] {
+      SnapshotStore.appendToBranch(
+        Seq((2L, -1.0)).toDF("id", "qty"), root, "audit")
+    }
+    assert(SnapshotStore.read(spark, root).count() == 1,
+      "every rejected write must leave the table untouched")
+    // clean writes still pass through each verb
+    SnapshotStore.appendCommit(Seq((2L, 7.0)).toDF("id", "qty"), root)
+    assert(SnapshotStore.read(spark, root).count() == 2)
+  }
+
+  test("commitWithNdv excludes NULLs from the sketch — NDV keeps " +
+    "COUNT(DISTINCT) semantics while cnt counts all rows") {
+    import spark.implicits._
+    val root = freshRoot()
+    // 100 distinct non-null keys + 50 null rows in one frame
+    SnapshotStore.commitWithNdv(
+      spark.range(0, 150L).select(
+        when(col("id") < 100, col("id") % 100)
+          .otherwise(lit(null)).as("key"))
+        .repartition(4), root, "key")
+    val (n, d) = SnapshotStore.ndvQuery(spark, root, "key")
+    assert(n == 150L, "row count includes null rows")
+    assert(d == 100.0,
+      s"under-full NDV must be the exact non-null distinct count, got $d")
+  }
+
   test("statsQuery refuses DV snapshots and plain manifests") {
     val root = freshRoot()
     SnapshotStore.commitWithStats(
