@@ -521,6 +521,92 @@ class StreamingSpec extends SparkTestBase {
       "replay must be metadata-only — no new state commit")
   }
 
+  test("crash injection, KmvStream: sketch state committed but " +
+      "checkpoint lost — replay is a metadata-only skip") {
+    import org.apache.spark.sql.{Dataset, Row}
+    import graft.streaming.KmvStream
+    import graft.ops.KmvSketch
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_crash_kmv").toString
+    val (root, ckpt) = (s"$base/state", s"$base/ckpt")
+    val src = Tables.eventsStream(spark, sfSmoke)
+      .select("event_type", "user_id")
+    // crash AFTER the fold committed the state table: the durable
+    // side is ahead of the checkpoint, the canonical torn window
+    val q1 = src.writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        KmvStream.foldBatch(spark, b.toDF(), id, root, KmvSketch.K)
+        throw new RuntimeException("injected crash after state commit")
+      }.start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    val committed = SnapshotStore.read(spark, root)
+      .select("event_type", "sk").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(committed.nonEmpty,
+      "fixture: the fold must have committed before the crash")
+    val commitsBefore = SnapshotStore.snapshots(spark, root).size
+    // restart on the production wiring: the replay must not even
+    // rewrite the state (the fold is mathematically idempotent, but
+    // the watermark owes us a metadata-only skip), and overlaps
+    // served off the state must be unchanged
+    val overlapsBefore = asSet(KmvStream.overlaps(spark, root,
+      KmvSketch.K))
+    val q2 = KmvStream.start(src, root, ckpt, KmvSketch.K)
+    try q2.processAllAvailable() finally q2.stop()
+    val after = SnapshotStore.read(spark, root)
+      .select("event_type", "sk").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(after == committed, "replay rewrote the sketch state")
+    assert(SnapshotStore.snapshots(spark, root).size == commitsBefore,
+      "replay must be metadata-only — no new state commit")
+    assert(asSet(KmvStream.overlaps(spark, root, KmvSketch.K))
+      == overlapsBefore, "overlap estimates drifted across the crash")
+  }
+
+  test("crash injection, DecayedTrendStream: trend state committed " +
+      "but checkpoint lost — the doubly non-idempotent fold must skip") {
+    import spark.implicits._
+    import org.apache.spark.sql.{Dataset, Row}
+    import graft.streaming.DecayedTrendStream
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_crash_trend").toString
+    val (root, ckpt, feedDir) = (s"$base/state", s"$base/ckpt",
+      s"$base/feed")
+    Seq.fill(4)("a").++(Seq.fill(2)("b")).toDF("token")
+      .write.parquet(feedDir)
+    val feed = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(feedDir)
+    val q1 = feed.writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        DecayedTrendStream.foldBatch(spark, b.toDF(), id, root, 64)
+        throw new RuntimeException("injected crash after state commit")
+      }.start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    def state(): Map[String, Double] = SnapshotStore.read(spark, root)
+      .select("token", "decayed").as[(String, Double)].collect().toMap
+    assert(state() == Map("a" -> 4.0, "b" -> 2.0),
+      "fixture: the fold must have committed before the crash")
+    val commitsBefore = SnapshotStore.snapshots(spark, root).size
+    // restart on the production wiring: a re-fold would decay AND
+    // re-add (state would read a -> 6.0, b -> 3.0) — the watermark
+    // must make the replay a no-op with no new commit
+    val q2 = DecayedTrendStream.start(feed, root, ckpt, 64)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(state() == Map("a" -> 4.0, "b" -> 2.0),
+      s"replay double-folded the decay recurrence: ${state()}")
+    assert(SnapshotStore.snapshots(spark, root).size == commitsBefore,
+      "replay must be metadata-only — no new state commit")
+  }
+
   test("KMV stream: multi-batch fold == one-shot sketch; overlaps " +
       "serve off state == batch x52; replay is metadata-only") {
     import graft.streaming.KmvStream
