@@ -181,6 +181,68 @@ class SketchesSpec extends SparkTestBase {
     assert(agg.finish(m) == expect)
   }
 
+  test("x52 estimator envelope survives adversarial id domains: " +
+    "sequential, strided, clustered, high-bit, multiplicity-invariant") {
+    import graft.ops.KmvSketch
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val k = KmvSketch.K
+    // driver twin of avalancheExpr — pinned against the SQL path
+    // once below, then used for the sweep (40 domains of up to 50k
+    // ids driver-side instead of 40 Spark jobs)
+    def h(v: Long): Long =
+      java.lang.Math.floorMod(XXH64.hashLong(v, 42L),
+        KmvSketch.HashDomain)
+    val pinIds = Seq(0L, 1L, -1L, 1234567890123L, Long.MinValue)
+    val sparkHashes = {
+      import spark.implicits._
+      pinIds.toDF("v")
+        .select(KmvSketch.avalancheExpr(col("v")))
+        .collect().map(_.getLong(0)).toSeq
+    }
+    assert(sparkHashes == pinIds.map(h),
+      "driver XXH64 twin drifted from the SQL avalanche hash")
+    def est(ids: Iterable[Long]): Double = {
+      val sk = ids.iterator.map(h).toArray.distinct.sorted.take(k)
+      KmvSketch.distinctEst(sk.toIndexedSeq, k)
+    }
+    // the envelope the estimator promises: se = 1/sqrt(k-2) ~ 6.3%,
+    // asserted at 3 sigma over every fixed (deterministic) domain
+    val tol = 3.0 / math.sqrt(k - 2.0)
+    def check(label: String, ids: Iterable[Long], d: Long): Unit = {
+      val e = est(ids)
+      assert(math.abs(e - d) / d < tol,
+        s"$label: estimate $e for $d distinct (rel " +
+          s"${math.abs(e - d) / d}, tol $tol)")
+    }
+    // sequential runs — the domain that breaks shift-based mixes
+    // (the x52 lesson): consecutive ids from varied starts and sizes
+    for (start <- Seq(0L, 1000000000L, -500000000L);
+         d <- Seq(3000L, 20000L, 50000L))
+      check(s"seq($start,$d)", start until (start + d), d)
+    // strided — power-of-two and near-power strides stress avalanche
+    for (stride <- Seq(2L, 64L, 4096L, 65537L, 1L << 32);
+         d <- Seq(5000L, 30000L))
+      check(s"stride($stride,$d)", (0L until d).map(_ * stride), d)
+    // clustered — many tight runs far apart (user-id block allocation)
+    for ((nc, w) <- Seq((100, 50), (500, 40), (40, 1000))) {
+      val ids = for (c <- 0 until nc; o <- 0 until w)
+        yield c.toLong * 1000003L + o
+      check(s"cluster($nc,$w)", ids, nc.toLong * w)
+    }
+    // high-bit-only — ids living entirely above the low 32 bits
+    for (shift <- Seq(20, 32, 40))
+      check(s"highbit($shift)", (1L to 10000L).map(_ << shift), 10000L)
+    // multiplicity invariance: a zipf-duplicated stream must give
+    // the IDENTICAL estimate as its distinct set (set semantics) —
+    // equality, not tolerance
+    val base = (0L until 10000L).map(_ * 7919L)
+    val zipf = base.zipWithIndex.flatMap { case (v, i) =>
+      Seq.fill(1 + 3000 / (i + 1))(v)
+    }
+    assert(est(zipf) == est(base),
+      "duplicate multiplicity moved a distinct-set estimate")
+  }
+
   test("x18: shard doc counts partition the corpus; shape is stable") {
     val dir = sfTest
     val rows = Sketches.x18SketchRollup(spark, dir)
