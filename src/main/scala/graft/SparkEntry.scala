@@ -68,4 +68,40 @@ object SparkEntry {
       MiceImpute.oracle ++ CsvIO.oracle ++ PlotSink.oracle ++
       EncodingSniff.oracle ++ UnigramTokenizer.oracle ++
       KmvSketch.oracle
+
+  /** The no-oracle→twin invariant, DECLARED so tooling can enforce it
+    * mechanically instead of a human re-auditing it every round:
+    * every rows-only key (in `queries` but not `oracleSql` — open-
+    * domain estimators, ML fits, sketch/ANN serve paths) maps to the
+    * oracle-gated closed-form twin that pins its machinery (planted
+    * gate, bounded-domain exactness, or closed-form replica; a
+    * ScalaTest bridge pins the production path to each twin).
+    * `tools/check.py` fails when a rows-only key has no entry here,
+    * an entry goes stale, or a twin's oracle check isn't green. */
+  def twins: Map[String, String] = Map(
+    "d3_dedup_minhash_lsh" -> "d3b_minhash_planted_gate",
+    "d4_dedup_simhash" -> "d4b_simhash_planted_gate",
+    "g10b_corr_test" -> "g10c_corr_test_gate",
+    "g13_approx_stats" -> "g13b_approx_exact_gate",
+    "g18_grouped_approx_stats" -> "g18b_grouped_approx_gate",
+    "m1_pca" -> "m1b_pca_closed",
+    "m2_linreg" -> "m2b_linreg_normal",
+    "m4_lasso_cv" -> "m4b_lasso_path_closed",
+    "m5_random_forest" -> "m5b_tree_exact_gate",
+    "m6_stepwise_aic" -> "m6b_stepaic_lattice",
+    "m10_repeated_cv" -> "m10b_cv_planted_gate",
+    "n3_sim_ivf_topk" -> "n3b_ivf_planted_gate",
+    "n4_sim_pq_topk" -> "n4b_pq_planted_gate",
+    "n6_sim_ivfpq_topk" -> "n7_ivfpq_planted_gate",
+    "x5_multimodal_features" -> "x5b_multimodal_decode",
+    "x9_heavy_hitters" -> "x9b_heavy_hitters_gate",
+    "x18_sketch_rollup" -> "x18b_hll_exact_gate",
+    "x19_cms_rollup" -> "x19b_cms_gate",
+    "x22_bpe_merges" -> "x22b_bpe_merges_gate",
+    "x23_bpe_tokenize" -> "x23b_bpe_tokenize_gate",
+    "x26_pipeline_tokens" -> "x26b_token_gate",
+    "x27_kll_rollup" -> "x27b_kll_exact_gate",
+    "x32_quality_classifier" -> "x32b_classifier_gate",
+    "x51_unigram_fit" -> "x51b_unigram_fit_gate",
+    "x52_audience_overlap" -> "x52b_kmv_exact_gate")
 }

@@ -52,6 +52,7 @@ def main():
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
     failures = []
+    passed = set()
     for name in sorted(oracle):
         sql = oracle[name]
         pq = out_dir / name
@@ -81,12 +82,15 @@ def main():
             n_fail += 1
         else:
             n_pass += 1
+            passed.add(name)
             print(f"PASS {name} ({len(got)} rows)")
     for name, msg in failures:
         print(f"FAIL {name}: {msg}")
     # queries with no oracle: rows-only presence check
+    rows_only = set()
     for pq in sorted(out_dir.iterdir()):
         if pq.is_dir() and pq.name not in oracle:
+            rows_only.add(pq.name)
             try:
                 n = con.sql(f"SELECT count(*) FROM '{pq}/*.parquet'"
                             ).fetchone()[0]
@@ -94,6 +98,34 @@ def main():
                       + ("OK" if n > 0 else "EMPTY!"))
             except Exception as e:
                 print(f"ROWS-ONLY {pq.name}: ERROR {e}")
+    # the no-oracle→twin invariant (SparkEntry.twins): every rows-only
+    # key declares an oracle-gated twin, the declaration is not stale,
+    # and the twin is GREEN in this run. Enforced only on FULL dumps —
+    # a dev-loop subset run (Verify's 3rd arg) has missing dirs by
+    # design, detectable because some oracle-keyed dir is absent.
+    twins_path = out_dir / "twins.json"
+    full_dump = all((out_dir / name).exists() for name in oracle)
+    if twins_path.exists() and full_dump:
+        twins = json.loads(twins_path.read_text())
+        twin_fails = []
+        for k in sorted(rows_only - set(twins)):
+            twin_fails.append(f"{k}: rows-only with no declared twin")
+        for k in sorted(set(twins) - rows_only):
+            twin_fails.append(f"{k}: declared twin entry is stale "
+                              "(key is not rows-only in this dump)")
+        for k, t in sorted(twins.items()):
+            if k not in rows_only:
+                continue
+            if t not in oracle:
+                twin_fails.append(f"{k}: twin {t} has no oracle SQL")
+            elif t not in passed:
+                twin_fails.append(f"{k}: twin {t} did not pass")
+        for msg in twin_fails:
+            print(f"TWIN-FAIL {msg}")
+            n_fail += 1
+        if not twin_fails:
+            print(f"TWINS OK: {len(twins)} rows-only keys, "
+                  "every twin oracle-green")
     print(f"\n{n_pass} passed, {n_fail} failed")
     sys.exit(1 if n_fail else 0)
 
