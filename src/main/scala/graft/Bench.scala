@@ -69,6 +69,86 @@ object Bench {
     }
   }
 
+  /** Window-quality self-label (the r11 verdict's adjudication
+    * protocol, moved INTO the artifact so no human has to replay it
+    * from BASELINE.md prose every round):
+    *  - `d4`: this run's d4_dedup_simhash reading — the designated
+    *    noise control (one fixed mid-weight query whose quiet-host
+    *    band is empirically tight across rounds);
+    *  - `d4_quiet_band`: that band; a reading above its ceiling
+    *    means the HOST was contended, not that the code regressed;
+    *  - `median_ratio_vs_prev`: median of per-query new/old over the
+    *    queries shared with the PREVIOUS artifact at the same output
+    *    path and scale factor (the band-shift protocol: a uniform
+    *    shift is ambient noise, a lone spike is a suspect);
+    *  - `in_band`: d4 ≤ ceiling AND median ratio ≤ 1.1 (absent
+    *    ratio = d4 alone);
+    *  - `warn`: non-null human-readable flag when out of band — the
+    *    artifact says "degraded window, adjudicate before believing
+    *    per-query deltas" about itself. */
+  private val D4Key = "d4_dedup_simhash"
+  private val D4QuietBand = (0.55, 0.70)
+  private val MedianRatioCeiling = 1.1
+
+  private def controlJson(
+      results: Seq[(String, Option[Double], (Long, Long, Long, Long, Long))],
+      sfDir: String, out: String): String = {
+    val d4 = results.collectFirst { case (D4Key, Some(t), _) => t }
+    // previous artifact at the same path AND scale factor: the
+    // reference for the median per-query ratio. Regex-parsed (the
+    // format is this file's own output — flat doubles, no nesting
+    // inside the "queries" object).
+    val prev: Map[String, Double] =
+      try {
+        val txt = java.nio.file.Files.readString(
+          java.nio.file.Paths.get(out))
+        val sfOk = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
+          .exists(_.group(1) == sfDir)
+        if (!sfOk) Map.empty
+        else """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+          .map(_.group(1).split(',').toSeq.flatMap { kv =>
+            kv.split(':') match {
+              case Array(k, v) if v != "null" =>
+                scala.util.Try(
+                  k.replace("\"", "") -> v.toDouble).toOption
+              case _ => None
+            }
+          }.toMap).getOrElse(Map.empty)
+      } catch { case _: Throwable => Map.empty }
+    val ratios = results.collect {
+      case (k, Some(t), _) if prev.getOrElse(k, 0.0) > 0.0 =>
+        t / prev(k)
+    }.sorted
+    val medianRatio =
+      if (ratios.isEmpty) None
+      else Some(ratios(ratios.size / 2))
+    val d4Ok = d4.forall(_ <= D4QuietBand._2)
+    val ratioOk = medianRatio.forall(_ <= MedianRatioCeiling)
+    val warn: Option[String] =
+      (d4, medianRatio) match {
+        case _ if d4Ok && ratioOk => None
+        case (Some(v), _) if !d4Ok && ratioOk => Some(
+          f"degraded window: d4 control $v%.3f above quiet ceiling " +
+            f"${D4QuietBand._2}%.2f — host contention, adjudicate " +
+            "before reading per-query deltas")
+        case (_, Some(r)) if d4Ok && !ratioOk => Some(
+          f"degraded window: median per-query ratio $r%.2f vs " +
+            f"previous artifact above $MedianRatioCeiling%.1f")
+        case _ => Some(
+          f"degraded window: d4 control ${d4.getOrElse(-1.0)}%.3f " +
+            f"and median ratio ${medianRatio.getOrElse(-1.0)}%.2f " +
+            "both out of band — treat every per-query delta as noise")
+      }
+    // locale-fixed rendering (no f-interpolator in the JSON itself)
+    def num(d: Double): String = (math.round(d * 1000) / 1000.0).toString
+    s"""{"d4":${d4.fold("null")(num)},""" +
+      s""""d4_quiet_band":[${D4QuietBand._1},${D4QuietBand._2}],""" +
+      s""""median_ratio_vs_prev":${medianRatio.fold("null")(num)},""" +
+      s""""n_shared_queries":${ratios.size},""" +
+      s""""in_band":${d4Ok && ratioOk},""" +
+      warn.fold(""""warn":null""")(w => s""""warn":"$w"""") + "}"
+  }
+
   // Cross-query scrub: SessionCaches.scrub drops catalog caches and
   // every persistent RDD EXCEPT the registered session caches
   // (kept-list, cluster labels) — including dead single-query
@@ -150,9 +230,13 @@ object Bench {
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_FULL.json")
+    val control = controlJson(results, sfDir, out)
     val head = s""""metric":"total","value":$total,"unit":"sec"""" +
       s""","n_queries":${results.size},"ok":${failed.isEmpty}""" +
-      s""","failed":$failedJson,"queries":$qs,"sf":"$sfDir""""
+      s""","failed":$failedJson,"control":$control""" +
+      s""","queries":$qs,"sf":"$sfDir""""
     // stdout stays the compact driver contract (the sbt-stdout tail
     // the driver snapshots truncates long lines — r4 lost 34 of 101
     // per-query numbers that way)...
@@ -161,8 +245,6 @@ object Bench {
     // fingerprint and lands in a repo file that survives the round.
     // Repo-relative default (resolves against the launch cwd) so any
     // checkout location works; SPARK_GRAFT_BENCH_OUT overrides.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
       s"""{$head,"query_metrics":$qm}""")
     catch { case e: Throwable =>

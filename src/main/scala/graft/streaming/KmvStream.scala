@@ -17,7 +17,8 @@ import graft.sources.SnapshotStore
   * batches the state IS the sketch of the full history (bottom-k of
   * a union equals bottom-k of unioned bottom-k's), so every pairwise
   * overlap estimate [[KmvSketch.overlapEst]] serves straight off the
-  * ≤ k·|types|-row state with zero history re-aggregation.
+  * |types|-row state (≤ k hashes per row) with zero history
+  * re-aggregation.
   *
   * Replay safety is DOUBLE here, and the distinction is the point:
   * the fold is mathematically IDEMPOTENT (re-unioning a batch's
