@@ -607,31 +607,101 @@ object Dedup {
       .select(col("vec_a"), col("vec_b"), Det.r6(col("cosine")).as("cosine"))
   }
 
+  /** Max settled bucket occupancy before the trie cut deepens it,
+    * and the per-round depth extension. Cap 128 bounds settled pair
+    * mass at ≤ 64·occ per member; step 8 reaches full depth from the
+    * base in ≤ ⌈(64−base)/8⌉ rounds. */
+  private[graft] val D7HotBucketCap = 128
+  private[graft] val D7SplitStep = 8
+
+  /** ADAPTIVE-DEPTH bucket assignment (the LSH-forest idea, Bawa et
+    * al. 2005): every (vec, table) carries a full 64-plane signature
+    * ([[graft.sim.Similarity.sigsOf]]); buckets start as the
+    * `basePlanes`-bit prefix and any bucket over [[D7HotBucketCap]]
+    * has its members' depth extended by [[D7SplitStep]] bits, until
+    * all buckets fit or depth 64. Why occupancy must be cut PER
+    * BUCKET and not by a global plane count: the n/2^b expected-
+    * occupancy argument assumes sign-pattern diversity, and real
+    * (clustered) embedding corpora saturate it — the r12 sf10 probe
+    * measured 200k vectors occupying only ~22k–39k distinct buckets
+    * at 22 planes (4M possible), hot clusters of ~3 000 that NO
+    * global plane count splits, and a ~230M-pair kernel for
+    * near-zero verified output. The trie cut puts extra bits only
+    * where the data needs them: same probe settles every bucket at
+    * ≤ 128 within 8 rounds, 13.7M pairs (17× down). Each round costs
+    * one count-aggregate + one join over the n·L sig rows (longs, no
+    * embeddings) — O(n·L·rounds) total, nothing touches pairs until
+    * buckets are bounded. A bucket still hot AT depth 64 is a set of
+    * sign-identical vectors — overwhelmingly true duplicates, whose
+    * pairs are genuine output the verify must see anyway.
+    *
+    * Exactness: identical embeddings have identical signatures, sit
+    * in the same group at every round, and so end at the same
+    * (depth, bucket) in EVERY table — the d7 gate's recall-1.0
+    * guarantee survives any cut. */
+  private[graft] def d7SettledBuckets(corpus: DataFrame,
+      basePlanes: Int, numTables: Int): DataFrame = {
+    val mask = when(col("depth") >= 64, lit(-1L))
+      .otherwise(expr("shiftleft(1L, depth)") - 1)
+    def bucketed(df: DataFrame): DataFrame =
+      df.withColumn("bucket", col("sig").bitwiseAND(mask))
+    var cur = bucketed(graft.sim.Similarity.sigsOf(corpus, numTables)
+      .withColumn("depth", lit(basePlanes)))
+    var rounds = 0
+    val maxRounds = (64 - basePlanes + D7SplitStep - 1) / D7SplitStep
+    while (rounds >= 0 && rounds < maxRounds) {
+      val occ = cur.groupBy("table_id", "depth", "bucket")
+        .agg(count(lit(1)).as("occ"))
+      // localCheckpoint: cut the per-round lineage (d6's star-
+      // contraction discipline) — n·L rows of longs, eager
+      val joined = cur
+        .join(occ, Seq("table_id", "depth", "bucket"))
+        .localCheckpoint(true)
+      if (joined.filter(col("occ") > D7HotBucketCap &&
+            col("depth") < 64).isEmpty) {
+        rounds = -1 // settled: every bucket fits or is at full depth
+        cur = joined.drop("occ")
+      } else {
+        cur = bucketed(joined
+          .withColumn("depth",
+            when(col("occ") > D7HotBucketCap && col("depth") < 64,
+              least(col("depth") + D7SplitStep, lit(64)))
+              .otherwise(col("depth")))
+          .drop("occ", "bucket"))
+        rounds += 1
+      }
+    }
+    cur.select("vec_id", "table_id", "depth", "bucket")
+  }
+
   /** Core of d7: SRP-LSH-banded near-dup pair detection over any
     * (vec_id, embedding) frame — the sub-quadratic production path
     * that d5's brute-force tiling is the oracle baseline for.
-    * Candidates are pairs sharing a bucket in ANY of the `numTables`
-    * plane sets (OR-amplification, same kernel as n2); only
-    * candidates pay the exact-cosine verify, and only verified pairs
-    * (≥ `tau`) are emitted. The shuffle is an equi-join on
-    * (table_id, bucket) — n·L rows — never the n² cross join.
+    * Candidates are pairs sharing an adaptive-depth bucket
+    * ([[d7SettledBuckets]]) in ANY of the `numTables` plane sets
+    * (OR-amplification); only candidates pay the exact-cosine
+    * verify, and only verified pairs (≥ `tau`) are emitted. The
+    * shuffle is an equi-join on (table_id, depth, bucket) over
+    * occupancy-bounded buckets — n·L rows in, pair mass capped by
+    * [[D7HotBucketCap]] — never the n² cross join.
     *
     * Dial math (Charikar 2002): a pair at angle θ collides per plane
     * with p = 1 − θ/π, per table with p^b, in any of L tables with
-    * 1 − (1−p^b)^L. SRP prunes usefully only at HIGH cosine — at
-    * τ=0.9 (θ≈26°, p≈0.86) the default b=12, L=4 gives ≈0.84 recall
-    * for borderline pairs rising to 1.0 as cos→1 (exact duplicates
-    * collide in every table deterministically); at d5's τ=0.45
-    * exploratory band no sane (b, L) prunes, which is why that scan
-    * stays brute-force. DedupSimSpec asserts ≥0.95 recall on planted
-    * jittered near-dups (cos≈0.999). */
+    * 1 − (1−p^b)^L — where b is now the pair's bucket's SETTLED
+    * depth, ≥ `numPlanes`. SRP prunes usefully only at HIGH cosine —
+    * exact duplicates collide in every table at ANY depth; at d5's
+    * τ=0.45 exploratory band no sane (b, L) prunes, which is why
+    * that scan stays brute-force. DedupSimSpec asserts ≥0.95 recall
+    * on planted jittered near-dups (cos≈0.999, p≈0.996/plane — deep
+    * cuts cost them little) and that settled occupancy is bounded on
+    * the real clustered corpus. */
   private[graft] def d7PairsOf(corpus: DataFrame, numPlanes: Int,
       numTables: Int, tau: Double): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val buckets = graft.sim.Similarity
-      .bucketsOf(corpus, numPlanes, numTables)
+    val buckets = d7SettledBuckets(corpus, numPlanes, numTables)
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.table_id") === col("b.table_id") &&
+          col("a.depth") === col("b.depth") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
@@ -651,18 +721,18 @@ object Dedup {
   private[graft] val D7PlantStride = 25L
   private[graft] val D7PlantOffset = 1000000L
 
-  /** Bucket-occupancy auto-dial for the TRUE-dup gate: planes grow
-    * with ceil(log2 n) + 4 (floor 12). An exact duplicate collides in
-    * every table at ANY plane count (p = 1 per plane), so raising b
-    * costs the gate no recall on its targets while hot-bucket
-    * candidate mass shrinks exponentially in b; signature cost grows
-    * only linearly (n·L·b·dim). The 50k recall-campaign lesson that
-    * log-growing planes collapses recall (BASELINE round-6) applies
-    * to LOW-similarity top-k (n2) — at τ=0.9 the per-plane collision
-    * p exceeds 0.95 for everything the gate exists to find. Measured:
-    * the fixed-12 dial made d7 super-linear at sf1.0 (26.7× time for
-    * 10× vectors — quadratic hot-bucket pair growth); the log dial
-    * restores ~linear candidate growth. */
+  /** BASE depth for the adaptive cut: planes grow with
+    * ceil(log2 n) + 4 (floor 12), so the trie starts near the final
+    * cut and [[d7SettledBuckets]] needs few rounds. An exact
+    * duplicate collides in every table at ANY depth (p = 1 per
+    * plane), so depth costs the gate no recall on its targets. Scale
+    * history of this dial: fixed-12 planes went quadratic at sf1.0
+    * (26.7× for 10× — round 6); the log dial restored ~linear growth
+    * at ONE decade but the second decade (r12, sf10) falsified it —
+    * clustered corpora saturate sign diversity, so no GLOBAL plane
+    * count bounds hot buckets (measured 36.6× for 10×); occupancy is
+    * now owned by the per-bucket trie cut, and this dial only picks
+    * where it starts. */
   private[graft] def d7AutoPlanes(n: Long): Int = math.max(12,
     4 + (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))))
 

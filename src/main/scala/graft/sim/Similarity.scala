@@ -224,6 +224,37 @@ object Similarity {
       }.toDF("vec_id", "table_id", "bucket")
   }
 
+  /** Full-depth SRP signatures: one 64-plane sign bitmap per
+    * (vec_id, table). The adaptive-depth pair kernel
+    * ([[graft.dedup.Dedup.d7PairsOf]]) cuts a PER-BUCKET prefix of
+    * this; computing all 64 signs up front is linear (n·L·64·dim)
+    * and makes every later depth extension a bitmask, not a second
+    * pass over the embeddings. Plane stream is [[planeComponent]]
+    * with a fixed 64-plane stride per table, so a table's plane j is
+    * the same hyperplane at every depth — the prefix property the
+    * trie cut needs. */
+  private[graft] def sigsOf(emb: DataFrame, numTables: Int): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val planes = Array.tabulate(numTables * 64, 64)(planeComponent)
+    emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, v) =>
+          (0 until numTables).iterator.map { t =>
+            var sig = 0L
+            var j = 0
+            while (j < 64) {
+              var dot = 0.0; var i = 0
+              while (i < 64) { dot += v(i) * planes(t * 64 + j)(i); i += 1 }
+              if (dot >= 0) sig |= 1L << j
+              j += 1
+            }
+            (id, t, sig)
+          }
+        }
+      }.toDF("vec_id", "table_id", "sig")
+  }
+
   private[graft] def n2Impl(s: SparkSession, dir: String,
       numPlanes: Int, numTables: Int): DataFrame = {
     GraftFunctions.register(s)

@@ -266,6 +266,49 @@ class DedupSimSpec extends SparkTestBase {
     assert(pairs.filter(col("cosine") === 1.0).count() >= planted.size)
   }
 
+  test("d7 adaptive trie cut: settled occupancy bounded on the real " +
+      "clustered corpus; exact dups keep identical (depth, bucket)") {
+    import spark.implicits._
+    // the r12 sf10 lesson: clustered embeddings saturate sign
+    // diversity, so a global plane count cannot bound hot buckets —
+    // the per-bucket cut must. sf0.1's 20k-vector corpus is the
+    // largest gated instance of that distribution.
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select("vec_id", "embedding")
+    val settled = Dedup.d7SettledBuckets(base,
+      basePlanes = 12, numTables = 4)
+    val maxOcc = settled.groupBy("table_id", "depth", "bucket")
+      .agg(count(lit(1)).as("occ"))
+      .agg(max("occ")).head().getLong(0)
+    // a bucket may exceed the cap ONLY at full depth (sign-identical
+    // members — true-dup mass the verify must see)
+    val overCapShallow = settled
+      .groupBy("table_id", "depth", "bucket")
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > Dedup.D7HotBucketCap && col("depth") < 64)
+      .count()
+    assert(overCapShallow == 0,
+      s"unsplit hot bucket below full depth (max occ $maxOcc)")
+    // exact duplicates end in the same bucket at the same depth in
+    // EVERY table — the recall-1.0 mechanism, asserted directly
+    val dup = base.filter(col("vec_id") % 100 === 0)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+    val s2 = Dedup.d7SettledBuckets(base.union(dup),
+      basePlanes = 12, numTables = 4)
+    val a = s2.filter(col("vec_id") % 100 === 0 &&
+        col("vec_id") < 5000000L)
+      .select(col("vec_id").as("k"), col("table_id"),
+        col("depth"), col("bucket"))
+    val b = s2.filter(col("vec_id") >= 5000000L)
+      .select((col("vec_id") - 5000000L).as("k"), col("table_id"),
+        col("depth").as("d2"), col("bucket").as("b2"))
+    val mismatches = a.join(b, Seq("k", "table_id"))
+      .filter(col("depth") =!= col("d2") ||
+        col("bucket") =!= col("b2")).count()
+    assert(mismatches == 0,
+      "an exact duplicate diverged from its original in the trie cut")
+  }
+
   test("n2 auto-dial: gated SFs sit on the (8,4) floor; dials grow with n") {
     // the n2 oracle SQL hardcodes 8 planes × 4 tables — valid only
     // while every gated corpus size resolves to the floor
