@@ -224,33 +224,36 @@ object Dedup {
     * containment, dice, …) is arithmetic over these three counts, so
     * the measures share one shuffle topology and one cap semantics. */
   private[graft] def pairStats(docs: DataFrame, cap: Int): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
     // the one canonical (doc_id, shingle) explode — shared with the
     // d11 delta-gate path so the two can never drift
     val exploded = shinglePairs(docs)
-    val pairs = exploded.as[(Long, String)]
-      .groupByKey(_._2)
-      .flatMapGroups { (_, it) =>
-        // Materialize at most cap+1 ids: a stop-shingle is detected and
-        // dropped without buffering its full (possibly huge) doc list.
-        val buf = new scala.collection.mutable.ArrayBuffer[Long]
-        var overflow = false
-        while (it.hasNext && !overflow) {
-          buf += it.next()._1
-          if (buf.length > cap) overflow = true
-        }
-        if (overflow || buf.length < 2) Iterator.empty
-        else {
-          val ids = buf.toArray
-          java.util.Arrays.sort(ids)
-          for {
-            i <- ids.indices.iterator
-            j <- (i + 1 until ids.length).iterator
-          } yield (ids(i), ids(j))
-        }
-      }
-      .toDF("doc_a", "doc_b")
+    // Stop shingles drop on a COUNT alone (no doc-list ever
+    // buffers), then candidates form as a shingle equi-self-join and
+    // shared counts as a hash aggregate over (doc_a, doc_b) longs.
+    // All-DataFrame deliberately: the previous groupByKey+
+    // flatMapGroups kernel sorted the exploded rows as JVM objects,
+    // whose ~10× in-memory expansion dominated at scale (r12 sf10
+    // ladder: 15.7× wall for 10× data); the join/agg form stays in
+    // Tungsten binary format end-to-end and brought the same point
+    // to ~5–8× — what spill remains there is the genuine linear
+    // candidate mass (126.6M pairs, measured exactly 10× sf1's)
+    // passing through a 32-partition agg on an 8 GB heap, which
+    // partition count, not kernel shape, owns at cluster scale.
+    // Pair semantics are identical: a shingle with 2 ≤ df ≤ cap
+    // contributes exactly its C(df,2) ordered pairs.
+    // df via a COUNT window, not a groupBy+join: one exchange on s
+    // serves the frequency filter AND (reused, with its sort) both
+    // sides of the self-join below — the groupBy form exchanges the
+    // raw rows and the partial counts separately
+    val kept = exploded
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("s")))
+      .filter(col("df") >= 2 && col("df") <= cap)
+      .select("doc_id", "s")
+    val pairs = kept.as("a").join(kept.as("b"),
+        col("a.s") === col("b.s") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
     val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n"))
     pairs
