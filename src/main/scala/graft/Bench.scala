@@ -185,7 +185,17 @@ object Bench {
     // Sorted name order: deterministic run-to-run, so per-query
     // numbers are comparable across rounds and any shared-cache
     // "first consumer pays" cost lands on the same query every time.
+    // SPARK_GRAFT_BENCH_ONLY: optional comma-separated key subset for
+    // targeted scale campaigns (pair with SPARK_GRAFT_BENCH_OUT so a
+    // subset never clobbers the full artifact of record).
+    val only: String => Boolean =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+        .filter(_.nonEmpty)
+        .map(s => s: String => Boolean)
+        .getOrElse(_ => true)
     val headline = (SparkEntry.queries -- ml.Models.queries.keySet)
+      .filter(kv => only(kv._1))
       .toSeq.sortBy(_._1)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     var sinceGc = 0
