@@ -813,9 +813,13 @@ object Similarity {
     * so the served answers are bit-identical to the in-memory n6
     * path and n7's closed-form oracle applies verbatim: each planted
     * copy's top-1 is its source at cosine exactly 1.0. At 100 TB
-    * this is the shape that matters: the O(corpus) fit+encode cost
-    * is paid once per index build, and each query batch pays only
-    * routing + nprobe/cells of the compressed codes. */
+    * this is the shape that matters: the build cost is paid once per
+    * index, and each query batch pays only routing + nprobe/cells of
+    * the compressed codes. Build's honest exponent (r12 sf1→sf10
+    * ladder: 13.2× for 10× data): cell ASSIGNMENT is O(n·cells) and
+    * the √n cells dial makes that O(n^1.5) — the classic flat-IVF
+    * build trade; hierarchical routing over the centroids would cut
+    * it and is the known upgrade path if builds ever dominate. */
   def n8IndexServe(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     import s.implicits._
