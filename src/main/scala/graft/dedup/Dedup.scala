@@ -242,14 +242,18 @@ object Dedup {
     // Pair semantics are identical: a shingle with 2 ≤ df ≤ cap
     // contributes exactly its C(df,2) ordered pairs.
     // df via a COUNT window, not a groupBy+join: one exchange on s
-    // serves the frequency filter AND (reused, with its sort) both
-    // sides of the self-join below — the groupBy form exchanges the
-    // raw rows and the partial counts separately
+    // serves both the frequency filter and the self-join's
+    // clustering (the groupBy form exchanges the raw rows and the
+    // partial counts separately). localCheckpoint: both sides of the
+    // self-join read the SAME materialized survivors — without it
+    // each side re-runs the explode+window subplan (verified in the
+    // executed plan), doubling the kernel's scan work
     val kept = exploded
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("s")))
       .filter(col("df") >= 2 && col("df") <= cap)
       .select("doc_id", "s")
+      .localCheckpoint(true)
     val pairs = kept.as("a").join(kept.as("b"),
         col("a.s") === col("b.s") &&
           col("a.doc_id") < col("b.doc_id"))
