@@ -309,6 +309,35 @@ class DedupSimSpec extends SparkTestBase {
       "an exact duplicate diverged from its original in the trie cut")
   }
 
+  test("d7 trie cut, depth-64 residue: a sign-identical cluster past " +
+      "the cap is accepted whole and every true pair survives") {
+    import spark.implicits._
+    // 300 exact copies of one vector (cap is 128): identical
+    // signatures can never split, so the cluster must ride to full
+    // depth and be emitted as genuine candidate mass — the verify
+    // sees all C(300,2) pairs at cosine exactly 1.0
+    val one = Tables.embeddings(spark, sfTest)
+      .select("vec_id", "embedding").limit(1)
+      .collect()(0).getAs[scala.collection.Seq[Float]]("embedding")
+      .toArray
+    val n = 300
+    val corpus = (0 until n).map(i => (i.toLong, one))
+      .toDF("vec_id", "embedding")
+    val settled = Dedup.d7SettledBuckets(corpus,
+      basePlanes = 12, numTables = 4)
+    // the whole cluster sits at full depth in every table
+    assert(settled.filter(col("depth") =!= 64).count() == 0,
+      "a sign-identical over-cap cluster must ride to depth 64")
+    assert(settled.groupBy("table_id", "bucket").count()
+      .filter(col("count") =!= n).count() == 0,
+      "the cluster must stay whole in every table")
+    val pairs = Dedup.d7PairsOf(corpus, numPlanes = 12,
+      numTables = 4, tau = 0.9)
+    assert(pairs.count() == n.toLong * (n - 1) / 2,
+      "every true pair of the residue cluster must be emitted")
+    assert(pairs.filter(col("cosine") =!= 1.0).count() == 0)
+  }
+
   test("n2 auto-dial: gated SFs sit on the (8,4) floor; dials grow with n") {
     // the n2 oracle SQL hardcodes 8 planes × 4 tables — valid only
     // while every gated corpus size resolves to the floor
