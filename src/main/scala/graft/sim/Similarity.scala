@@ -350,6 +350,16 @@ object Similarity {
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bcCents.value
+        // centroid norms hoisted once per task — the inner loop paid
+        // them per VECTOR per cell, half its flops. Accumulation
+        // order (k ascending) and the sim expression are unchanged,
+        // so every sim is the bit-identical double and no cell
+        // membership can move (the d9 oracle depends on that).
+        val cnorms = cs.map { case (_, ct) =>
+          var nc = 0.0; var k = 0
+          while (k < ct.length) { nc += ct(k).toDouble * ct(k); k += 1 }
+          math.sqrt(nc)
+        }
         it.map { case (id, v) =>
           var nv = 0.0; var i = 0
           while (i < v.length) { nv += v(i).toDouble * v(i); i += 1 }
@@ -358,13 +368,12 @@ object Similarity {
           var c = 0
           while (c < cs.length) {
             val ct = cs(c)._2
-            var dot = 0.0; var nc = 0.0; var k = 0
+            var dot = 0.0; var k = 0
             while (k < ct.length) {
               dot += v(k).toDouble * ct(k)
-              nc += ct(k).toDouble * ct(k)
               k += 1
             }
-            val sim = dot / (nrm * math.sqrt(nc))
+            val sim = dot / (nrm * cnorms(c))
             if (sim > bestSim) { bestSim = sim; best = cs(c)._1 }
             c += 1
           }
