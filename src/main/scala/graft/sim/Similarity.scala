@@ -137,10 +137,28 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane j,
-    * dim i): small signed value from integer arithmetic (public LCG
-    * constants), reproducible with no RNG. */
-  private def planeComponent(j: Int, i: Int): Double =
-    (((j * 73856093 + i * 19349663) % 97 + 97) % 97 - 48) / 48.0
+    * dim i): the murmur3 fmix32 finalizer (Appleby — public domain
+    * constants) of the flat index j·64+i, scaled to [-1, 1);
+    * reproducible with no RNG object, and replayable in the DuckDB
+    * oracle (32-bit wrap arithmetic only — see the n2 oracle SQL).
+    * fmix32 is a BIJECTION on 32-bit ints, so distinct (j, i) indices
+    * never repeat a component and no two plane vectors can be equal.
+    * The previous LCG-mod-97 form was PERIODIC in j with period 97
+    * (73856093 ≡ 2, 19349663 ≡ 6 mod 97), so any plane set wider than
+    * 97 indices REPEATED hyperplanes across tables — tables 0 and 1
+    * of a 4×64 sig set shared 31 identical planes — and, worse, every
+    * plane was the SAME mod-97 arithmetic progression at a shifted
+    * phase, so "independent" tables were near-parallel lattice
+    * vectors, voiding the per-table independence the
+    * OR-amplification recall math 1-(1-p^b)^L assumes (r12 ADVICE).
+    * DedupSimSpec asserts all numTables·64 plane vectors distinct. */
+  private[graft] def planeComponent(j: Int, i: Int): Double = {
+    var h = j * 64 + i
+    h ^= h >>> 16; h *= 0x85ebca6b
+    h ^= h >>> 13; h *= 0xc2b2ae35
+    h ^= h >>> 16
+    h / 2147483648.0
+  }
 
   /** N2 — LSH-bucketed cosine top-k (scale path of n1): sign-random-
     * projection hashing (Charikar 2002), MULTI-TABLE: `numTables`
@@ -1342,6 +1360,27 @@ object Similarity {
     "n10_filtered_topk" -> n10FilteredTopk,
     "x49_semantic_decontamination" -> x49SemanticDecontamination)
 
+  /** DuckDB restatement of [[planeComponent]]'s fmix32 over a
+    * non-negative int32 `seed` expression: Java's logical shifts are
+    * floor-divisions on the unsigned representation, xor is bigint
+    * xor, and the two wrap-multiplies run in hugeint before the
+    * mod-2^32 fold (u·0xc2b2ae35 tops out near 2^64, past int64).
+    * The final CASE maps the unsigned word back to Java's signed
+    * int before the /2^31 scale. Substitution duplicates the seed
+    * subexpression ~24×, which DuckDB folds at plan time. */
+  private def fmix32Sql(seed: String): String = {
+    def shx(u: String, d: Long): String = s"xor($u, ($u) // $d)"
+    def mul(u: String, c: String): String =
+      s"(((($u)::hugeint * $c) % 4294967296)::bigint)"
+    val u1 = shx(s"($seed)", 65536L)
+    val u2 = mul(u1, "2246822507")
+    val u3 = shx(u2, 8192L)
+    val u4 = mul(u3, "3266489909")
+    val u5 = shx(u4, 65536L)
+    s"((CASE WHEN $u5 >= 2147483648 THEN ($u5) - 4294967296 " +
+      s"ELSE $u5 END) / 2147483648.0)"
+  }
+
   val oracle: Map[String, String] = Map(
     // the planted-leak closed form: organic corpus–benchmark cosine
     // tops out at ~0.49 AT THE GATED SFs (sf0.01/sf0.1 — an
@@ -1430,13 +1469,14 @@ object Similarity {
     // n2's SRP scheme is pure integer arithmetic, so the WHOLE path —
     // plane components, sign buckets, OR-amplified candidates, exact
     // rescoring, ranked tail — replays in SQL. Two subtleties: (a)
-    // planeComponent runs in 32-bit Scala Int arithmetic and the flat
-    // plane index reaches 31, where 31*73856093 WRAPS — the oracle
-    // emulates Java wrap with ((s + 2^31) % 2^32) - 2^31 on the int64
-    // sum before the %97 fold; (b) the dials are pinned to the
-    // auto-dial floor (8 planes, 4 tables), which n2AutoDial yields
-    // for every corpus up to 2^13 vectors — both gated SFs (500 and
-    // 2000 vectors) sit under the floor, asserted by DedupSimSpec.
+    // planeComponent is the fmix32 finalizer in 32-bit Java wrap
+    // arithmetic — the oracle replays it on unsigned values (xor +
+    // floor-division shifts; the two wrap-multiplies go through
+    // hugeint because u·0xc2b2ae35 exceeds int64), see fmix32Sql;
+    // (b) the dials are pinned to the auto-dial floor (8 planes,
+    // 4 tables), which n2AutoDial yields for every corpus up to 2^13
+    // vectors — both gated SFs (500 and 2000 vectors) sit under the
+    // floor, asserted by DedupSimSpec.
     "n2_sim_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          dial AS (SELECT CASE WHEN n <= 8192 THEN 4
@@ -1455,9 +1495,7 @@ object Similarity {
            SELECT e.vec_id, tj.t, tj.j,
              CASE WHEN list_sum(list_transform(range(0,64), i ->
                e.embedding[i+1]::double *
-               ((((((tj.flat*73856093 + i*19349663 + 2147483648)
-                    % 4294967296) - 2147483648) % 97 + 97) % 97 - 48)
-                / 48.0))) >= 0
+               ${fmix32Sql("tj.flat*64 + i")})) >= 0
              THEN (1::BIGINT << tj.j) ELSE 0::BIGINT END AS bit
            FROM e, tj),
          buckets AS (SELECT vec_id, t, sum(bit)::bigint AS bucket

@@ -224,6 +224,19 @@ class DedupSimSpec extends SparkTestBase {
     }
   }
 
+  test("SRP plane generator: all numTables·64 hyperplanes distinct") {
+    // r12 ADVICE: the old mod-97 generator produced only 97 distinct
+    // planes across 256 indices — tables 0 and 1 shared 31 identical
+    // planes, voiding the per-table independence the 1-(1-p^b)^L
+    // recall math assumes. Assert the full 8-table width (wider than
+    // any registered dial, L ≤ 4) pairwise distinct.
+    val planes = Array.tabulate(8 * 64, 64)(Similarity.planeComponent)
+    val distinct = planes.map(_.toSeq).toSet
+    assert(distinct.size == 8 * 64,
+      s"only ${distinct.size} distinct hyperplanes across ${8 * 64}")
+    assert(planes.flatten.forall(c => c >= -1.0 && c <= 1.0))
+  }
+
   test("d7 SRP near-dup banding recovers planted jittered duplicates") {
     import spark.implicits._
     val base = Tables.embeddings(spark, sfTest)
@@ -424,16 +437,26 @@ class DedupSimSpec extends SparkTestBase {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       pairSet(df, "q_id", "neighbor_id")
     val truth = pairs(Similarity.n1SimTopkBruteforce(spark, sfTest))
-    // registered default (8 planes × 4 tables): recall floor (measured
-    // 0.38 — SRP collision odds for this fixture's cos≈0.3 top-5 are
-    // p^8 per table; the dials below buy recall back)
+    // registered default (8 planes × 4 tables): this fixture's top-5
+    // sits at cos≈0.3 (p = 1-θ/π ≈ 0.60, p^8 ≈ 0.016/table →
+    // 1-(1-p^8)^4 ≈ 0.06) — the HONEST Charikar odds now that the r13
+    // plane fix made tables independent (the old mod-97 lattice's
+    // near-parallel planes behaved like far fewer effective bits and
+    // inflated measured recall to 0.38). Low-similarity SRP recall IS
+    // this bad — that is exactly the documented n2 trade (n3/n6 is
+    // the production path); the floor pins the math, the dials below
+    // pin the directions.
     val got = pairs(Similarity.n2SimLshTopk(spark, sfTest))
     val recallDefault = (got & truth).size.toDouble / truth.size
-    assert(recallDefault >= 0.3, s"n2 default recall: $recallDefault")
-    // fewer planes → bigger buckets → more recall (measured 0.76)
+    assert(recallDefault >= 0.03, s"n2 default recall: $recallDefault")
+    // fewer planes → bigger buckets → more recall (p^4 ≈ 0.127/table
+    // → 1-(1-p^4)^4 ≈ 0.42 expected)
     val loose = pairs(Similarity.n2Impl(spark, sfTest, 4, 4))
     val recallLoose = (loose & truth).size.toDouble / truth.size
-    assert(recallLoose >= 0.6, s"n2 4-plane recall: $recallLoose")
+    info(s"n2 measured recall: default=$recallDefault loose=$recallLoose")
+    assert(recallLoose >= 0.25, s"n2 4-plane recall: $recallLoose")
+    assert(recallLoose > recallDefault,
+      "fewer planes must buy recall back")
     // more planes → max bucket occupancy must DROP (the 100 TB dial:
     // expected n/2^planes per table)
     def maxBucket(planes: Int, tables: Int): Long =
