@@ -647,13 +647,20 @@ object Dedup {
     * (depth, bucket) in EVERY table — the d7 gate's recall-1.0
     * guarantee survives any cut. */
   private[graft] def d7SettledBuckets(corpus: DataFrame,
-      basePlanes: Int, numTables: Int): DataFrame = {
+      basePlanes: Int, numTables: Int): DataFrame =
+    d7Settle(graft.sim.Similarity.sigsOf(corpus, numTables), basePlanes)
+
+  /** The settle loop over a precomputed (vec_id, table_id, sig)
+    * frame — split from [[d7SettledBuckets]] so [[d7PairsOf]] can
+    * compute the signatures ONCE and feed both the trie cut and the
+    * Hamming recovery tier ([[d7NearDupCandidates]]). */
+  private[graft] def d7Settle(sigs: DataFrame,
+      basePlanes: Int): DataFrame = {
     val mask = when(col("depth") >= 64, lit(-1L))
       .otherwise(expr("shiftleft(1L, depth)") - 1)
     def bucketed(df: DataFrame): DataFrame =
       df.withColumn("bucket", col("sig").bitwiseAND(mask))
-    var cur = bucketed(graft.sim.Similarity.sigsOf(corpus, numTables)
-      .withColumn("depth", lit(basePlanes)))
+    var cur = bucketed(sigs.withColumn("depth", lit(basePlanes)))
     var rounds = 0
     val maxRounds = (64 - basePlanes + D7SplitStep - 1) / D7SplitStep
     while (rounds >= 0 && rounds < maxRounds) {
@@ -681,38 +688,122 @@ object Dedup {
     cur.select("vec_id", "table_id", "depth", "bucket")
   }
 
+  /** Pigeonhole chunk count over the 64-bit signature (widths
+    * 13/13/13/13/12): any pair at Hamming ≤ 4 shares a clean chunk
+    * with certainty, and the miss odds beyond that need every chunk
+    * hit. Radius [[D7HamMax]] = 10 is the band the recovery tier
+    * defends: at cos 0.98 a 64-plane sig flips E = 64·θ/π ≈ 4.1 bits
+    * (σ ≈ 2.0), so P(Ham ≤ 10) ≈ 0.998 — while the sf-corpus hot
+    * clusters (within-copy cos ≤ 0.51, E[Ham] ≈ 21) land past the
+    * radius with ≈ 0.3% odds, so cluster noise dies in the long-pair
+    * filter BEFORE any member expansion or embedding gather.
+    * [[D7HamTables]] = 2 plane sets double the chance:
+    * recall ≈ 1−(1−r)² with r ≈ 0.94 per table at the 0.98 boundary. */
+  private[graft] val D7HamChunks = 5
+  private[graft] val D7HamChunkBits = 13
+  private[graft] val D7HamMax = 10
+  private[graft] val D7HamTables = 2
+
+  /** NEAR-DUP RECOVERY TIER for the trie cut (r12 verdict task 1):
+    * the adaptive-depth cut bounds occupancy, but a pair at the
+    * τ=0.98 boundary inside a DEEPENED bucket collides per table
+    * with p^64 ≈ 1.5% (Charikar: p ≈ 0.936/plane at cos 0.98) — the
+    * cut provably keeps exact-dup recall and silently sheds near-dup
+    * recall exactly where near-dups concentrate (hot regions). This
+    * tier recovers them WITHOUT prefix collisions: candidates are
+    * pairs of DISTINCT full signatures within Hamming radius
+    * [[D7HamMax]], found by the pigeonhole chunk trick (Manku et al.
+    * 2007, WWW — detecting near-duplicates for web crawling): split
+    * the 64-bit sig into [[D7HamChunks]] chunks; a pair within the
+    * radius shares at least one untouched chunk with high odds (with
+    * certainty at Ham ≤ 4), so an equi-self-join per (chunk_idx,
+    * chunk_val) + an exact popcount filter finds them — no n² scan.
+    * Sign-identical members collapse to ONE row before the join
+    * (exact-sig groups are the residue path's job), and member
+    * expansion happens only after the Hamming filter, so the join
+    * fan-out tracks true near-dup mass, not cluster occupancy.
+    *
+    * Scale shape: the join key space is tables·chunks·2^13, so
+    * background collision mass grows as n_d²·C/2^13 per table (n_d =
+    * distinct sigs). Fine through ~10^7 sigs; past that the key must
+    * be extended with a coarse-quantizer cell id (route the recovery
+    * through d9's IVF cells — the documented upgrade, trading the
+    * cross-cell sliver of recall SemDeDup already trades). */
+  private[graft] def d7NearDupCandidates(sigs: DataFrame): DataFrame = {
+    val members = sigs.filter(col("table_id") < D7HamTables)
+      .select("table_id", "sig", "vec_id")
+    val reps = members.select("table_id", "sig").distinct()
+    val chunkCols = (0 until D7HamChunks).map { k =>
+      val off = k * D7HamChunkBits
+      val width = math.min(D7HamChunkBits, 64 - off)
+      shiftrightunsigned(col("sig"), off)
+        .bitwiseAND(lit((1L << width) - 1L))
+    }
+    val chunked = reps.select(col("table_id"), col("sig"),
+      posexplode(array(chunkCols: _*)).as(Seq("chunk_idx", "chunk_val")))
+    val repPairs = chunked.as("a").join(chunked.as("b"),
+        col("a.table_id") === col("b.table_id") &&
+          col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.sig") < col("b.sig"))
+      .select(col("a.table_id"), col("a.sig").as("sig_a"),
+        col("b.sig").as("sig_b"))
+      .filter(expr(s"bit_count(sig_a ^ sig_b) <= $D7HamMax"))
+      .distinct()
+    repPairs
+      .join(members.select(col("table_id"), col("sig").as("sig_a"),
+        col("vec_id").as("va")), Seq("table_id", "sig_a"))
+      .join(members.select(col("table_id"), col("sig").as("sig_b"),
+        col("vec_id").as("vb")), Seq("table_id", "sig_b"))
+      .select(least(col("va"), col("vb")).as("vec_a"),
+        greatest(col("va"), col("vb")).as("vec_b"))
+      .filter(col("vec_a") < col("vec_b"))
+  }
+
   /** Core of d7: SRP-LSH-banded near-dup pair detection over any
     * (vec_id, embedding) frame — the sub-quadratic production path
-    * that d5's brute-force tiling is the oracle baseline for.
-    * Candidates are pairs sharing an adaptive-depth bucket
-    * ([[d7SettledBuckets]]) in ANY of the `numTables` plane sets
-    * (OR-amplification); only candidates pay the exact-cosine
-    * verify, and only verified pairs (≥ `tau`) are emitted. The
-    * shuffle is an equi-join on (table_id, depth, bucket) over
-    * occupancy-bounded buckets — n·L rows in, pair mass capped by
-    * [[D7HotBucketCap]] — never the n² cross join.
+    * that d5's brute-force tiling is the oracle baseline for. TWO
+    * candidate tiers feed one exact-cosine verify: (1) pairs sharing
+    * an adaptive-depth bucket ([[d7Settle]]) in ANY of the
+    * `numTables` plane sets (OR-amplification — owns exact/near-exact
+    * duplicates at ANY depth and bounds occupancy); (2) pairs of
+    * distinct signatures within Hamming radius [[D7HamMax]]
+    * ([[d7NearDupCandidates]] — owns τ-boundary near-dups that
+    * deepened or base-depth prefixes would shed). Only candidates pay
+    * the exact-cosine verify, and only verified pairs (≥ `tau`) are
+    * emitted. Both tiers are equi-joins over bounded keys — never
+    * the n² cross join.
     *
     * Dial math (Charikar 2002): a pair at angle θ collides per plane
-    * with p = 1 − θ/π, per table with p^b, in any of L tables with
-    * 1 − (1−p^b)^L — where b is now the pair's bucket's SETTLED
-    * depth, ≥ `numPlanes`. SRP prunes usefully only at HIGH cosine —
-    * exact duplicates collide in every table at ANY depth; at d5's
-    * τ=0.45 exploratory band no sane (b, L) prunes, which is why
-    * that scan stays brute-force. DedupSimSpec asserts ≥0.95 recall
-    * on planted jittered near-dups (cos≈0.999, p≈0.996/plane — deep
-    * cuts cost them little) and that settled occupancy is bounded on
-    * the real clustered corpus. */
+    * with p = 1 − θ/π, per table with p^b at depth b. Tier 1 alone
+    * decays at the τ=0.98 boundary (p^64 ≈ 1.5%/table in a deepened
+    * bucket — the r12 gap) and even at a log-n base depth
+    * (p^22 ≈ 0.24/table at sf10 scale); tier 2 is depth-independent:
+    * E[Ham] = 64·θ/π ≈ 4.1 at cos 0.98, so P(Ham ≤ 10) ≈ 0.998 and
+    * the pigeonhole join finds the pair regardless of where the trie
+    * cut put it. Below cos ≈ 0.93 the radius decays by design —
+    * that exploratory band belongs to d9/d5 (at d5's τ=0.45 no sane
+    * SRP dial prunes, which is why that scan stays brute-force).
+    * DedupSimSpec asserts ≥0.9 recall on cos≈0.98 boundary pairs
+    * planted INSIDE an over-cap, fully-deepened cluster, ≥0.95 on
+    * cos≈0.999 jitter, and bounded settled occupancy on the real
+    * clustered corpus. */
   private[graft] def d7PairsOf(corpus: DataFrame, numPlanes: Int,
       numTables: Int, tau: Double): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val buckets = d7SettledBuckets(corpus, numPlanes, numTables)
-    val candidates = buckets.as("a").join(buckets.as("b"),
+    // one signature pass feeds both tiers: n·L rows of longs,
+    // checkpointed eagerly (the d6 lineage discipline)
+    val sigs = graft.sim.Similarity
+      .sigsOf(corpus.select("vec_id", "embedding"), numTables)
+      .localCheckpoint(true)
+    val buckets = d7Settle(sigs, numPlanes)
+    val t1 = buckets.as("a").join(buckets.as("b"),
         col("a.table_id") === col("b.table_id") &&
           col("a.depth") === col("b.depth") &&
           col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .distinct()
+    val candidates = t1.union(d7NearDupCandidates(sigs)).distinct()
     val emb = corpus.select("vec_id", "embedding")
     candidates
       .join(emb.select(col("vec_id").as("vec_a"),

@@ -266,6 +266,91 @@ class DedupSimSpec extends SparkTestBase {
     assert(got.filter(col("cosine") < 0.98).count() == 0)
   }
 
+  test("d7 near-dup recall at the tau=0.98 boundary INSIDE a deepened " +
+      "(over-cap) cluster: the Hamming recovery tier defends it") {
+    import spark.implicits._
+    // r12 gap: the trie cut proved exact-dup recall under deepening
+    // but a cos-0.98 pair collides per table with p^64 ≈ 1.5% once
+    // its bucket is driven to full depth — and hot clusters are
+    // exactly where near-dups concentrate. Build that adversarial
+    // corpus directly: one sign-saturated cluster big enough to blow
+    // the 128 cap at every depth, boundary twins planted inside it,
+    // pseudo-random background around it.
+    val dim = 64
+    def noise(seed: Int, i: Int): Double =
+      Similarity.planeComponent(seed, i)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val base = unit(Array.tabulate(dim)(i => 1.0 + 0.01 * noise(7919, i)))
+    // 400 members at jitter 1e-4 (cos ≈ 0.9999999 vs base): one
+    // modal sig group per table far past the cap
+    val members = (0 until 400).map { m =>
+      unit(Array.tabulate(dim)(i => base(i) + 1e-4 * noise(m, i)))
+    }.toArray
+    // boundary twins: w = v·cosθ + g⊥·sinθ — cosine to the member is
+    // 0.9805 BY CONSTRUCTION (≈0.98049 to the rest of the cluster),
+    // margin ≥ 4e-4 above the τ=0.98 gate so float edges can't flake
+    val cosT = 0.9805; val sinT = math.sqrt(1 - cosT * cosT)
+    val twins = (0 until 400 by 4).map { m =>
+      val v = members(m)
+      val g = Array.tabulate(dim)(i => noise(100000 + m, i))
+      val dot = v.zip(g).map { case (a, b) => a * b }.sum
+      val orth = unit(g.zip(v).map { case (gi, vi) => gi - dot * vi })
+      (10000L + m,
+        v.zip(orth).map { case (vi, oi) => vi * cosT + oi * sinT })
+    }
+    val background = (0 until 1280).map { b =>
+      (20000L + b, unit(Array.tabulate(dim)(i => noise(200000 + b, i))))
+    }
+    val all: Seq[(Long, Array[Double])] =
+      members.zipWithIndex.map { case (v, m) => (m.toLong, v) }.toSeq ++
+        twins ++ background
+    val floats = all.map { case (id, v) => (id, v.map(_.toFloat)) }
+    val corpus = floats.toDF("vec_id", "embedding")
+    // the cluster must ACTUALLY deepen — otherwise this test isn't
+    // exercising the r12 failure mode
+    val settled = Dedup.d7SettledBuckets(corpus, 12, 4)
+    assert(settled.filter(col("depth") > 12).count() > 0,
+      "corpus did not deepen past the base — not an over-cap cluster")
+    // ground truth at τ: brute force over the same float vectors with
+    // double accumulation (floatCosine's arithmetic)
+    def cosF(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val fv = floats.toArray
+    val truth = (for {
+      x <- fv.indices.iterator; y <- (x + 1) until fv.length
+      if cosF(fv(x)._2, fv(y)._2) >= 0.98
+    } yield (math.min(fv(x)._1, fv(y)._1),
+      math.max(fv(x)._1, fv(y)._1))).toSet
+    assert(truth.size > 50000, s"fixture degenerate: ${truth.size}")
+    val got = pairSet(
+      Dedup.d7PairsOf(corpus, numPlanes = 12, numTables = 4, tau = 0.98),
+      "vec_a", "vec_b")
+    // no false pairs (exact verify), and ≥0.9 recall on ALL true
+    // pairs at the boundary-heavy distribution
+    assert(got.subsetOf(truth), s"non-true pairs: ${(got -- truth).take(3)}")
+    val recall = (got & truth).size.toDouble / truth.size
+    info(s"deepened-cluster recall: $recall over ${truth.size} true pairs")
+    assert(recall >= 0.9, s"deepened-cluster recall at tau=0.98: $recall")
+    // and specifically on the planted member↔twin boundary pairs —
+    // the exact contract the r12 scaladoc over-claimed
+    val plantedPairs = (0 until 400 by 4)
+      .map(m => (m.toLong, 10000L + m)).toSet
+    val recallPlanted =
+      (got & plantedPairs).size.toDouble / plantedPairs.size
+    info(s"planted boundary-pair recall: $recallPlanted " +
+      s"over ${plantedPairs.size} pairs")
+    assert(recallPlanted >= 0.9,
+      s"boundary-pair recall inside the deepened cluster: $recallPlanted")
+  }
+
   test("d7 planted exact copies are found with recall 1.0 (gate shape)") {
     val pairs = Dedup.d7DedupEmbeddingLsh(spark, sfTest)
     val planted = Tables.embeddings(spark, sfTest)
