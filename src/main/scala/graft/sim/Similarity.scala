@@ -301,16 +301,29 @@ object Similarity {
   private val IvfProbes = 4
 
   /** Corpus-size-aware IVF dials: cells ≈ √(n/2) (the classic k≈√n
-    * rule, halved to keep the k-means fit cheap at the sample cap)
-    * with the probe fraction pinned at ¼ of cells — the 50k-vector
-    * probe run showed fixed 16 cells going coarse (recall 0.586 <
-    * the 0.6 floor) exactly as the n2 fixed-plane failure mode
-    * predicts. Floors keep the sf0.001–0.01 spec fixtures (500
-    * vectors) on the original (16, 4). */
+    * rule, halved to keep the k-means fit cheap at the sample cap);
+    * probes = min(cells/4, 2·⌈√cells⌉). The fixed ¼-of-cells probe
+    * FRACTION (r8 campaign) made per-query serve cost O(n) — probed
+    * codes = (cells/4)·(n/cells) = n/4 — which the r13 leg probe
+    * exposed as n8's REAL sf10 payer (serve 439.5 s of the 456 s
+    * total vs fit 6.5 + encode 9.0; the r12 ladder had attributed
+    * the 13.2× to the O(n·cells) build assignment — falsified by
+    * measurement). The √-growth branch takes over past 64 cells
+    * (n > 8192, beyond both gated SFs — their outputs stay
+    * byte-identical): measured at sf10 (n=200k, cells=317),
+    * probes=36 holds recall 0.661 ≥ the 0.6 floor at 2.5× less
+    * serve wall than the old 79 (0.843 recall, 165 s vs 66 s —
+    * RecallProbe ivf sweep, BASELINE round-13). Per-query probed
+    * codes become 2√cells·√(2n) = O(n^0.75); at 10⁹ vectors the
+    * probe fraction is ~1.3% of cells — the FAISS-typical deployment
+    * band. Floors keep the sf0.001–0.01 spec fixtures (500 vectors)
+    * on the original (16, 4). */
   private[graft] def n3AutoDial(n: Long): (Int, Int) = {
     val cells = math.max(IvfCells,
       math.ceil(math.sqrt(n / 2.0)).toInt)
-    (cells, math.max(IvfProbes, cells / 4))
+    val probes = math.max(IvfProbes,
+      math.min(cells / 4, 2 * math.ceil(math.sqrt(cells)).toInt))
+    (cells, probes)
   }
 
   /** N3 — IVF-style ANN (inverted-file coarse quantization as in
@@ -358,7 +371,22 @@ object Similarity {
     * Deterministic: strict `>` argmax ties to the lowest cell index,
     * so an exact-duplicate vector ALWAYS lands in its original's
     * cell (the d9 planted-gate invariant). Returns
-    * (vec_id, embedding, cell). */
+    * (vec_id, embedding, cell).
+    *
+    * Round-13 negative result, recorded so it is not retried: a
+    * triangle-inequality (Elkan 2003) two-level router over the
+    * centroids — exact, bit-identical argmax, group bound
+    * cos(v,c) ≤ 1 − max(0, ‖v̂−ĝ‖−r_g)²/2 — was built, spec-proven
+    * equal to this flat scan on every corpus vector, and then
+    * MEASURED to prune nothing: scan fraction 1.000 over 10k sf10
+    * vectors (tools/N8Probe). At 64 dims the fitted centroids are
+    * near-isotropic (⌈√cells⌉ groups of unit centroids carry radii
+    * ≈ √2, so every group's bound clears every best-so-far) — metric
+    * pruning needs low dimension or tight cluster structure, and
+    * this corpus has neither. The flat scan is also NOT the scale
+    * payer: the r13 leg probe put assignment at seconds against the
+    * serve leg's hundreds (see n8's scaladoc), so the flat kernel
+    * stays. */
   private[graft] def cosineAssign(emb: DataFrame,
       cents: Array[(Int, Array[Float])]): DataFrame = {
     val s = emb.sparkSession
@@ -427,13 +455,15 @@ object Similarity {
   /** The n3 body over an arbitrary (vec_id, embedding) corpus and
     * query predicate — shared by the gated n3 query and the n3b
     * planted gate. */
-  private def ivfTopkOf(s: SparkSession, embIn: DataFrame,
-      queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+  private[graft] def ivfTopkOf(s: SparkSession, embIn: DataFrame,
+      queryPred: org.apache.spark.sql.Column, k: Int,
+      probesOverride: Option[Int] = None): DataFrame = {
     GraftFunctions.register(s)
     import s.implicits._
     val emb = embIn.select("vec_id", "embedding")
     val total = emb.count()
-    val (cells, probes) = n3AutoDial(total)
+    val (cells, autoProbes) = n3AutoDial(total)
+    val probes = probesOverride.getOrElse(autoProbes)
     val cents = fitCentroids(emb, cells, total)
     val assigned = cosineAssign(emb, cents)
     val centroids = cents.toSeq.toDF("cell", "centroid")
@@ -842,11 +872,16 @@ object Similarity {
     * copy's top-1 is its source at cosine exactly 1.0. At 100 TB
     * this is the shape that matters: the build cost is paid once per
     * index, and each query batch pays only routing + nprobe/cells of
-    * the compressed codes. Build's honest exponent (r12 sf1→sf10
-    * ladder: 13.2× for 10× data): cell ASSIGNMENT is O(n·cells) and
-    * the √n cells dial makes that O(n^1.5) — the classic flat-IVF
-    * build trade; hierarchical routing over the centroids would cut
-    * it and is the known upgrade path if builds ever dominate. */
+    * the compressed codes. Honest exponent, r13 correction: the r12
+    * ladder blamed n8's 13.2×-per-decade on the O(n·cells) build
+    * assignment — the leg-by-leg probe (tools/N8Probe) FALSIFIED
+    * that at sf10: fit 6.5 s + encode 9.0 s vs serve 439.5 s. The
+    * payer was the serve leg's candidate mass under the old
+    * ¼-of-cells probe fraction (n/4 probed codes per query × n/25
+    * planted queries ⇒ O(n²) fixture cost; 434M scored rows = the
+    * 5 GB shuffle in the r12 artifact). Fixed in [[n3AutoDial]]'s
+    * √-growth probe branch, recall re-measured ≥ the 0.6 floor at
+    * sf10. */
   def n8IndexServe(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     import s.implicits._
@@ -980,15 +1015,17 @@ object Similarity {
     * query predicate — shared by the gated n6 query and the n7
     * planted gate. Fit → encode → serve, each phase reusable on its
     * own (n8 persists between encode and serve). */
-  private def ivfPqTopkOf(s: SparkSession, embIn: DataFrame,
+  private[graft] def ivfPqTopkOf(s: SparkSession, embIn: DataFrame,
       queryPred: org.apache.spark.sql.Column, k: Int,
-      dir: String, tag: String): DataFrame = {
+      dir: String, tag: String,
+      probesOverride: Option[Int] = None): DataFrame = {
     GraftFunctions.register(s)
     val emb = embIn.select("vec_id", "embedding")
     val total = emb.count()
     val model = fitIvfPqCached(s, emb, total, dir, tag)
     val codes = encodeIvfPq(s, emb, model)
-    serveIvfPq(s, emb, model, codes, total, queryPred, k)
+    serveIvfPq(s, emb, model, codes, total, queryPred, k,
+      probesOverride)
   }
 
   /** Fit phase: deterministic coarse quantizer + per-cell residual
@@ -1215,10 +1252,12 @@ object Similarity {
     * index without refitting. */
   private[graft] def serveIvfPq(s: SparkSession, emb: DataFrame,
       model: IvfPqModel, codes: DataFrame, total: Long,
-      queryPred: org.apache.spark.sql.Column, k: Int): DataFrame = {
+      queryPred: org.apache.spark.sql.Column, k: Int,
+      probesOverride: Option[Int] = None): DataFrame = {
     import s.implicits._
     val bcModel = s.sparkContext.broadcast(model)
-    val (_, probes) = n3AutoDial(total)
+    val (_, autoProbes) = n3AutoDial(total)
+    val probes = probesOverride.getOrElse(autoProbes)
     // the query WORKLOAD (bounded by definition): raw vectors only —
     // each task derives probe lists and LUTs locally from the model
     val queryVecs: Array[(Long, Array[Float], Double)] = emb

@@ -11,9 +11,10 @@ import graft.sim.Similarity
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -23,6 +24,34 @@ object RecallProbe {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("q_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // "ivf" mode (round 13): probe-count sweep for n3/n6 at SCALE
+    // corpora — n2/n4 are excluded (n2 is the documented quadratic;
+    // n4 is flat-PQ, no probes). Ground truth = n1 label-blocked
+    // brute force, same as below. Usage: RecallProbe <dir> ivf
+    if (args.length > 1 && args(1) == "ivf") {
+      import org.apache.spark.sql.functions.col
+      val truth = pairs(Similarity.n1SimTopkBruteforce(spark, dir))
+      println(s"n1 truth pairs: ${truth.size}")
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val (cells, autoP) = Similarity.n3AutoDial(n)
+      val sqrtP = math.max(4, math.ceil(math.sqrt(cells)).toInt)
+      val cand = Seq(sqrtP, 2 * sqrtP, 4 * sqrtP, autoP)
+        .filter(_ <= cells).distinct.sorted
+      println(s"ivf sweep: n=$n cells=$cells autoProbes=$autoP " +
+        s"candidates=$cand")
+      for (p <- cand) {
+        val t0 = System.nanoTime()
+        val got = pairs(Similarity.ivfPqTopkOf(spark,
+          graft.Tables.embeddings(spark, dir)
+            .select("vec_id", "embedding"),
+          col("vec_id") % 50 === 0, k = 5, dir, "base", Some(p)))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val r = (got & truth).size.toDouble / truth.size
+        println(f"n6 probes=$p recall=$r%.3f serve_wall=$sec%.1f s")
+      }
+      spark.stop(); return
+    }
 
     val truth = pairs(Similarity.n1SimTopkBruteforce(spark, dir))
     println(s"n1 truth pairs: ${truth.size}")
