@@ -87,8 +87,32 @@ object Bench {
     *    artifact says "degraded window, adjudicate before believing
     *    per-query deltas" about itself. */
   private val D4Key = "d4_dedup_simhash"
-  private val D4QuietBand = (0.55, 0.70)
+  /** The d4 quiet band is HOST-SPECIFIC absolute seconds (calibrated
+    * on the driver host across rounds 10–12); on another machine set
+    * SPARK_GRAFT_D4_BAND="lo,hi" once from a few quiet runs —
+    * otherwise every artifact there would permanently self-label
+    * degraded and `in_band` would carry no information (r12 ADVICE). */
+  private val D4QuietBand: (Double, Double) =
+    sys.env.get("SPARK_GRAFT_D4_BAND").flatMap { s =>
+      s.split(',') match {
+        case Array(lo, hi) =>
+          scala.util.Try((lo.trim.toDouble, hi.trim.toDouble)).toOption
+        case _ => None
+      }
+    }.getOrElse((0.55, 0.70))
   private val MedianRatioCeiling = 1.1
+
+  /** JSON string escape for builder-authored text (the warn flag) —
+    * same contract as Verify's: quote, backslash, control chars. */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 
   private def controlJson(
       results: Seq[(String, Option[Double], (Long, Long, Long, Long, Long))],
@@ -122,10 +146,17 @@ object Bench {
     val medianRatio =
       if (ratios.isEmpty) None
       else Some(ratios(ratios.size / 2))
+    // a subset run that omitted the control query can't be labeled:
+    // in_band goes null, not a vacuous true (r12 verdict task 6)
+    val d4Included = results.exists(_._1 == D4Key)
     val d4Ok = d4.forall(_ <= D4QuietBand._2)
     val ratioOk = medianRatio.forall(_ <= MedianRatioCeiling)
     val warn: Option[String] =
       (d4, medianRatio) match {
+        case _ if !d4Included => Some(
+          "no d4 control in this run's subset — window quality " +
+            "unlabeled; include d4_dedup_simhash in " +
+            "SPARK_GRAFT_BENCH_ONLY for a self-labeling ladder point")
         case _ if d4Ok && ratioOk => None
         case (Some(v), _) if !d4Ok && ratioOk => Some(
           f"degraded window: d4 control $v%.3f above quiet ceiling " +
@@ -141,12 +172,14 @@ object Bench {
       }
     // locale-fixed rendering (no f-interpolator in the JSON itself)
     def num(d: Double): String = (math.round(d * 1000) / 1000.0).toString
+    val inBand =
+      if (!d4Included) "null" else (d4Ok && ratioOk).toString
     s"""{"d4":${d4.fold("null")(num)},""" +
       s""""d4_quiet_band":[${D4QuietBand._1},${D4QuietBand._2}],""" +
       s""""median_ratio_vs_prev":${medianRatio.fold("null")(num)},""" +
       s""""n_shared_queries":${ratios.size},""" +
-      s""""in_band":${d4Ok && ratioOk},""" +
-      warn.fold(""""warn":null""")(w => s""""warn":"$w"""") + "}"
+      s""""in_band":$inBand,""" +
+      warn.fold(""""warn":null""")(w => s""""warn":${jstr(w)}""") + "}"
   }
 
   // Cross-query scrub: SessionCaches.scrub drops catalog caches and
@@ -186,8 +219,9 @@ object Bench {
     // numbers are comparable across rounds and any shared-cache
     // "first consumer pays" cost lands on the same query every time.
     // SPARK_GRAFT_BENCH_ONLY: optional comma-separated key subset for
-    // targeted scale campaigns (pair with SPARK_GRAFT_BENCH_OUT so a
-    // subset never clobbers the full artifact of record).
+    // targeted scale campaigns (the default output path moves to
+    // BENCH_SUBSET.json in that mode, so a subset can never clobber
+    // the full artifact of record).
     val only: String => Boolean =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY")
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
@@ -240,8 +274,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
+    // a subset run must NEVER silently clobber the full artifact of
+    // record (and then poison the next full run's median ratio): with
+    // SPARK_GRAFT_BENCH_ONLY set, the default output moves to a
+    // distinct path; SPARK_GRAFT_BENCH_OUT still overrides (r12
+    // ADVICE)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "BENCH_FULL.json")
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "BENCH_SUBSET.json"
+      else "BENCH_FULL.json")
     val control = controlJson(results, sfDir, out)
     val head = s""""metric":"total","value":$total,"unit":"sec"""" +
       s""","n_queries":${results.size},"ok":${failed.isEmpty}""" +

@@ -48,6 +48,12 @@ object Verify {
     val twins = SparkEntry.twins
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/twins.json"), twins)
+    // explicit full-vs-subset marker: check.py's twin enforcement
+    // must not INFER completeness from oracle dirs alone — a subset
+    // that happens to include every oracle query but omits rows-only
+    // keys would read as full and flag every twin stale (r12 ADVICE)
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      s"""{"full": ${args.length <= 2}}""")
     spark.stop()
   }
 }

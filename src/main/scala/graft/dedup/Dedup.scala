@@ -254,10 +254,37 @@ object Dedup {
       .filter(col("df") >= 2 && col("df") <= cap)
       .select("doc_id", "s")
       .localCheckpoint(true)
-    val pairs = kept.as("a").join(kept.as("b"),
+    // Scale the pair-agg exchange with the CANDIDATE MASS instead of
+    // inheriting spark.sql.shuffle.partitions: the mass is known
+    // exactly before the join runs — Σ C(df,2) over kept shingles,
+    // one cheap aggregate on the checkpointed survivors (kept is
+    // already clustered by s, so no extra exchange) — and at sf10 it
+    // is 126.6M pairs, which through a cpu-count exchange meant ~4M-
+    // row agg partitions and the genuine spill the r12 ladder
+    // measured as the d2b residual. ~2M pair rows per partition
+    // keeps each task's agg hash table inside execution memory; the
+    // explicit repartition REPLACES the group-by's exchange
+    // (HashPartitioning(doc_a, doc_b) satisfies its required
+    // distribution), it does not add one, and it only engages when
+    // the dial exceeds the session default — gate-SF plans are
+    // byte-identical to before.
+    val defaultPar =
+      docs.sparkSession.sessionState.conf.numShufflePartitions
+    val pairMass = kept.groupBy("s")
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("c * (c - 1)")), lit(0L)))
+      .head().getLong(0) / 2
+    val nPart = math.min(4096L,
+      math.max(defaultPar.toLong, pairMass / 2000000L + 1)).toInt
+    val joined = kept.as("a").join(kept.as("b"),
         col("a.s") === col("b.s") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val clustered =
+      if (nPart > defaultPar)
+        joined.repartition(nPart, col("doc_a"), col("doc_b"))
+      else joined
+    val pairs = clustered
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
     val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n"))
     pairs

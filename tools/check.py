@@ -104,7 +104,15 @@ def main():
     # a dev-loop subset run (Verify's 3rd arg) has missing dirs by
     # design, detectable because some oracle-keyed dir is absent.
     twins_path = out_dir / "twins.json"
-    full_dump = all((out_dir / name).exists() for name in oracle)
+    # prefer the explicit marker Verify writes (r12 ADVICE: inferring
+    # completeness from oracle dirs misreads an all-oracle subset as
+    # full and flags every twin stale); fall back to inference for
+    # dumps from older builds
+    manifest = out_dir / "manifest.json"
+    if manifest.exists():
+        full_dump = bool(json.loads(manifest.read_text()).get("full"))
+    else:
+        full_dump = all((out_dir / name).exists() for name in oracle)
     if twins_path.exists() and full_dump:
         twins = json.loads(twins_path.read_text())
         twin_fails = []
