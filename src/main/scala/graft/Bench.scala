@@ -201,6 +201,26 @@ object Bench {
       // than the whole bench, so weak-ref'd broadcast/shuffle state
       // would never be reclaimed mid-run without this
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // Let AQE size every exchange from the data instead of pinning
+      // all shuffles at cpu count: stages start at 256 partitions and
+      // coalesce down to the advisory size, so a 35 GB window sort
+      // (d2b's sf10 stop-filter — the REAL spiller the r12 ladder
+      // misattributed to the pair agg) runs ~140 MB in-memory sorts
+      // while small stages coalesce back to a handful of tasks. This
+      // is the local stand-in for sizing shuffle.partitions to the
+      // corpus on a real cluster.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        "256")
+      // ObjectHashAggregate (collect_list/typed Aggregators) falls
+      // back to SORT-based aggregation after 128 distinct keys per
+      // partition — a default that turns d2b's per-shingle doc-list
+      // aggregate into a full sort of the exploded frame (measured
+      // 47 GB spill at sf10). Its state is bounded by the partition's
+      // input share (tens of MB here), so hash aggregation is safe at
+      // any realistic key count; the sketch Aggregators (≤k-entry
+      // buffers) only benefit.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4194304")
       // events.parquet carries TIMESTAMP(NANOS) — see Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()

@@ -227,64 +227,49 @@ object Dedup {
     // the one canonical (doc_id, shingle) explode — shared with the
     // d11 delta-gate path so the two can never drift
     val exploded = shinglePairs(docs)
-    // Stop shingles drop on a COUNT alone (no doc-list ever
-    // buffers), then candidates form as a shingle equi-self-join and
-    // shared counts as a hash aggregate over (doc_a, doc_b) longs.
-    // All-DataFrame deliberately: the previous groupByKey+
-    // flatMapGroups kernel sorted the exploded rows as JVM objects,
-    // whose ~10× in-memory expansion dominated at scale (r12 sf10
-    // ladder: 15.7× wall for 10× data); the join/agg form stays in
-    // Tungsten binary format end-to-end and brought the same point
-    // to ~5–8× — what spill remains there is the genuine linear
-    // candidate mass (126.6M pairs, measured exactly 10× sf1's)
-    // passing through a 32-partition agg on an 8 GB heap, which
-    // partition count, not kernel shape, owns at cluster scale.
-    // Pair semantics are identical: a shingle with 2 ≤ df ≤ cap
-    // contributes exactly its C(df,2) ordered pairs.
-    // df via a COUNT window, not a groupBy+join: one exchange on s
-    // serves both the frequency filter and the self-join's
-    // clustering (the groupBy form exchanges the raw rows and the
-    // partial counts separately). localCheckpoint: both sides of the
-    // self-join read the SAME materialized survivors — without it
-    // each side re-runs the explode+window subplan (verified in the
-    // executed plan), doubling the kernel's scan work
-    val kept = exploded
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("s")))
+    // MINIMAL-SHUFFLE, SORT-FREE shape (round 13). History of this
+    // kernel, all falsified BY MEASUREMENT at sf10 on an 8 GB heap:
+    // (r11) groupByKey+flatMapGroups — JVM-object sort, 34.6 GB
+    // spill; (r12) count-over-window stop filter + shingle
+    // equi-self-join — still ~35 GB spill, misattributed to the pair
+    // agg: the executed plan showed the real spillers were SORTS
+    // (the window sorts the full exploded frame, and localCheckpoint
+    // surfaces as UnknownPartitioning(0), so the self-join
+    // re-exchanged AND re-sorted BOTH survivor replicas — three
+    // ~35 GB sort passes); (r13 attempts) an explicit candidate-mass
+    // repartition of the agg moved nothing, and SHUFFLE_HASH joins
+    // hard-OOM'd under AQE's byte-based coalescing (hash BUILDS are
+    // blind-sized). The shape below has no sort, no join, and no
+    // unbounded buffer: ONE exchange clusters the exploded frame by
+    // shingle, the per-shingle aggregate carries (df, doc-id list),
+    // the cap drops stop shingles, and C(df,2) ordered pairs emit
+    // from each kept list by a codegen'd array expression straight
+    // into the (doc_a, doc_b) hash count. Buffer bound: every
+    // exploded row lands in exactly ONE list, so aggregate state per
+    // partition ≈ the partition's share of the exploded frame
+    // (~16 MB/task at sf10 across 256 AQE partitions); a corpus-hot
+    // shingle buffers df ids (≤ n_docs longs, a few MB) until the
+    // cap drops it — the window form paid a full 35 GB sort to avoid
+    // exactly that, a 1000× bad trade. Pair semantics are identical:
+    // a shingle with 2 ≤ df ≤ cap contributes exactly its C(df,2)
+    // ordered pairs (least/greatest normalizes, so the list's
+    // collect order cannot matter).
+    // repartition-then-group: the explicit clustering satisfies the
+    // aggregate's required distribution, so Spark plans ONE complete
+    // agg after the exchange instead of partial+final — a partial
+    // collect_list reduces nothing (every input row survives into a
+    // buffer) while holding each MAP task's full shingle state
+    // (measured as the residual sort-fallback spill at sf10); the
+    // exchange itself ships the identical rows either way
+    val pairs = exploded.repartition(col("s")).groupBy("s")
+      .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("ids"))
       .filter(col("df") >= 2 && col("df") <= cap)
-      .select("doc_id", "s")
-      .localCheckpoint(true)
-    // Scale the pair-agg exchange with the CANDIDATE MASS instead of
-    // inheriting spark.sql.shuffle.partitions: the mass is known
-    // exactly before the join runs — Σ C(df,2) over kept shingles,
-    // one cheap aggregate on the checkpointed survivors (kept is
-    // already clustered by s, so no extra exchange) — and at sf10 it
-    // is 126.6M pairs, which through a cpu-count exchange meant ~4M-
-    // row agg partitions and the genuine spill the r12 ladder
-    // measured as the d2b residual. ~2M pair rows per partition
-    // keeps each task's agg hash table inside execution memory; the
-    // explicit repartition REPLACES the group-by's exchange
-    // (HashPartitioning(doc_a, doc_b) satisfies its required
-    // distribution), it does not add one, and it only engages when
-    // the dial exceeds the session default — gate-SF plans are
-    // byte-identical to before.
-    val defaultPar =
-      docs.sparkSession.sessionState.conf.numShufflePartitions
-    val pairMass = kept.groupBy("s")
-      .agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(expr("c * (c - 1)")), lit(0L)))
-      .head().getLong(0) / 2
-    val nPart = math.min(4096L,
-      math.max(defaultPar.toLong, pairMass / 2000000L + 1)).toInt
-    val joined = kept.as("a").join(kept.as("b"),
-        col("a.s") === col("b.s") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    val clustered =
-      if (nPart > defaultPar)
-        joined.repartition(nPart, col("doc_a"), col("doc_b"))
-      else joined
-    val pairs = clustered
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids)),
+               y -> struct(least(x, y) AS a, greatest(x, y) AS b))))"""))
+        .as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
     val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n"))
     pairs
