@@ -202,25 +202,38 @@ object Bench {
       // would never be reclaimed mid-run without this
       .config("spark.cleaner.periodicGC.interval", "1min")
       // Let AQE size every exchange from the data instead of pinning
-      // all shuffles at cpu count: stages start at 256 partitions and
-      // coalesce down to the advisory size, so a 35 GB window sort
-      // (d2b's sf10 stop-filter — the REAL spiller the r12 ladder
-      // misattributed to the pair agg) runs ~140 MB in-memory sorts
-      // while small stages coalesce back to a handful of tasks. This
-      // is the local stand-in for sizing shuffle.partitions to the
-      // corpus on a real cluster.
+      // all shuffles at cpu count: stages start wide and coalesce
+      // down to the advisory size, so a 35 GB sort (d2b's sf10
+      // stop-filter — the REAL spiller the r12 ladder misattributed
+      // to the pair agg) runs ~140 MB in-memory sorts while small
+      // stages coalesce back to a handful of tasks. This is the
+      // local stand-in for sizing shuffle.partitions to the corpus
+      // on a real cluster. The dial is an env var because its right
+      // value is a function of DATA SCALE, which the session cannot
+      // know from compressed parquet bytes (ScaleUp replicas
+      // dictionary-compress ~10×): the sf1–sf10 ladder protocol sets
+      // 256; the default is cpu count because at gate SF the wide
+      // dial's fan-out+planning tax lands on every one of 223 small
+      // queries (measured ~30% on the dedup subset, d4 4.5 vs 2.0 s
+      // cold — it was the r13 "degraded window" that no ambient-load
+      // reading could explain).
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        "256")
+        sys.env.getOrElse("SPARK_GRAFT_AQE_INITIAL", cpus))
       // ObjectHashAggregate (collect_list/typed Aggregators) falls
       // back to SORT-based aggregation after 128 distinct keys per
       // partition — a default that turns d2b's per-shingle doc-list
       // aggregate into a full sort of the exploded frame (measured
-      // 47 GB spill at sf10). Its state is bounded by the partition's
-      // input share (tens of MB here), so hash aggregation is safe at
-      // any realistic key count; the sketch Aggregators (≤k-entry
-      // buffers) only benefit.
+      // 47 GB spill at sf10). Env-gated like the AQE dial, and for
+      // the same reason: at sf10 the 4M threshold is what keeps the
+      // d2b list agg hash-mode (its state is bounded by each
+      // partition's input share), but at gate SF it pins MILLIONS of
+      // live per-key sketch buffers (x9 Misra-Gries, x52 KMV, x7/x50
+      // vocab aggs) in hash mode that the 128-key fallback would
+      // stream through a cheap small sort — measured 8–11× on
+      // x9/x9b against the r12 record while the surface median sat
+      // at ambient 1.45×. Ladder protocol sets 4194304 for sf3+.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "4194304")
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_KEYS", "128"))
       // events.parquet carries TIMESTAMP(NANOS) — see Tables.load
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
