@@ -81,8 +81,12 @@ object Bench {
     *    queries shared with the PREVIOUS artifact at the same output
     *    path and scale factor (the band-shift protocol: a uniform
     *    shift is ambient noise, a lone spike is a suspect);
-    *  - `in_band`: d4 ≤ ceiling AND median ratio ≤ 1.1 (absent
-    *    ratio = d4 alone);
+    *  - `io_seq_mbps` / `io_sync_iops`: the disk canary readings
+    *    (see [[ioCanary]]) — the IO-side complement to the
+    *    compute-side d4;
+    *  - `in_band`: d4 ≤ ceiling AND median ratio ≤ 1.1 AND the disk
+    *    canary at or above its configured floor (absent ratio or
+    *    floor = the remaining checks alone);
     *  - `warn`: non-null human-readable flag when out of band — the
     *    artifact says "degraded window, adjudicate before believing
     *    per-query deltas" about itself. */
@@ -102,6 +106,59 @@ object Bench {
     }.getOrElse((0.55, 0.70))
   private val MedianRatioCeiling = 1.1
 
+  /** Disk canary, measured ONCE before any query: the d4 control is
+    * pure compute, so it reads quiet while the lakehouse family
+    * (snapshot writes, manifest fsyncs) runs 3–6× — exactly the r13
+    * window signature (d4 0.712 with s20–s27 at 3–6× and a dd probe
+    * confirming the disk). Two raw-FileChannel numbers so the
+    * artifact can name WHICH resource degraded: sequential fsync
+    * throughput (64 MB write + force) and small-sync latency (32 ×
+    * 4 KB, force each — an IOPS proxy). Informational unless
+    * SPARK_GRAFT_IO_FLOOR="seq_mbps,sync_iops" is set, in which case
+    * readings below either floor mark the window degraded; no
+    * host-baked constant (the r12 ADVICE lesson — a wrong built-in
+    * band makes the label permanently meaningless on other hosts). */
+  private def ioCanary(): (Double, Double) = {
+    import java.nio.ByteBuffer
+    import java.nio.file.{Files, StandardOpenOption => O}
+    val f = Files.createTempFile("graft_iocanary", ".bin")
+    try {
+      val buf = ByteBuffer.allocateDirect(1 << 20)
+      var ch = java.nio.channels.FileChannel.open(f, O.WRITE)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 64) {
+        buf.clear(); buf.limit(1 << 20)
+        while (buf.hasRemaining) ch.write(buf)
+        i += 1
+      }
+      ch.force(true); ch.close()
+      val seqMbps = 64.0 / ((System.nanoTime() - t0) / 1e9)
+      ch = java.nio.channels.FileChannel.open(f, O.WRITE)
+      val small = ByteBuffer.allocateDirect(4096)
+      val t1 = System.nanoTime()
+      i = 0
+      while (i < 32) {
+        small.clear(); small.limit(4096)
+        ch.position(i.toLong * 4096)
+        while (small.hasRemaining) ch.write(small)
+        ch.force(false)
+        i += 1
+      }
+      ch.close()
+      val syncIops = 32.0 / ((System.nanoTime() - t1) / 1e9)
+      (seqMbps, syncIops)
+    } finally Files.deleteIfExists(f)
+  }
+  private val IoFloor: Option[(Double, Double)] =
+    sys.env.get("SPARK_GRAFT_IO_FLOOR").flatMap { s =>
+      s.split(',') match {
+        case Array(a, b) =>
+          scala.util.Try((a.trim.toDouble, b.trim.toDouble)).toOption
+        case _ => None
+      }
+    }
+
   /** JSON string escape for builder-authored text (the warn flag) —
     * same contract as Verify's: quote, backslash, control chars. */
   private def jstr(s: String): String = "\"" + s.flatMap {
@@ -116,7 +173,7 @@ object Bench {
 
   private def controlJson(
       results: Seq[(String, Option[Double], (Long, Long, Long, Long, Long))],
-      sfDir: String, out: String): String = {
+      sfDir: String, out: String, io: (Double, Double)): String = {
     val d4 = results.collectFirst { case (D4Key, Some(t), _) => t }
     // previous artifact at the same path AND scale factor: the
     // reference for the median per-query ratio. Regex-parsed (the
@@ -151,6 +208,14 @@ object Bench {
     val d4Included = results.exists(_._1 == D4Key)
     val d4Ok = d4.forall(_ <= D4QuietBand._2)
     val ratioOk = medianRatio.forall(_ <= MedianRatioCeiling)
+    val ioOk = IoFloor.forall { case (seqF, iopsF) =>
+      io._1 >= seqF && io._2 >= iopsF }
+    val ioWarn =
+      if (ioOk) None
+      else Some(f"disk canary below floor (seq ${io._1}%.0f MB/s, " +
+        f"sync ${io._2}%.0f io/s vs floor ${IoFloor.get._1}%.0f," +
+        f"${IoFloor.get._2}%.0f) — IO-side degradation: compute " +
+        "controls can read quiet while write-heavy queries inflate")
     val warn: Option[String] =
       (d4, medianRatio) match {
         case _ if !d4Included => Some(
@@ -173,13 +238,19 @@ object Bench {
     // locale-fixed rendering (no f-interpolator in the JSON itself)
     def num(d: Double): String = (math.round(d * 1000) / 1000.0).toString
     val inBand =
-      if (!d4Included) "null" else (d4Ok && ratioOk).toString
+      if (!d4Included) "null" else (d4Ok && ratioOk && ioOk).toString
+    val fullWarn = (warn, ioWarn) match {
+      case (Some(a), Some(b)) => Some(s"$a; $b")
+      case (a, b)             => a.orElse(b)
+    }
     s"""{"d4":${d4.fold("null")(num)},""" +
       s""""d4_quiet_band":[${D4QuietBand._1},${D4QuietBand._2}],""" +
+      s""""io_seq_mbps":${num(io._1)},""" +
+      s""""io_sync_iops":${num(io._2)},""" +
       s""""median_ratio_vs_prev":${medianRatio.fold("null")(num)},""" +
       s""""n_shared_queries":${ratios.size},""" +
       s""""in_band":$inBand,""" +
-      warn.fold(""""warn":null""")(w => s""""warn":${jstr(w)}""") + "}"
+      fullWarn.fold(""""warn":null""")(w => s""""warn":${jstr(w)}""") + "}"
   }
 
   // Cross-query scrub: SessionCaches.scrub drops catalog caches and
@@ -243,6 +314,9 @@ object Bench {
     // Warmup: touch the fact table once so session/codegen/parquet
     // reader startup is not charged to whichever query runs first.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // Disk canary before any query so the reading reflects the
+    // window, not the bench's own write pressure.
+    val io = ioCanary()
     // Headline = every declarative query. The graft.ml.Models entries
     // are iterative model fits (CV loops, stepwise refits) — training
     // time, not query latency — so they are excluded by MEMBERSHIP in
@@ -315,7 +389,7 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) "BENCH_SUBSET.json"
       else "BENCH_FULL.json")
-    val control = controlJson(results, sfDir, out)
+    val control = controlJson(results, sfDir, out, io)
     val head = s""""metric":"total","value":$total,"unit":"sec"""" +
       s""","n_queries":${results.size},"ok":${failed.isEmpty}""" +
       s""","failed":$failedJson,"control":$control""" +
