@@ -354,4 +354,63 @@ class PropertySpec extends SparkTestBase {
         m2.exceptAll(m1).count() == 0, s"seed $seed: idempotence")
     }
   }
+
+  test("d7 trie cut: settled-bucket invariants on generated corpora " +
+    "(occupancy bound, co-bucketing, depth lattice)") {
+    // VERDICT r13 task 8: the settle loop (Dedup.d7Settle) is the
+    // round's most intricate control flow; pin its THREE structural
+    // invariants on generated corpora instead of examples only:
+    //  1. termination state: every (table, depth, bucket) holds
+    //     <= D7HotBucketCap members OR sits at full depth 64;
+    //  2. sig-identity: identical embeddings carry identical sigs, so
+    //     they co-locate at ONE (depth, bucket) per table at whatever
+    //     depth the cut settled on — the exact-dup recall-1.0 argument;
+    //  3. depth lattice: depths only take values basePlanes + k *
+    //     D7SplitStep clamped to 64 (the per-round step is fixed, so a
+    //     final depth off the lattice would prove a broken round).
+    // Monotonicity across rounds is not observable from the final
+    // frame; the lattice + the occupancy bound are its footprint.
+    val vecGen: Gen[Array[Float]] =
+      Gen.listOfN(64, Gen.choose(-1000, 1000).map(_ / 1000.0f))
+        .map(_.toArray)
+    val basePlanes = 16
+    val tables = 2
+    (1L to 3L).foreach { seed =>
+      val hotSize = 129 + (seed % 3).toInt * 71 // > D7HotBucketCap
+      val hot = sample(vecGen, seed)
+      val bg = (1 to 200).map(i => sample(vecGen, seed * 1000 + i))
+      import spark.implicits._
+      val corpus = ((0 until hotSize).map(i => (i.toLong, hot)) ++
+        bg.zipWithIndex.map { case (v, i) => ((hotSize + i).toLong, v) })
+        .toDF("vec_id", "embedding")
+      val settled = Dedup.d7SettledBuckets(corpus, basePlanes, tables)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      // (vec_id, table_id, depth, bucket) — column order per d7Settle
+      assert(settled.length == (hotSize + bg.size) * tables, s"seed $seed")
+      // 1. occupancy: over-cap groups only at full depth
+      settled.groupBy(t => (t._2, t._3, t._4)).foreach {
+        case ((t, d, b), members) =>
+          assert(members.length <= Dedup.D7HotBucketCap || d == 64,
+            s"seed $seed: bucket (t=$t d=$d b=$b) holds " +
+              s"${members.length} > cap below depth 64")
+      }
+      // 2. the exact-copy cluster ends co-bucketed per table, and —
+      // being sig-identical, hence unsplittable and over cap — at 64
+      (0 until tables).foreach { t =>
+        val cluster = settled.filter(r => r._1 < hotSize && r._2 == t)
+        assert(cluster.map(r => (r._3, r._4)).distinct.length == 1,
+          s"seed $seed: identical embeddings split across buckets in table $t")
+        assert(cluster.head._3 == 64,
+          s"seed $seed: ${hotSize}-member sig-identical cluster " +
+            s"settled at depth ${cluster.head._3} != 64 in table $t")
+      }
+      // 3. depth lattice
+      settled.foreach { case (id, t, d, _) =>
+        assert(d >= basePlanes && d <= 64 &&
+          ((d - basePlanes) % Dedup.D7SplitStep == 0 || d == 64),
+          s"seed $seed: vec $id table $t depth $d off the lattice")
+      }
+    }
+  }
 }
