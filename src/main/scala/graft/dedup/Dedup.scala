@@ -1097,7 +1097,16 @@ object Dedup {
     * inline (d11) or read back from a persisted index (d11b). */
   private[graft] def deltaGateOf(delta: DataFrame, csCapped: DataFrame,
       nb: DataFrame, fps: DataFrame): DataFrame = {
-    val ds = shinglePairs(delta)
+    // ds feeds BOTH the shared-shingle join and the per-doc size agg:
+    // without a persist the plan re-reads the delta text and re-runs
+    // the shingle flatMap once per consumer (guide §8's rule — the
+    // heavy bytes should be scanned once, decisions made on the
+    // derived rows). persist, not localCheckpoint: lineage survives
+    // (a lost block recomputes) and output partitioning is kept, so
+    // no re-exchange is introduced (the d2b UnknownPartitioning
+    // lesson). Scrub/ContextCleaner reclaim the blocks after the
+    // query's action.
+    val ds = shinglePairs(delta).persist()
     val shared = ds
       .join(csCapped.withColumnRenamed("doc_id", "c_id"), "s")
       .groupBy("doc_id", "c_id").agg(count(lit(1)).as("shared"))
@@ -1107,8 +1116,11 @@ object Dedup {
       .filter(col("shared") / (col("na") + col("nb") - col("shared"))
         >= 0.4)
       .select("doc_id").distinct()
+    // two consumers (the exact-copy probe and the admitted output):
+    // share one md5 pass over the delta text
     val deltaFp = delta
       .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      .persist()
     val exact = deltaFp.join(fps, "fp").select("doc_id").distinct()
     deltaFp.join(near.union(exact).distinct(), Seq("doc_id"),
       "left_anti")
@@ -1117,7 +1129,11 @@ object Dedup {
   def d11DeltaDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val isDelta = col("doc_id") % 10 === D11DeltaResidue
-    val cs = shinglePairs(docs.filter(!isDelta))
+    // three consumers below (stop-cap join, corpus df agg, per-doc
+    // sizes) — without the persist the corpus text is scanned and
+    // re-shingled once per consumer (the r13 plan audit counted 8
+    // text scans in this one query)
+    val cs = shinglePairs(docs.filter(!isDelta)).persist()
     // stop-cap on CORPUS shingle document-frequency (the d2b guard:
     // a ubiquitous shingle never enters the candidate join)
     val csCapped = cs.join(
@@ -1145,16 +1161,22 @@ object Dedup {
     * postings, per-doc set sizes, fingerprint set — three snapshot-
     * store tables under `root`. */
   def buildDeltaIndex(corpus: DataFrame, root: String): Unit = {
-    val cs = shinglePairs(corpus)
-    val csCapped = cs.join(
-      cs.groupBy("s").agg(count(lit(1)).as("cdf"))
-        .filter(col("cdf") <= StopShingleCap).select("s"), "s")
-    graft.sources.SnapshotStore.commit(csCapped, s"$root/postings")
-    graft.sources.SnapshotStore.commit(
-      cs.groupBy("doc_id").agg(count(lit(1)).as("nb")), s"$root/sizes")
-    graft.sources.SnapshotStore.commit(
-      corpus.select(md5(col("text").cast("binary")).as("fp"))
-        .distinct(), s"$root/fps")
+    // the three commits below are EAGER actions; without the persist
+    // each one re-scans the corpus text and re-runs the shingle
+    // flatMap from scratch. Build is the one place the share can be
+    // released deterministically, so unpersist once the commits land.
+    val cs = shinglePairs(corpus).persist()
+    try {
+      val csCapped = cs.join(
+        cs.groupBy("s").agg(count(lit(1)).as("cdf"))
+          .filter(col("cdf") <= StopShingleCap).select("s"), "s")
+      graft.sources.SnapshotStore.commit(csCapped, s"$root/postings")
+      graft.sources.SnapshotStore.commit(
+        cs.groupBy("doc_id").agg(count(lit(1)).as("nb")), s"$root/sizes")
+      graft.sources.SnapshotStore.commit(
+        corpus.select(md5(col("text").cast("binary")).as("fp"))
+          .distinct(), s"$root/fps")
+    } finally cs.unpersist(blocking = false)
   }
 
   /** Admit an arriving batch from the persisted index alone — no
@@ -1189,13 +1211,16 @@ object Dedup {
     require(admitted.columns.contains("text"),
       "appendDeltaIndex needs raw (doc_id, text) rows - join the " +
         "gate's admitted doc_ids back to the original batch")
-    val cs = shinglePairs(admitted)
-    graft.sources.SnapshotStore.appendCommit(cs, s"$root/postings")
-    graft.sources.SnapshotStore.appendCommit(
-      cs.groupBy("doc_id").agg(count(lit(1)).as("nb")), s"$root/sizes")
-    graft.sources.SnapshotStore.appendCommit(
-      admitted.select(md5(col("text").cast("binary")).as("fp"))
-        .distinct(), s"$root/fps")
+    // two eager appendCommits consume cs — share one shingle pass
+    val cs = shinglePairs(admitted).persist()
+    try {
+      graft.sources.SnapshotStore.appendCommit(cs, s"$root/postings")
+      graft.sources.SnapshotStore.appendCommit(
+        cs.groupBy("doc_id").agg(count(lit(1)).as("nb")), s"$root/sizes")
+      graft.sources.SnapshotStore.appendCommit(
+        admitted.select(md5(col("text").cast("binary")).as("fp"))
+          .distinct(), s"$root/fps")
+    } finally cs.unpersist(blocking = false)
   }
 
   def d11bDeltaDedupServed(s: SparkSession, dir: String): DataFrame = {
