@@ -381,7 +381,18 @@ object Dedup {
     // self-join. The explode+groupBy shape is also the scalable one:
     // one keyed shuffle on doc_id, partial min map-side.
     val docs = docsDf.select(col("doc_id"), shingles.as("sh"))
-    val banded = bandedSignatures(docsDf)
+    // the self-join below references the signature frame twice;
+    // unpersisted, EACH side re-runs the whole signature pipeline
+    // (text scan → shingle flatMap → 16 hashes per shingle → minhash
+    // agg → band hash). The frame itself is tiny — 4 (doc_id,
+    // band_idx, band_hash) rows per document — so persisting it
+    // trades ~nothing for computing the corpus pass once (the
+    // NearDupStream corpusBands precedent). The shingle-ARRAY frame
+    // (`docs`) is deliberately NOT persisted: it is text-sized, and
+    // its two verification joins key on different columns anyway —
+    // recompute beats caching a corpus-scale frame (the pairStats
+    // trade, guide §5).
+    val banded = bandedSignatures(docsDf).persist()
     val candidates = banded.as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_hash") === col("b.band_hash") &&
