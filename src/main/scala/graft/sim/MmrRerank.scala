@@ -93,9 +93,16 @@ object MmrRerank {
     // CandM² rows/query), quantized the same way; the a = b diagonal
     // rides along so every candidate reaches the kernel even if a
     // pathological list had one entry
+    // the M×M pair builder self-joins this frame; unpersisted, BOTH
+    // sides re-run the whole candidate pipeline — the O(n·queries)
+    // brute-force scoring, the TopK, and the embedding re-attach
+    // (the r13 plan audit counted 6 embeddings scans in this one
+    // query). The frame is bounded at CandM rows per query, so the
+    // persist is ~free and the corpus-scale scoring runs once.
     val withEmb = cands
       .join(emb.select(col("vec_id").as("doc_id"),
         col("embedding").as("c_emb")), "doc_id")
+      .persist()
     val pairs = withEmb.as("a").join(withEmb.as("b"),
         col("a.q_id") === col("b.q_id"))
       .select(col("a.q_id").as("q_id"),
