@@ -995,24 +995,30 @@ object TextAnalysis {
     * when whole docs align); high novelty ⇒ unique content worth
     * keeping. Shape: per-doc-distinct grams stream out of the native
     * `ngrams_distinct` UDTF (row-local dedup, no corpus-wide
-    * distinct), document frequencies are ONE hash agg on the gram
-    * key, and the join back is gram-keyed — aggregation-only reuse
-    * of the d2 shingle backbone with no pair expansion anywhere, so
-    * skewed grams cost a fat aggregation cell, never a quadratic
-    * blow-up. Docs under 3 tokens have no grams and drop out on both
-    * sides. */
+    * distinct); a gram with df = 1 has exactly ONE owner, so
+    * min(doc_id) inside the per-gram agg NAMES it and the novel
+    * count folds off that agg directly — the gram-keyed join back to
+    * the exploded frame (corpus-scale SMJ once the df table outgrows
+    * broadcast) is gone; the only join left is two doc-count-sized
+    * per-doc tables. Aggregation-only reuse of the d2 shingle
+    * backbone with no pair expansion anywhere, so skewed grams cost
+    * a fat aggregation cell, never a quadratic blow-up. Docs under
+    * 3 tokens have no grams and drop out on both sides. */
   def x41NoveltyScore(s: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(s)
     val grams = Tables.documents(s, dir)
       .select(col("doc_id"), expr("ngrams_distinct(text, 3)"))
       .select("doc_id", "ngram")
-    val freq = grams.groupBy("ngram").agg(count(lit(1)).as("df"))
-    grams.join(freq, "ngram")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
-      .select(col("doc_id"), col("n_grams"), col("n_novel"),
-        Det.r6(col("n_novel").cast("double") /
+    val novel = grams.groupBy("ngram")
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("only_doc"))
+      .filter(col("df") === 1)
+      .groupBy(col("only_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        Det.r6(coalesce(col("n_novel"), lit(0L)).cast("double") /
           col("n_grams").cast("double")).as("novelty"))
   }
 
@@ -1166,8 +1172,13 @@ object TextAnalysis {
       df.select(col("doc_id"), expr("ngrams_distinct(text, 4)"))
         .select("doc_id", "ngram")
     val docs = Tables.documents(s, dir)
+    // the bench-set gram frame feeds two consumers (the containment
+    // join's broadcast and bSizes); it is broadcast-bounded by the
+    // same assumption that lets it broadcast, so persist it and run
+    // the bench-slice text scan + gram derivation once, not twice
     val bench = grams(docs.filter(col("doc_id") % 50 === 0))
       .withColumnRenamed("doc_id", "bench_id")
+      .persist()
     val bSizes = bench.groupBy("bench_id").agg(count(lit(1)).as("n_b"))
     val pairs = grams(docs.filter(col("doc_id") % 50 =!= 0))
       .join(broadcast(bench), "ngram")
