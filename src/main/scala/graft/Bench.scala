@@ -345,6 +345,9 @@ object Bench {
     val results: Seq[(String, Option[Double], (Long, Long, Long, Long, Long))] =
       headline.map { case (name, fn) =>
         val storageAfterScrub = SessionCaches.scrub(spark)
+        // guide §1.5: label the jobs so a UI/event-log read of a bench
+        // run attributes stages to queries without guesswork
+        spark.sparkContext.setJobDescription(name)
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -355,6 +358,7 @@ object Bench {
               false
           }
         val sec = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.setJobDescription(null)
         val (spill, sr, sw, peak) = metrics.drain()
         // a spilling query is the signal that memory is tight NOW:
         // force the cleaner's GC immediately instead of waiting for

@@ -177,8 +177,16 @@ object Dedup {
         .union(ssMin.select(col("u"), col("mn").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct())
-      converged = ss.count() == edges.count() &&
-        ss.exceptAll(edges).isEmpty
+      // fixpoint test in ONE job (round 14 — was count + exceptAll,
+      // two jobs; the loop's wall cost at bench scale is job-count ×
+      // scheduler latency, not data): ss and edges are both DISTINCT
+      // sets, so set equality ⟺ their multiset symmetric difference
+      // is empty — one ±1-weighted union, one keyed sum, short-
+      // circuiting take(1)
+      converged = ss.select(col("u"), col("v"), lit(1L).as("w"))
+        .unionAll(edges.select(col("u"), col("v"), lit(-1L).as("w")))
+        .groupBy("u", "v").agg(sum("w").as("d"))
+        .filter(col("d") =!= 0).isEmpty
       // round k's edges are materialized and the convergence check
       // (the only reader of round k−1) has run — release k−1's blocks
       // instead of holding every round's generation until query end
@@ -194,6 +202,22 @@ object Dedup {
       .groupBy("doc_id").agg(min("rep").as("rep"))
     (labels, rounds)
   }
+
+  /** The session's configured pre-coalesce exchange width — what AQE
+    * would START a shuffle at before byte-based coalescing. Used to
+    * pin exchanges feeding COMPUTE-DENSE stages (pair emission, whose
+    * cost is quadratic in rows) at full width: their cost is
+    * invisible in shuffle bytes, so AQE's size-targeted coalesce
+    * collapses them onto a handful of cores. Scale-adaptive by
+    * construction: reads the same `SPARK_GRAFT_AQE_INITIAL`-backed
+    * session conf the ladder protocol dials, falling back to the
+    * session shuffle width (= cpus in the bench contract). */
+  private def sessionShuffleWidth(s: SparkSession): Int =
+    s.conf.getOption(
+      "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+      .orElse(s.conf.getOption("spark.sql.shuffle.partitions"))
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .getOrElse(s.sparkContext.defaultParallelism)
 
   /** The production stop-shingle cap — shared by the Scala kernel and
     * the DuckDB oracle CTE so both gates express identical semantics. */
@@ -260,8 +284,19 @@ object Dedup {
     // collect_list reduces nothing (every input row survives into a
     // buffer) while holding each MAP task's full shingle state
     // (measured as the residual sort-fallback spill at sf10); the
-    // exchange itself ships the identical rows either way
-    val pairs = exploded.repartition(col("s")).groupBy("s")
+    // exchange itself ships the identical rows either way.
+    // EXPLICIT width (round 14): this stage's cost is the C(df,2)
+    // pair expansion — quadratic in rows, invisible in bytes — so
+    // AQE's byte-based coalescing is structurally wrong for it: at
+    // gate SF it squeezed d8's 17 MB exchange to 4 tasks carrying
+    // ~15 s of summed pair-emission CPU while 28 cores idled (the
+    // r13 verdict's d8 anti-scaling signal; ScaleProbe stage table).
+    // Pinning the exchange at the session's configured initial width
+    // disables the coalesce without changing sf10 behavior (there
+    // the 35 GB frame never coalesced anyway: 256 × 137 MB).
+    val pairs = exploded
+      .repartition(sessionShuffleWidth(docs.sparkSession), col("s"))
+      .groupBy("s")
       .agg(count(lit(1)).as("df"), collect_list(col("doc_id")).as("ids"))
       .filter(col("df") >= 2 && col("df") <= cap)
       .select(explode(expr(
@@ -931,13 +966,21 @@ object Dedup {
       when(col("doc_id") % 10 === 0,
         concat(plantPara, lit(" "), col("text")))
         .otherwise(col("text")).as("text"))
-    val sp = split(col("text"), " ")
-    val nParas = ceil(size(sp) / lit(ParaTokens.toDouble)).cast("int")
+    // The tokenization is bound to a lambda VARIABLE (transform over
+    // a single-element array) so split() runs ONCE per document: the
+    // previous direct column reference was inlined by CollapseProject
+    // into the generator lambda — the committed r14 before-plan shows
+    // split(text) twice inside Generate, once per PARAGRAPH via
+    // slice(split(...)) — re-tokenizing each doc ~len/25 times,
+    // O(len²/ParaTokens) per doc (guide §4: hoist expensive
+    // subexpressions out of per-element lambdas).
     val paras = docs
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), nParas - 1),
-        i => array_join(
-          slice(sp, i * ParaTokens + 1, lit(ParaTokens)), " ")))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(array(split(text, ' ')), toks ->
+              transform(sequence(0,
+                  cast(ceil(size(toks) / ${ParaTokens.toDouble}) as int) - 1),
+                i -> array_join(
+                  slice(toks, i * $ParaTokens + 1, $ParaTokens), ' ')))[0]"""))
         .as(Seq("para_idx", "ptext")))
       .select(col("doc_id"),
         (col("doc_id") * ParaSlot + col("para_idx")).as("pid"),
@@ -1005,22 +1048,36 @@ object Dedup {
   private[graft] def d9KeepList(corpus: DataFrame, tau: Double)
       : DataFrame = {
     import graft.sim.Similarity
+    GraftFunctions.register(corpus.sparkSession)
     val total = corpus.count()
     val (cells, _) = Similarity.n3AutoDial(total)
     val cents = Similarity.fitCentroids(corpus, cells, total)
     val assigned = Similarity.cosineAssign(corpus, cents)
-    // Within-cell pairs: both sides shuffle once on the cell id; the
-    // per-task pair expansion is cellSize² — bounded by the cell
-    // dial, and at √(n/2) cells the whole graph is O(n^1.5) cosines
-    // (constant per cell under the production n/targetCellSize dial).
-    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"),
-      col("embedding").as("ea"))
-    val b = assigned.select(col("cell"), col("vec_id").as("vec_b"),
-      col("embedding").as("eb"))
-    val pairs = a.join(b, Seq("cell"))
-      .filter(col("vec_a") < col("vec_b"))
-      .filter(GraftFunctions.floatCosine("ea", "eb") >= tau)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    // Within-cell pairs via the d2b list-kernel shape (round 14 —
+    // was a cell-keyed self-join whose two sides each recomputed the
+    // scan + assignment kernel, i.e. TWO corpus passes feeding one
+    // equi-join): ONE exchange clusters the corpus by cell, the
+    // per-cell aggregate collects (id, vec) members, and all C(m,2)
+    // within-cell cosines emit from each list — one corpus pass, no
+    // join. Buffer bound: a cell's member list is cellSize vectors
+    // (≈ √(2n) at the √(n/2) dial; CONSTANT under the production
+    // n/targetCellSize dial), and every vector lands in exactly one
+    // list. Pair count and arithmetic are unchanged — all unordered
+    // within-cell pairs, least/greatest-normalized ids, and
+    // float_cosine's dot loop is commutative in its operands, so the
+    // emitted (doc_a, doc_b) set is bit-identical to the join form's.
+    val pairs = assigned
+      .repartition(sessionShuffleWidth(corpus.sparkSession), col("cell"))
+      .groupBy("cell")
+      .agg(collect_list(struct(col("vec_id").as("id"),
+        col("embedding").as("v"))).as("members"))
+      .select(explode(expr(
+        """flatten(transform(members, (x, i) ->
+             transform(slice(members, i + 2, size(members)),
+               y -> struct(least(x.id, y.id) AS a, greatest(x.id, y.id) AS b,
+                 float_cosine(x.v, y.v) AS c))))""")).as("p"))
+      .filter(col("p.c") >= tau)
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
     val (labels, _) = alternatingStarLabels(pairs)
     corpus.select("vec_id")
       .join(labels.withColumnRenamed("doc_id", "vec_id"),
