@@ -203,21 +203,10 @@ object Dedup {
     (labels, rounds)
   }
 
-  /** The session's configured pre-coalesce exchange width — what AQE
-    * would START a shuffle at before byte-based coalescing. Used to
-    * pin exchanges feeding COMPUTE-DENSE stages (pair emission, whose
-    * cost is quadratic in rows) at full width: their cost is
-    * invisible in shuffle bytes, so AQE's size-targeted coalesce
-    * collapses them onto a handful of cores. Scale-adaptive by
-    * construction: reads the same `SPARK_GRAFT_AQE_INITIAL`-backed
-    * session conf the ladder protocol dials, falling back to the
-    * session shuffle width (= cpus in the bench contract). */
+  /** Pre-coalesce exchange width for compute-dense stages — see
+    * [[graft.ops.Exchanges.sessionShuffleWidth]]. */
   private def sessionShuffleWidth(s: SparkSession): Int =
-    s.conf.getOption(
-      "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
-      .orElse(s.conf.getOption("spark.sql.shuffle.partitions"))
-      .flatMap(v => scala.util.Try(v.toInt).toOption)
-      .getOrElse(s.sparkContext.defaultParallelism)
+    graft.ops.Exchanges.sessionShuffleWidth(s)
 
   /** The production stop-shingle cap — shared by the Scala kernel and
     * the DuckDB oracle CTE so both gates express identical semantics. */

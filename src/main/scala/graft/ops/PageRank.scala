@@ -54,8 +54,13 @@ object PageRank {
       .distinct()
       // pre-partition on the per-round join key: the distinct's
       // (src,dst) partitioning would force a fresh edge shuffle every
-      // iteration; keyed on src the cache satisfies all 5 rounds
-      .repartition(col("src"))
+      // iteration; keyed on src the cache satisfies all 5 rounds.
+      // Explicit width (round 14): the cached partitioning is what
+      // every round's contrib join and its downstream agg inherit, so
+      // an AQE byte-coalesce here (edges are narrow longs) serializes
+      // five rounds of join+agg compute — pin it at the session's
+      // pre-coalesce width (graft.ops.Exchanges).
+      .repartition(graft.ops.Exchanges.sessionShuffleWidth(s), col("src"))
       .cache()
     val nodes = edges.select(col("src").as("node_id"))
       .union(edges.select(col("dst").as("node_id")))

@@ -680,10 +680,16 @@ object Similarity {
           (id, code, math.sqrt(nv))
         }
       }.toDF("vec_id", "code", "norm")
-    val queryLuts: Array[(Long, Array[Double], Double)] = emb
+    // the query WORKLOAD, driver-collected once (bounded by
+    // definition); kept as raw vectors too so the exact re-rank's
+    // q-side join reads this LocalRelation instead of re-scanning
+    // the corpus a 6th time (round 14 — the r13 audit's n4b
+    // multi-scan finding)
+    val queryVecs: Array[(Long, Array[Float])] = emb
       .filter(queryPred)
       .select("vec_id", "embedding").as[(Long, Array[Float])]
       .collect().sortBy(_._1)
+    val queryLuts: Array[(Long, Array[Double], Double)] = queryVecs
       .map { case (id, q) =>
         var qn = 0.0
         var i = 0; while (i < q.length) { qn += q(i).toDouble * q(i); i += 1 }
@@ -719,9 +725,10 @@ object Similarity {
     val cand = graft.plans.TopK.topKPerKey(approx, Seq(col("q_id")),
       Seq(col("approx_cosine").desc, col("neighbor_id").asc),
       n4RerankDepth(total))
+    // q-side embeddings come from the already-collected workload (a
+    // LocalRelation) — same rows, same join, one fewer corpus scan
     val scored = cand.select("q_id", "neighbor_id")
-      .join(emb.select(col("vec_id").as("q_id"),
-        col("embedding").as("q_embedding")), "q_id")
+      .join(queryVecs.toSeq.toDF("q_id", "q_embedding"), "q_id")
       .join(emb.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("v_embedding")), "neighbor_id")
       .select(col("q_id"), col("neighbor_id"),
@@ -1283,7 +1290,14 @@ object Similarity {
     // sizes are ~√(2n) (cells ≈ √(n/2)), so hashing 100s of cells
     // into 32 tasks balances; the result is bit-identical (same LUT
     // values, computed in one place instead of 32).
-    val approx = codes.repartition(col("cell"))
+    // EXPLICIT width (round 14): the ADC scan's cost is candidate
+    // mass (queries × probes × cell size), invisible in the 20 B/row
+    // code bytes — AQE's byte-targeted coalesce collapses this
+    // exchange to ONE task at gate SF (105 KB of codes) and serializes
+    // the whole scan; a pinned user width is final (see
+    // graft.ops.Exchanges).
+    val approx = codes
+      .repartition(graft.ops.Exchanges.sessionShuffleWidth(s), col("cell"))
       .as[(Long, Int, Array[Byte], Double)]
       .mapPartitions { it =>
         val (cs, bks, rts) = bcModel.value
@@ -1372,9 +1386,11 @@ object Similarity {
     val cand = graft.plans.TopK.topKPerKey(approx, Seq(col("q_id")),
       Seq(col("approx_cosine").desc, col("neighbor_id").asc),
       4 * n4RerankDepth(total))
+    // q-side embeddings come from the already-collected workload (a
+    // LocalRelation) — same rows, same join, one fewer corpus scan
     val scored = cand.select("q_id", "neighbor_id")
-      .join(emb.select(col("vec_id").as("q_id"),
-        col("embedding").as("q_embedding")), "q_id")
+      .join(queryVecs.map { case (id, q, _) => (id, q) }.toSeq
+        .toDF("q_id", "q_embedding"), "q_id")
       .join(emb.select(col("vec_id").as("neighbor_id"),
         col("embedding").as("v_embedding")), "neighbor_id")
       .select(col("q_id"), col("neighbor_id"),
