@@ -196,6 +196,12 @@ object Joins {
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
       .filter(length(col("token")) >= 4)
+    // persisted because BOTH self-join sides consume it: unpersisted,
+    // each side re-runs the corpus scan + token agg + variant explode
+    // (2 text scans per plan — the r13 audit's j10 finding). The
+    // frame is VOCAB-scale (tokens × (len+1) deletion variants, not
+    // corpus-scale), so the persist passes the x33/x30 honesty rule;
+    // the bench scrub reclaims it after the query.
     val vars = vocab.select(col("token"), col("n"),
         explode(concat(array(col("token")),
           expr("""transform(sequence(1, length(token)),
@@ -204,6 +210,7 @@ object Joins {
                                  length(token) - i)))""")))
           .as("v"))
       .distinct()
+      .persist()
     vars.as("a").join(vars.as("b"),
         col("a.v") === col("b.v") && col("a.token") < col("b.token"))
       .select(col("a.token").as("tok_a"), col("b.token").as("tok_b"),

@@ -514,6 +514,23 @@ object Similarity {
   private[graft] def n4RerankDepth(n: Long): Int =
     math.max(PqRerank, (n / 100L).toInt)
 
+  /** n6/n7/n8 exact-re-rank depth (round 14, VERDICT r13 item 7):
+    * the r8-campaign constant was 4× the n4 depth = max(100, n/25) —
+    * at sf10 that exact-scores 8 000 candidates/query while the
+    * measured recall ceiling is ROUTING-bound: the sf10 sweep
+    * (tools/RecallProbe rerank, BASELINE round-14) reads 0.661 — the
+    * probe-dial ceiling — already at R = 2 000 = n/100 (0.660 at
+    * n/200, 0.653 at n/400), i.e. depth beyond n/100 buys nothing:
+    * ADC ordering error is exhausted long before routing loss. The
+    * new branch caps the depth at max(256, n/100); the 256 floor
+    * EXCEEDS the old formula's value for every n ≤ 6 400, so both
+    * gated SFs (n ≤ ~5 500) keep byte-identical outputs (the
+    * n3AutoDial precedent), and at 10⁹ vectors exact re-scoring
+    * drops 4× per query. */
+  private[graft] def n6RerankDepth(n: Long): Int =
+    math.min(4 * n4RerankDepth(n),
+      math.max(256, (n / 100L).toInt))
+
   /** Plain Lloyd iterations over one PQ subspace, run locally on the
     * driver over the (capped, sorted — collect order must not change
     * the model) training sample. Deterministic: strided init over the
@@ -1025,14 +1042,15 @@ object Similarity {
   private[graft] def ivfPqTopkOf(s: SparkSession, embIn: DataFrame,
       queryPred: org.apache.spark.sql.Column, k: Int,
       dir: String, tag: String,
-      probesOverride: Option[Int] = None): DataFrame = {
+      probesOverride: Option[Int] = None,
+      rerankOverride: Option[Int] = None): DataFrame = {
     GraftFunctions.register(s)
     val emb = embIn.select("vec_id", "embedding")
     val total = emb.count()
     val model = fitIvfPqCached(s, emb, total, dir, tag)
     val codes = encodeIvfPq(s, emb, model)
     serveIvfPq(s, emb, model, codes, total, queryPred, k,
-      probesOverride)
+      probesOverride, rerankOverride)
   }
 
   /** Fit phase: deterministic coarse quantizer + per-cell residual
@@ -1260,7 +1278,8 @@ object Similarity {
   private[graft] def serveIvfPq(s: SparkSession, emb: DataFrame,
       model: IvfPqModel, codes: DataFrame, total: Long,
       queryPred: org.apache.spark.sql.Column, k: Int,
-      probesOverride: Option[Int] = None): DataFrame = {
+      probesOverride: Option[Int] = None,
+      rerankOverride: Option[Int] = None): DataFrame = {
     import s.implicits._
     val bcModel = s.sparkContext.broadcast(model)
     val (_, autoProbes) = n3AutoDial(total)
@@ -1383,9 +1402,11 @@ object Similarity {
     // 2× read 0.704–0.709 against the 0.764 ceiling; 4× plus the
     // 16-subspace codes reads 0.757 — 99% of the ceiling — while
     // exact-scoring ~16% of the probed set.
+    // rerankOverride is the RecallProbe sweep dial only (verdict r13
+    // item 7) — every declared query serves with the default depth
     val cand = graft.plans.TopK.topKPerKey(approx, Seq(col("q_id")),
       Seq(col("approx_cosine").desc, col("neighbor_id").asc),
-      4 * n4RerankDepth(total))
+      rerankOverride.getOrElse(n6RerankDepth(total)))
     // q-side embeddings come from the already-collected workload (a
     // LocalRelation) — same rows, same join, one fewer corpus scan
     val scored = cand.select("q_id", "neighbor_id")

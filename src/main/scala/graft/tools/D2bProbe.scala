@@ -80,6 +80,38 @@ object D2bProbe {
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
     t("pair-explode+agg")(pairs.count())
+    // round-14 (VERDICT r13 item 2): the two-level (shingle, salt)
+    // pre-aggregation hypothesis, measured before building. Level 1
+    // aggregates (s, salt-of-doc) partial lists; level 2 merges per
+    // shingle. Counts are identical to the one-level agg (same
+    // multiset of (s, doc) memberships; pair order never matters).
+    // Expectation from first principles: the cap already bounds
+    // per-key list length at 1000 ids (8 KB), so there is no hot-key
+    // state to split — total aggregate state is the exploded frame's
+    // partition share EITHER WAY, and level 2 re-shuffles the same
+    // bytes a second time. The probe checks whether the measured
+    // spill agrees.
+    val salted = exploded
+      .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(16)))
+      .repartition(col("s"), col("salt"))
+      .groupBy("s", "salt")
+      .agg(count(lit(1)).as("pdf"),
+        collect_list(col("doc_id")).as("pids"))
+      .repartition(col("s"))
+      .groupBy("s")
+      .agg(sum("pdf").as("df"),
+        flatten(collect_list(col("pids"))).as("ids"))
+      .filter(col("df") >= 2 && col("df") <= cap)
+    t("salted-2level-agg")(salted.count())
+    val saltedPairs = salted
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+             transform(slice(ids, i + 2, size(ids)),
+               y -> struct(least(x, y) AS a, greatest(x, y) AS b))))"""))
+        .as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    t("salted-pair-explode+agg")(saltedPairs.count())
     t("full d2PairsOf")(
       graft.dedup.Dedup.d2PairsOf(docs, cap).count())
     spark.stop()

@@ -53,6 +53,37 @@ object RecallProbe {
       spark.stop(); return
     }
 
+    // "rerank" mode (round 14, VERDICT r13 item 7): exact-re-rank
+    // DEPTH sweep for n6 at a scale corpus — probes stay at the auto
+    // dial; only the top-R-by-ADC cut before the exact re-score
+    // varies. Usage: RecallProbe <dir> rerank
+    if (args.length > 1 && args(1) == "rerank") {
+      import org.apache.spark.sql.functions.col
+      val truth = pairs(Similarity.n1SimTopkBruteforce(spark, dir))
+      println(s"n1 truth pairs: ${truth.size}")
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val d = 4 * Similarity.n4RerankDepth(n)
+      val cand = Seq(d / 16, d / 8, d / 4, d / 2, d)
+        .filter(_ >= 5).distinct.sorted
+      println(s"rerank sweep: n=$n default_depth=$d candidates=$cand")
+      for (r <- cand) {
+        // drop the previous point's checkpoints/persists — without
+        // the scrub the sweep accumulates dead blocks and OOMs by
+        // the third point (the fit memo is driver-local and survives)
+        graft.SessionCaches.scrub(spark)
+        val t0 = System.nanoTime()
+        val got = pairs(Similarity.ivfPqTopkOf(spark,
+          graft.Tables.embeddings(spark, dir)
+            .select("vec_id", "embedding"),
+          col("vec_id") % 50 === 0, k = 5, dir, "base",
+          rerankOverride = Some(r)))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val rc = (got & truth).size.toDouble / truth.size
+        println(f"n6 rerank=$r recall=$rc%.3f serve_wall=$sec%.1f s")
+      }
+      spark.stop(); return
+    }
+
     val truth = pairs(Similarity.n1SimTopkBruteforce(spark, dir))
     println(s"n1 truth pairs: ${truth.size}")
     val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
