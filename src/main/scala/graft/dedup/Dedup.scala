@@ -1098,11 +1098,25 @@ object Dedup {
     val k = 8
     val wins = Tables.documents(s, dir)
       .select(col("doc_id"), expr(s"ngrams(text, $k)"))
-    val dup = wins.groupBy("ngram")
-      .agg(count(lit(1)).as("occ"))
+    // One-pass dup-window extraction (round 14 — was a per-gram count
+    // agg PLUS a corpus-scale join of the full window frame back onto
+    // the >1-occurrence grams: two corpus scans, two exchanges, and
+    // the join's sort). The d2b list-kernel shape one more time: one
+    // exchange clusters windows by gram, the per-gram aggregate
+    // carries its (doc, pos) hit list, df = 1 grams drop, survivors
+    // explode. Hit set identical by construction — every window
+    // whose gram occurs more than once, exactly the join's output.
+    // Buffer bound: every window lands in exactly one list, so
+    // aggregate state per partition is the partition's share of the
+    // window frame (the pairStats argument).
+    val hits = wins
+      .repartition(sessionShuffleWidth(s), col("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("occ"),
+        collect_list(struct(col("doc_id"), col("pos"))).as("ws"))
       .filter(col("occ") > 1)
-      .select("ngram")
-    val hits = wins.join(dup, "ngram").select("doc_id", "pos")
+      .select(explode(col("ws")).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.pos").as("pos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val run = w.rowsBetween(
